@@ -1,0 +1,28 @@
+"""Element library (L4'): mirrors the reference's plugin categories.
+
+Each module self-registers its elements via @register_element when
+imported; gstpu.init() imports everything through register_all().
+The _MODULES list grows as element families are added.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = [
+    "gstpu.elements.generic.basic",
+    "gstpu.elements.generic.app",
+    "gstpu.elements.generic.testsrc",
+    "gstpu.elements.generic.file",
+]
+
+_registered = False
+
+
+def register_all() -> None:
+    global _registered
+    if _registered:
+        return
+    _registered = True
+    for mod in _MODULES:
+        importlib.import_module(mod)

@@ -1,0 +1,89 @@
+"""rsfilesrc / rsfilesink: file I/O elements.
+
+Rebuilds the reference's Rust file elements
+(generic/file/src/{filesrc,filesink}, 935 LoC): chunked reads with
+offset tracking, buffered writes.
+"""
+
+from __future__ import annotations
+
+from gstpu.core.base import BaseSink, PushSrc
+from gstpu.core.buffer import Buffer
+from gstpu.core.caps import Caps
+from gstpu.core.element import (FlowReturn, PadDirection, PadPresence,
+                                PadTemplate)
+from gstpu.core.props import Mutability, Property
+from gstpu.core.registry import Rank, register_element
+
+
+@register_element("filesrc", Rank.PRIMARY)
+class FileSrc(PushSrc):
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                                 Caps.any())]
+
+    location = Property(str, default=None, mutable=Mutability.READY)
+    blocksize = Property(int, default=64 * 1024, minimum=1)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._f = None
+        self._offset = 0
+
+    def negotiate(self) -> Caps:
+        return Caps.new("application/octet-stream")
+
+    def start(self) -> bool:
+        if not self.location:
+            self.post_error("filesrc: no location set")
+            return False
+        self._f = open(self.location, "rb")
+        self._offset = 0
+        return True
+
+    def stop(self) -> bool:
+        if self._f:
+            self._f.close()
+            self._f = None
+        return True
+
+    def create(self) -> Buffer | None:
+        data = self._f.read(self.blocksize)
+        if not data:
+            return None
+        buf = Buffer(data, offset=self._offset,
+                     offset_end=self._offset + len(data))
+        self._offset += len(data)
+        return buf
+
+
+@register_element("filesink", Rank.PRIMARY)
+class FileSink(BaseSink):
+    PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK,
+                                 PadPresence.ALWAYS, Caps.any())]
+
+    location = Property(str, default=None, mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._f = None
+
+    def start(self) -> bool:
+        if not self.location:
+            self.post_error("filesink: no location set")
+            return False
+        self._f = open(self.location, "wb")
+        return True
+
+    def stop(self) -> bool:
+        if self._f:
+            self._f.close()
+            self._f = None
+        return True
+
+    def render(self, buf: Buffer):
+        self._f.write(buf.to_bytes())
+        return FlowReturn.OK
+
+    def on_eos(self) -> None:
+        if self._f:
+            self._f.flush()
