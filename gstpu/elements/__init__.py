@@ -14,6 +14,7 @@ _MODULES = [
     "gstpu.elements.generic.app",
     "gstpu.elements.generic.testsrc",
     "gstpu.elements.generic.file",
+    "gstpu.elements.audio.audiofx",
 ]
 
 _registered = False

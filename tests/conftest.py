@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# the axon site config pins JAX_PLATFORMS=axon (the real-TPU tunnel);
+# the config API wins over the env var, so force CPU here for hermetic,
+# fast tests
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 import gstpu  # noqa: E402
