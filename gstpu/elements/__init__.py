@@ -15,6 +15,7 @@ _MODULES = [
     "gstpu.elements.generic.testsrc",
     "gstpu.elements.generic.file",
     "gstpu.elements.audio.audiofx",
+    "gstpu.elements.audio.loudnorm",
 ]
 
 _registered = False

@@ -41,6 +41,9 @@ class AudioTestSrc(PushSrc):
     samplesperbuffer = Property(int, default=1024, minimum=1)
     seed = Property(int, default=0x12345678)
     is_live_p = Property(bool, default=False)
+    tick_interval = Property(int, default=1_000_000_000, minimum=1,
+                             blurb="Tick distance for wave=ticks (ns)")
+    sine_periods_per_tick = Property(int, default=10, minimum=1)
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -86,11 +89,15 @@ class AudioTestSrc(PushSrc):
         elif w == "white-noise":
             mono = self._rng.uniform(-1.0, 1.0, size=n)
         elif w == "ticks":
+            # sine bursts of sine-periods-per-tick periods every
+            # tick-interval (C audiotestsrc semantics)
             mono = np.zeros_like(t)
-            tick_period = info.rate  # 1 tick/second
-            idx = np.nonzero((np.arange(self._sample_offset,
-                                        self._sample_offset + n)
-                              % tick_period) < 441)[0]
+            tick_period = max(1, (self.tick_interval * info.rate)
+                              // 1_000_000_000)
+            tick_len = max(1, int(round(self.sine_periods_per_tick
+                                        * info.rate / self.freq)))
+            pos = np.arange(self._sample_offset, self._sample_offset + n)
+            idx = np.nonzero((pos % tick_period) < tick_len)[0]
             mono[idx] = np.sin(2 * np.pi * self.freq * t[idx])
         else:
             raise ValueError(f"unknown wave {w!r}")
