@@ -16,6 +16,8 @@ _MODULES = [
     "gstpu.elements.generic.file",
     "gstpu.elements.audio.audiofx",
     "gstpu.elements.audio.loudnorm",
+    "gstpu.elements.video.hsv",
+    "gstpu.elements.video.colorlut",
 ]
 
 _registered = False
