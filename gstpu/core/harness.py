@@ -41,6 +41,7 @@ class Harness:
             self.srcpad = Pad("harness-src", PadDirection.SRC,
                               PadTemplate("src", PadDirection.SRC,
                                           PadPresence.ALWAYS, Caps.any()))
+            self.srcpad.query_function = self._upstream_query
             self.srcpad.link(el_sink)
 
         # capture pad (element src → our sink)
@@ -58,6 +59,18 @@ class Harness:
         # elements expect to be started
         from gstpu.core.element import State
         self.element.set_state(State.PLAYING)
+
+    def _upstream_query(self, pad: Pad, q) -> bool:
+        """Answer queries the element sends upstream (gst_check's
+        harness acts as a well-behaved non-live source)."""
+        if isinstance(q, LatencyQuery):
+            q.live = False
+            return True
+        from gstpu.core.query import CapsQuery
+        if isinstance(q, CapsQuery):
+            q.caps = q.filter if q.filter is not None else Caps.any()
+            return True
+        return False
 
     def _capture(self, pad: Pad, buf: Buffer) -> FlowReturn:
         self.buffers.append(buf)

@@ -16,6 +16,7 @@ _MODULES = [
     "gstpu.elements.generic.file",
     "gstpu.elements.audio.audiofx",
     "gstpu.elements.audio.loudnorm",
+    "gstpu.elements.audio.hrtf",
     "gstpu.elements.video.hsv",
     "gstpu.elements.video.colorlut",
 ]
