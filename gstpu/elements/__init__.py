@@ -17,6 +17,7 @@ _MODULES = [
     "gstpu.elements.audio.audiofx",
     "gstpu.elements.audio.loudnorm",
     "gstpu.elements.audio.hrtf",
+    "gstpu.elements.audio.rnnoise",
     "gstpu.elements.video.hsv",
     "gstpu.elements.video.colorlut",
 ]

@@ -1,0 +1,154 @@
+"""audiornnoise tests: frame machinery, OLA correctness, denoising,
+VAD gating, GRU model loading."""
+
+import numpy as np
+import pytest
+
+from gstpu import Buffer, State, parse_launch
+from gstpu.core.harness import Harness
+from gstpu.core.registry import make
+from gstpu.elements.audio.rnnoise import AudioLevelMeta
+from gstpu.ops.rnnoise import (FRAME_SIZE, NB_BANDS, DenoiseState, GruModel,
+                               band_energies, interp_band_gain,
+                               vorbis_window)
+
+RATE = 48000
+
+
+def test_vorbis_window_cola():
+    w = vorbis_window()
+    # Princen-Bradley: w^2[n] + w^2[n+N] == 1 -> unity OLA
+    s = w[:FRAME_SIZE] ** 2 + w[FRAME_SIZE:] ** 2
+    np.testing.assert_allclose(s, 1.0, atol=1e-6)
+
+
+def test_unity_gain_is_delayed_passthrough():
+    class Unity:
+        def frame_gains(self, eb):
+            return np.ones(NB_BANDS), 1.0
+
+        def reset(self):
+            pass
+
+    d = DenoiseState(Unity())
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, 10 * FRAME_SIZE)
+    outs = [d.process_frame(x[i * FRAME_SIZE:(i + 1) * FRAME_SIZE])[0]
+            for i in range(10)]
+    out = np.concatenate(outs)
+    # output == input delayed one frame
+    np.testing.assert_allclose(out[FRAME_SIZE:], x[:9 * FRAME_SIZE],
+                               atol=1e-10)
+
+
+def test_band_energy_interp_shapes():
+    spec = np.fft.rfft(np.random.default_rng(1).normal(size=960))
+    eb = band_energies(spec)
+    assert eb.shape == (NB_BANDS,)
+    g = interp_band_gain(np.ones(NB_BANDS))
+    np.testing.assert_allclose(g, 1.0)
+
+
+def test_spectral_gate_reduces_noise():
+    d = DenoiseState()
+    rng = np.random.default_rng(2)
+    noise = rng.normal(0, 0.05, 200 * FRAME_SIZE) * 32767
+    out_power = in_power = 0.0
+    for i in range(200):
+        frame = noise[i * FRAME_SIZE:(i + 1) * FRAME_SIZE]
+        y, _ = d.process_frame(frame)
+        if i > 100:  # after adaptation
+            out_power += float(np.sum(y ** 2))
+            in_power += float(np.sum(frame ** 2))
+    assert out_power < 0.25 * in_power  # >6 dB noise reduction
+
+
+def test_element_blocking_and_accounting():
+    h = Harness("audiornnoise")
+    h.set_caps(f"audio/x-raw, format=F32LE, rate={RATE}, channels=2, "
+               "layout=interleaved")
+    rng = np.random.default_rng(3)
+    total = 0
+    for n in (100, 480, 1000, 333):
+        h.push(Buffer(rng.uniform(-1, 1, (n, 2)).astype(np.float32)))
+        total += n
+    h.push_eos()
+    out = sum(b.array.reshape(-1, 2).shape[0] for b in h.pull_all())
+    assert out == total
+    h.teardown()
+
+
+def test_element_vad_gating_mutes():
+    el = make("audiornnoise")
+    el.set_property("voice-activity-threshold", 1.0)  # gate everything
+    h = Harness(el)
+    h.set_caps(f"audio/x-raw, format=F32LE, rate={RATE}, channels=1, "
+               "layout=interleaved")
+    x = np.random.default_rng(4).uniform(-1, 1, (FRAME_SIZE, 1)) \
+        .astype(np.float32)
+    h.push(Buffer(x))
+    out = h.pull()
+    assert np.all(out.array == 0.0)
+    meta = out.get_meta(AudioLevelMeta)
+    assert meta is not None and meta.has_voice is False
+    h.teardown()
+
+
+def test_audio_level_meta_present():
+    h = Harness("audiornnoise")
+    h.set_caps(f"audio/x-raw, format=F32LE, rate={RATE}, channels=1, "
+               "layout=interleaved")
+    h.push(Buffer(np.zeros((FRAME_SIZE, 1), np.float32)))
+    out = h.pull()
+    meta = out.get_meta(AudioLevelMeta)
+    assert meta is not None
+    assert 0 <= meta.level <= 255
+    h.teardown()
+
+
+def _synthetic_weights(rng):
+    def gru(inputs, units):
+        return {"W": rng.normal(0, 0.1, (3 * units, inputs)),
+                "U": rng.normal(0, 0.1, (3 * units, units)),
+                "b": rng.normal(0, 0.1, 3 * units)}
+
+    w = {}
+    w["input_dense_W"] = rng.normal(0, 0.1, (24, 42))
+    w["input_dense_b"] = rng.normal(0, 0.1, 24)
+    for name, d in (("vad_gru", gru(24, 24)),
+                    ("noise_gru", gru(24 + 24 + 42, 48)),
+                    ("denoise_gru", gru(24 + 48 + 42, 96))):
+        for k, v in d.items():
+            w[f"{name}_{k}"] = v
+    w["denoise_output_W"] = rng.normal(0, 0.1, (22, 96))
+    w["denoise_output_b"] = rng.normal(0, 0.1, 22)
+    w["vad_output_W"] = rng.normal(0, 0.1, (1, 24))
+    w["vad_output_b"] = rng.normal(0, 0.1, 1)
+    return w
+
+
+def test_gru_model_load_and_run(tmp_path):
+    rng = np.random.default_rng(7)
+    path = tmp_path / "model.npz"
+    np.savez(path, **_synthetic_weights(rng))
+    model = GruModel.load(str(path))
+    d = DenoiseState(model)
+    y, vad = d.process_frame(rng.uniform(-1, 1, FRAME_SIZE) * 32767)
+    assert y.shape == (FRAME_SIZE,)
+    assert 0.0 <= vad <= 1.0
+    # stateful: same input twice gives different hidden state output
+    y2, _ = d.process_frame(rng.uniform(-1, 1, FRAME_SIZE) * 32767)
+    assert not np.array_equal(y, y2)
+
+
+def test_pipeline_rnnoise():
+    p = parse_launch(
+        "audiotestsrc wave=white-noise volume=0.05 num-buffers=100 "
+        f"samplesperbuffer=480 ! audio/x-raw, format=F32LE, rate={RATE}, "
+        "channels=1 ! audiornnoise ! appsink name=sink")
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    p.run()
+    bufs = sink.pull_all()
+    assert sum(b.array.size for b in bufs) == 100 * 480
+    p.set_state(State.NULL)
