@@ -131,6 +131,10 @@ def _intersect_values(a: Any, b: Any) -> Any | None:
         return b if b in a else None
     if isinstance(b, FractionRange):
         return a if a in b else None
+    if isinstance(a, Caps) and isinstance(b, Caps):
+        # nested caps fields (e.g. compress elements' original-caps)
+        r = a.intersect(b)
+        return None if r.is_empty() else r
     return a if a == b else None
 
 

@@ -14,12 +14,15 @@ _MODULES = [
     "gstpu.elements.generic.app",
     "gstpu.elements.generic.testsrc",
     "gstpu.elements.generic.file",
+    "gstpu.elements.generic.compress",
+    "gstpu.elements.generic.plumbing",
     "gstpu.elements.audio.audiofx",
     "gstpu.elements.audio.loudnorm",
     "gstpu.elements.audio.hrtf",
     "gstpu.elements.audio.rnnoise",
     "gstpu.elements.video.hsv",
     "gstpu.elements.video.colorlut",
+    "gstpu.elements.video.videofx",
 ]
 
 _registered = False

@@ -1,0 +1,183 @@
+"""compress / plumbing / videofx element tests."""
+
+import numpy as np
+import pytest
+
+from gstpu import Buffer, Caps, State, parse_launch
+from gstpu.core.buffer import BufferFlags, OriginalBufferMeta
+from gstpu.core.element import MessageType
+from gstpu.core.harness import Harness
+from gstpu.core.registry import make
+from gstpu.core.video import VideoInfo
+
+
+def test_flate_roundtrip_pipeline():
+    p = parse_launch(
+        "audiotestsrc num-buffers=10 ! audio/x-raw, format=S16LE, "
+        "rate=8000, channels=1 ! flatecompress ! flatedecompress "
+        "! appsink name=sink")
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    p.run()
+    bufs = sink.pull_all()
+    assert sink.is_eos
+    # decompressed caps recovered the original raw audio caps
+    assert sink.caps[0].name == "audio/x-raw"
+    assert sink.caps[0]["rate"] == 8000
+    total = sum(b.size for b in bufs)
+    assert total == 10 * 1024 * 2
+    p.set_state(State.NULL)
+
+
+def test_flate_compressed_caps_carry_original():
+    p = parse_launch(
+        "audiotestsrc num-buffers=2 ! audio/x-raw, format=S16LE, "
+        "rate=8000, channels=1 ! flatecompress ! appsink name=sink")
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    p.run()
+    s = sink.caps[0]
+    assert s.name in ("application/x-zlib-compressed",
+                      "application/x-deflate-compressed")
+    oc = s["original-caps"]
+    assert isinstance(oc, Caps) and oc[0].name == "audio/x-raw"
+    # data is actually compressed
+    import zlib
+    raw = b"".join(b.to_bytes() for b in sink.pull_all())
+    out = zlib.decompressobj().decompress(raw)
+    assert len(out) > 0
+    p.set_state(State.NULL)
+
+
+def test_originalbuffer_save_restore():
+    p = parse_launch("appsrc name=src ! originalbuffersave ! "
+                     "identity ! originalbufferrestore ! appsink name=sink")
+    src, sink = p.get_by_name("src"), p.get_by_name("sink")
+    src.set_property("caps", Caps.new("application/x-test"))
+    p.set_state(State.PLAYING)
+    original = np.arange(100, dtype=np.uint8)
+    buf = Buffer(original.copy(), pts=123)
+    src.push_buffer(buf)
+    # simulate lossy transform between save and restore
+    ident = None
+    for el in p.iterate_elements():
+        if el.ELEMENT_NAME == "identity":
+            ident = el
+    src.end_of_stream()
+    p.run()
+    out = sink.pull_all()[0]
+    np.testing.assert_array_equal(out.array, original)
+    assert out.pts == 123
+    p.set_state(State.NULL)
+
+
+def test_gopbuffer_delays_and_flushes():
+    h = Harness(make("gopbuffer", minimum_duration=10**9))
+    h.set_caps("video/x-h264-ish")
+    SEC = 10**9
+    n_pushed = 0
+    for i in range(12):
+        b = Buffer(bytes([i]), pts=i * SEC // 2)  # keyframe every 4
+        if i % 4 != 0:
+            b.set_flag(BufferFlags.DELTA_UNIT)
+        h.push(b)
+        n_pushed += 1
+    assert len(h.buffers) < n_pushed  # still retaining a window
+    h.push_eos()
+    assert len(h.buffers) == n_pushed  # everything flushed at EOS
+    # order preserved
+    vals = [b.to_bytes()[0] for b in h.pull_all()]
+    assert vals == list(range(12))
+    h.teardown()
+
+
+def test_inter_pipeline_bridge():
+    p1 = parse_launch("audiotestsrc num-buffers=5 ! audio/x-raw, "
+                      "format=F32LE, rate=8000, channels=1 ! "
+                      "intersink producer-name=t1")
+    p2 = parse_launch("intersrc producer-name=t1 ! appsink name=sink")
+    sink = p2.get_by_name("sink")
+    p2.set_state(State.PLAYING)
+    p1.set_state(State.PLAYING)
+    p1.run()
+    p2.run(timeout=5)
+    bufs = sink.pull_all()
+    assert len(bufs) == 5
+    assert sink.caps[0].name == "audio/x-raw"
+    p1.set_state(State.NULL)
+    p2.set_state(State.NULL)
+
+
+def test_streamgrouper_rewrites_group():
+    from gstpu.core.event import StreamStartEvent
+    h = Harness("streamgrouper")
+    h.set_caps("application/x-test")
+    evs = [e for e in h.events if isinstance(e, StreamStartEvent)]
+    assert evs and evs[0].group_id == 1
+    h.teardown()
+
+
+def test_roundedcorners():
+    p = parse_launch("videotestsrc num-buffers=1 pattern=white ! "
+                     "video/x-raw, format=I420, width=32, height=32 ! "
+                     "roundedcorners border-radius-px=8 ! appsink name=sink")
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    p.run()
+    vi = VideoInfo.from_caps(sink.caps)
+    assert vi.format == "A420"
+    planes = vi.planes(sink.pull_all()[0])
+    assert len(planes) == 4
+    alpha = planes[3]
+    assert alpha[0, 0] == 0          # corner transparent
+    assert alpha[16, 16] == 255      # center opaque
+    assert alpha[0, 16] == 255       # edge midpoints opaque
+    p.set_state(State.NULL)
+
+
+def test_colordetect_posts_message():
+    p = parse_launch("videotestsrc num-buffers=2 pattern=red ! "
+                     "video/x-raw, format=RGB, width=32, height=32 ! "
+                     "colordetect ! fakesink")
+    p.set_state(State.PLAYING)
+    p.run()
+    msgs = [m for m in p.bus.drain() if m.type is MessageType.ELEMENT
+            and m.name == "colordetect"]
+    assert len(msgs) == 1  # posted once (color unchanged on frame 2)
+    assert msgs[0].fields["dominant_color"] == "red"
+    p.set_state(State.NULL)
+
+
+def test_videocompare_match():
+    el = make("videocompare")
+    el.set_property("max-dist-threshold", 0.1)
+    h = Harness(el)  # links "sink" and "src"
+    bus = h.bus
+    h.set_caps("video/x-raw, format=RGB, width=64, height=64, "
+               "framerate=30/1")
+    sec = el.static_pad("sink_secondary")
+    from gstpu.core.element import Pad, PadDirection, PadTemplate
+    from gstpu.core.element import PadPresence
+    feeder = Pad("feeder", PadDirection.SRC,
+                 PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                             Caps.any()))
+    feeder.link(sec)
+    from gstpu.core.event import (CapsEvent, SegmentEvent, Segment,
+                                  StreamStartEvent)
+    from gstpu.core.caps import parse_caps
+    feeder.push_event(StreamStartEvent("sec"))
+    feeder.push_event(CapsEvent(parse_caps(
+        "video/x-raw, format=RGB, width=64, height=64, framerate=30/1")))
+
+    rng = np.random.default_rng(1)
+    frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    feeder.push(Buffer(frame.reshape(-1), pts=42))
+    h.push(Buffer(frame.reshape(-1), pts=100))
+    msgs = [m for m in bus.drain() if m.type is MessageType.ELEMENT]
+    assert msgs and msgs[0].name == "videocompare"
+    assert msgs[0].fields["distance"] <= 0.1
+    # different frame: no message
+    other = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    h.push(Buffer(other.reshape(-1), pts=133))
+    assert not [m for m in bus.drain() if m.type is MessageType.ELEMENT]
+    h.teardown()
