@@ -21,6 +21,10 @@ AUDIO_FORMATS: dict[str, np.dtype] = {
     "S32LE": np.dtype("<i4"),
     "S24LE": np.dtype("<i4"),  # stored unpacked here
     "S16LE": np.dtype("<i2"),
+    "F64BE": np.dtype(">f8"),
+    "F32BE": np.dtype(">f4"),
+    "S32BE": np.dtype(">i4"),
+    "S16BE": np.dtype(">i2"),
     "U8": np.dtype("u1"),
     "S8": np.dtype("i1"),
 }

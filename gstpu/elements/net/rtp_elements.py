@@ -1,0 +1,352 @@
+"""RTP elements: payloader/depayloader pairs + rtpsend/rtprecv.
+
+Payload pairs follow the reference naming (net/rtp/src/lib.rs):
+rtppcmupay2/rtppcmudepay2, rtppcmapay2/rtppcmadepay2, rtpL8/L16pay2...,
+rtpopuspay2/rtpopusdepay2, rtpklvpay2/rtpklvdepay2. rtpsend/rtprecv
+wrap the sans-IO Session (+ per-SSRC jitterbuffer on receive) like the
+reference rtpbin2 elements, driven by pipeline dataflow instead of a
+tokio runtime.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from gstpu.core.audio import audio_caps
+from gstpu.core.base import BaseTransform
+from gstpu.core.buffer import Buffer
+from gstpu.core.caps import Caps, IntRange, Structure
+from gstpu.core.element import (Element, FlowReturn, Pad, PadDirection,
+                                PadPresence, PadTemplate)
+from gstpu.core.event import EosEvent, Event
+from gstpu.core.props import Mutability, Property
+from gstpu.core.registry import Rank, register_element
+from gstpu.net.rtp.basepay import (RtpBaseDepay2, RtpBasePay2, rtp_caps)
+from gstpu.net.rtp.jitterbuffer import (JitterBuffer, PollOutcome,
+                                        QueueResult)
+from gstpu.net.rtp.packet import RtpPacket
+from gstpu.net.rtp.session import RecvReply, SendReply, Session
+
+SECOND = 1_000_000_000
+
+
+def _tmpl(name, direction, caps):
+    return PadTemplate(name, direction, PadPresence.ALWAYS, caps)
+
+
+# ---------------------------------------------------------------------------
+# G.711 PCMA/PCMU
+# ---------------------------------------------------------------------------
+
+def _pcmau_pair(law: str, pt: int, media_caps_name: str):
+    enc = "PCMA" if law == "alaw" else "PCMU"
+
+    @register_element(f"rtppcm{'a' if law == 'alaw' else 'u'}pay2",
+                      Rank.SECONDARY)
+    class Pay(RtpBasePay2):
+        PAD_TEMPLATES = [
+            _tmpl("sink", PadDirection.SINK,
+                  Caps.new(media_caps_name, rate=8000, channels=1)),
+            _tmpl("src", PadDirection.SRC,
+                  rtp_caps(enc, clock_rate=8000, payload=pt)),
+        ]
+        pt_default = pt
+
+        def __init__(self, name=None):
+            super().__init__(name)
+            self._prop_values["pt"] = pt
+
+    Pay.__name__ = f"RtpPcm{law.title()}Pay"
+
+    @register_element(f"rtppcm{'a' if law == 'alaw' else 'u'}depay2",
+                      Rank.SECONDARY)
+    class Depay(RtpBaseDepay2):
+        PAD_TEMPLATES = [
+            _tmpl("sink", PadDirection.SINK, rtp_caps(enc,
+                                                      clock_rate=8000)),
+            _tmpl("src", PadDirection.SRC,
+                  Caps.new(media_caps_name, rate=8000, channels=1)),
+        ]
+
+        def depay_src_caps(self, incaps):
+            return Caps.new(media_caps_name, rate=8000, channels=1)
+
+    Depay.__name__ = f"RtpPcm{law.title()}Depay"
+    return Pay, Depay
+
+
+_pcmau_pair("alaw", 8, "audio/x-alaw")
+_pcmau_pair("mulaw", 0, "audio/x-mulaw")
+
+
+# ---------------------------------------------------------------------------
+# Linear audio L8/L16/L24
+# ---------------------------------------------------------------------------
+
+def _linear_pair(bits: int, fmt: str):
+    enc = f"L{bits}"
+
+    @register_element(f"rtpL{bits}pay2", Rank.SECONDARY)
+    class Pay(RtpBasePay2):
+        PAD_TEMPLATES = [
+            _tmpl("sink", PadDirection.SINK, audio_caps(formats=fmt)),
+            _tmpl("src", PadDirection.SRC,
+                  rtp_caps(enc, **{"encoding-params": None})),
+        ]
+
+        def transform_caps(self, direction, caps, filter):
+            if direction is PadDirection.SINK:
+                out = []
+                for s in caps:
+                    st = Structure("application/x-rtp", media="audio")
+                    st["encoding-name"] = enc
+                    st["payload"] = self.pt
+                    st["clock-rate"] = s.get("rate",
+                                             IntRange(1, 2**31 - 1))
+                    ch = s.get("channels")
+                    if ch is not None:
+                        st["channels"] = ch
+                    out.append(st)
+                out = Caps(out)
+            else:
+                out = self.sinkpad.pad_template_caps().copy()
+            if filter is not None:
+                out = filter.intersect(out)
+            return out
+
+    Pay.__name__ = f"RtpL{bits}Pay"
+
+    @register_element(f"rtpL{bits}depay2", Rank.SECONDARY)
+    class Depay(RtpBaseDepay2):
+        PAD_TEMPLATES = [
+            _tmpl("sink", PadDirection.SINK, rtp_caps(enc)),
+            _tmpl("src", PadDirection.SRC, audio_caps(formats=fmt)),
+        ]
+
+        def depay_src_caps(self, incaps):
+            s = incaps[0]
+            return Caps.new("audio/x-raw", format=fmt,
+                            rate=int(s["clock-rate"]),
+                            channels=int(s.get("channels", 1)),
+                            layout="interleaved")
+
+    Depay.__name__ = f"RtpL{bits}Depay"
+
+
+_linear_pair(8, "U8")
+_linear_pair(16, "S16BE")
+
+
+# ---------------------------------------------------------------------------
+# Opus
+# ---------------------------------------------------------------------------
+
+@register_element("rtpopuspay2", Rank.SECONDARY)
+class RtpOpusPay(RtpBasePay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, Caps.new("audio/x-opus")),
+        _tmpl("src", PadDirection.SRC,
+              rtp_caps("OPUS", clock_rate=48000)),
+    ]
+
+
+@register_element("rtpopusdepay2", Rank.SECONDARY)
+class RtpOpusDepay(RtpBaseDepay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, rtp_caps("OPUS",
+                                                  clock_rate=48000)),
+        _tmpl("src", PadDirection.SRC, Caps.new("audio/x-opus")),
+    ]
+
+    def depay_src_caps(self, incaps):
+        return Caps.new("audio/x-opus", rate=48000,
+                        channels=int(incaps[0].get("channels", 2)))
+
+
+# ---------------------------------------------------------------------------
+# KLV metadata (SMPTE 336M)
+# ---------------------------------------------------------------------------
+
+@register_element("rtpklvpay2", Rank.SECONDARY)
+class RtpKlvPay(RtpBasePay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, Caps.new("meta/x-klv",
+                                                  parsed=True)),
+        _tmpl("src", PadDirection.SRC, rtp_caps("SMPTE336M")),
+    ]
+    MEDIA = "application"
+
+
+@register_element("rtpklvdepay2", Rank.SECONDARY)
+class RtpKlvDepay(RtpBaseDepay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, rtp_caps("SMPTE336M")),
+        _tmpl("src", PadDirection.SRC, Caps.new("meta/x-klv",
+                                                parsed=True)),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._accum: list[bytes] = []
+        self._accum_pts = None
+
+    def depay_src_caps(self, incaps):
+        return Caps.new("meta/x-klv", parsed=True)
+
+    def handle_packet(self, pkt: RtpPacket, buf: Buffer) -> None:
+        # KLV units may span packets; marker closes a unit
+        if not self._accum:
+            self._accum_pts = self.pts_for(pkt)
+        self._accum.append(pkt.payload)
+        if pkt.marker:
+            self.queue_buffer(b"".join(self._accum),
+                              pts=self._accum_pts)
+            self._accum = []
+
+
+# ---------------------------------------------------------------------------
+# rtpsend / rtprecv
+# ---------------------------------------------------------------------------
+
+_RTP_ANY = Caps.new("application/x-rtp")
+_RTCP_CAPS = Caps.new("application/x-rtcp")
+
+
+@register_element("rtpsend", Rank.NONE)
+class RtpSend(Element):
+    """Session-managed send path: rtp in -> rtp out + rtcp out
+    (reference net/rtp/src/rtpbin2 rtpsend)."""
+
+    PAD_TEMPLATES = [
+        _tmpl("rtp_sink", PadDirection.SINK, _RTP_ANY.copy()),
+        _tmpl("rtp_src", PadDirection.SRC, _RTP_ANY.copy()),
+        _tmpl("rtcp_src", PadDirection.SRC, _RTCP_CAPS.copy()),
+    ]
+
+    rtcp_interval = Property(int, default=5 * SECOND, minimum=SECOND,
+                             mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.session = Session()
+        self.sinkpad = self.static_pad("rtp_sink")
+        self.rtppad = self.static_pad("rtp_src")
+        self.rtcppad = self.static_pad("rtcp_src")
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = self._event
+        self._rtcp_started = False
+
+    def start(self) -> bool:
+        self.session.rtcp_interval = self.rtcp_interval
+        return True
+
+    def _now(self) -> int:
+        return self.running_time() or 0
+
+    def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        try:
+            pkt = RtpPacket.parse(buf.to_bytes())
+        except Exception as e:
+            self.post_error(f"rtpsend: bad packet: {e}")
+            return FlowReturn.ERROR
+        now = self._now()
+        reply = self.session.handle_send(pkt, now)
+        if reply is SendReply.NEW_SSRC:
+            reply = self.session.handle_send(pkt, now)
+        if reply is SendReply.DROP:
+            return FlowReturn.OK
+        ret = self.rtppad.push(buf)
+        self._maybe_send_rtcp(now)
+        return ret
+
+    def _maybe_send_rtcp(self, now: int) -> None:
+        data = self.session.poll_rtcp_send(now)
+        if data and self.rtcppad.is_linked():
+            if not self._rtcp_started:
+                from gstpu.core.event import (CapsEvent, SegmentEvent,
+                                              Segment, StreamStartEvent)
+                self.rtcppad.push_event(StreamStartEvent(f"{self.name}/rtcp"))
+                self.rtcppad.push_event(CapsEvent(_RTCP_CAPS.copy()))
+                self.rtcppad.push_event(SegmentEvent(Segment()))
+                self._rtcp_started = True
+            self.rtcppad.push(Buffer(data))
+
+    def _event(self, pad: Pad, ev: Event) -> bool:
+        if isinstance(ev, EosEvent):
+            bye = self.session.bye()
+            if bye and self.rtcppad.is_linked() and self._rtcp_started:
+                self.rtcppad.push(Buffer(bye))
+        return self.default_pad_event(pad, ev)
+
+
+@register_element("rtprecv", Rank.NONE)
+class RtpRecv(Element):
+    """Session-managed receive path with per-SSRC jitterbuffer
+    (reference rtprecv)."""
+
+    PAD_TEMPLATES = [
+        _tmpl("rtp_sink", PadDirection.SINK, _RTP_ANY.copy()),
+        _tmpl("rtcp_sink", PadDirection.SINK, _RTCP_CAPS.copy()),
+        _tmpl("rtp_src", PadDirection.SRC, _RTP_ANY.copy()),
+    ]
+
+    latency = Property(int, default=200_000_000, minimum=0,
+                       mutable=Mutability.READY, blurb="Jitterbuffer ns")
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.session = Session()
+        self.sinkpad = self.static_pad("rtp_sink")
+        self.rtcpsink = self.static_pad("rtcp_sink")
+        self.srcpad = self.static_pad("rtp_src")
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = self._event
+        self.rtcpsink.chain_function = self._rtcp_chain
+        self.rtcpsink.event_function = lambda pad, ev: True
+        self._jb: dict[int, JitterBuffer] = {}
+        self._held: dict[int, Buffer] = {}
+
+    def _now(self) -> int:
+        return self.running_time() or 0
+
+    def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        try:
+            pkt = RtpPacket.parse(buf.to_bytes())
+        except Exception as e:
+            self.post_error(f"rtprecv: bad packet: {e}")
+            return FlowReturn.ERROR
+        now = self._now()
+        reply = self.session.handle_recv(pkt, now)
+        if reply is RecvReply.NEW_SSRC:
+            reply = self.session.handle_recv(pkt, now)
+        if reply is RecvReply.DROP:
+            return FlowReturn.OK
+        jb = self._jb.get(pkt.ssrc)
+        if jb is None:
+            jb = self._jb[pkt.ssrc] = JitterBuffer(self.latency)
+        res, pid = jb.queue_packet(pkt.seqnum, now)
+        if res is QueueResult.QUEUED:
+            self._held[pid] = buf
+        return self._drain(jb, now)
+
+    def _drain(self, jb: JitterBuffer, now: int) -> FlowReturn:
+        while True:
+            r = jb.poll(now)
+            if r.outcome is PollOutcome.FORWARD:
+                buf = self._held.pop(r.id)
+                ret = self.srcpad.push(buf)
+                if not ret.is_ok:
+                    return ret
+            else:
+                return FlowReturn.OK
+
+    def _rtcp_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        self.session.handle_rtcp_recv(buf.to_bytes(), self._now())
+        return FlowReturn.OK
+
+    def _event(self, pad: Pad, ev: Event) -> bool:
+        if isinstance(ev, EosEvent):
+            for jb in self._jb.values():
+                for pid in jb.flush():
+                    self.srcpad.push(self._held.pop(pid))
+        return self.default_pad_event(pad, ev)

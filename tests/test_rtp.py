@@ -1,0 +1,279 @@
+"""RTP stack tests: packet codecs, sans-IO session/jitterbuffer state
+machines with injected times (the reference's multi-node test strategy,
+SURVEY.md §4.4), pay!depay loopbacks, socket elements."""
+
+import numpy as np
+import pytest
+
+from gstpu import Buffer, State, parse_launch
+from gstpu.core.harness import Harness
+from gstpu.core.registry import make
+from gstpu.net.rtp.jitterbuffer import (JitterBuffer, PollOutcome,
+                                        QueueResult)
+from gstpu.net.rtp.packet import (Bye, ReceiverReport, RtpPacket, Sdes,
+                                  SenderReport, ntp_from_ns, ns_from_ntp,
+                                  parse_rtcp)
+from gstpu.net.rtp.session import (RecvReply, SendReply, Session)
+
+SECOND = 1_000_000_000
+
+
+# -- packet codecs ------------------------------------------------------
+
+def test_rtp_roundtrip_basic():
+    p = RtpPacket(payload_type=96, seqnum=1234, timestamp=567890,
+                  ssrc=0xDEADBEEF, payload=b"hello", marker=True)
+    q = RtpPacket.parse(p.to_bytes())
+    assert q == p
+
+
+def test_rtp_roundtrip_fancy():
+    p = RtpPacket(payload_type=127, seqnum=65535, timestamp=2**32 - 1,
+                  ssrc=1, payload=b"x" * 100, csrcs=(7, 8, 9),
+                  extension=(0xBEDE, b"\x10\x22\x00\x00"))
+    q = RtpPacket.parse(p.to_bytes())
+    assert q.csrcs == (7, 8, 9)
+    assert q.extension == (0xBEDE, b"\x10\x22\x00\x00")
+    assert q.payload == p.payload
+
+
+def test_rtp_parse_errors():
+    with pytest.raises(ValueError):
+        RtpPacket.parse(b"\x00" * 12)  # bad version
+    with pytest.raises(ValueError):
+        RtpPacket.parse(b"\x80\x60")   # short
+
+
+def test_rtcp_compound_roundtrip():
+    sr = SenderReport(ssrc=42, ntp_timestamp=ntp_from_ns(1_700_000_000
+                                                         * SECOND),
+                      rtp_timestamp=8000, packet_count=10, octet_count=999)
+    sdes = Sdes([(42, [(Sdes.CNAME, b"a@b")])])
+    bye = Bye([42], b"done")
+    data = sr.to_bytes() + sdes.to_bytes() + bye.to_bytes()
+    pkts = parse_rtcp(data)
+    assert isinstance(pkts[0], SenderReport)
+    assert pkts[0].packet_count == 10
+    assert isinstance(pkts[1], Sdes)
+    assert pkts[1].chunks[0][1][0] == (Sdes.CNAME, b"a@b")
+    assert isinstance(pkts[2], Bye)
+    assert pkts[2].ssrcs == [42] and pkts[2].reason == b"done"
+
+
+def test_ntp_conversion_roundtrip():
+    t = 1_700_000_123_456_789_000
+    assert abs(ns_from_ntp(ntp_from_ns(t)) - t) < 2
+
+
+# -- session (sans-IO, injected time) ------------------------------------
+
+def _pkt(seq, ts=0, ssrc=0x1111, pt=96, payload=b"p"):
+    return RtpPacket(payload_type=pt, seqnum=seq, timestamp=ts, ssrc=ssrc,
+                     payload=payload)
+
+
+def test_session_send_recv_flow():
+    s = Session()
+    assert s.handle_send(_pkt(0), 0) is SendReply.NEW_SSRC
+    assert s.handle_send(_pkt(0), 0) is SendReply.PASSTHROUGH
+    assert s.handle_recv(_pkt(10, ssrc=0x2222), 0) is RecvReply.NEW_SSRC
+    assert s.handle_recv(_pkt(11, ssrc=0x2222), 0) is RecvReply.PASSTHROUGH
+    # sending with an SSRC we receive = collision
+    assert s.handle_send(_pkt(5, ssrc=0x2222), 0) \
+        is SendReply.SSRC_COLLISION
+
+
+def test_session_rtcp_sr_generation():
+    s = Session()
+    s.set_pt_clock_rate(96, 48000)
+    s.handle_send(_pkt(0, ts=0), 0)
+    for i in range(10):
+        s.handle_send(_pkt(i, ts=i * 480), i * 10_000_000)
+    assert s.poll_rtcp_send(SECOND) is None  # < 5s: not due
+    data = s.poll_rtcp_send(6 * SECOND, unix_now=1_700_000_000 * SECOND)
+    assert data is not None
+    pkts = parse_rtcp(data)
+    assert isinstance(pkts[0], SenderReport)
+    assert pkts[0].packet_count == 10
+    assert isinstance(pkts[1], Sdes)
+    # next report is rescheduled
+    assert s.poll_rtcp_send(6 * SECOND + 1) is None
+
+
+def test_session_rr_loss_reporting():
+    s = Session()
+    s.set_pt_clock_rate(96, 8000)
+    now = 0
+    # receive seq 0..9 with 5..7 missing
+    for seq in [0, 1, 2, 3, 4, 8, 9]:
+        s.handle_recv(_pkt(seq, ts=seq * 160, ssrc=0x3333), now)
+        now += 20_000_000
+    data = s.poll_rtcp_send(10 * SECOND)
+    pkts = parse_rtcp(data)
+    rr = pkts[0]
+    assert isinstance(rr, ReceiverReport)
+    blk = rr.reports[0]
+    assert blk.ssrc == 0x3333
+    assert blk.cumulative_lost == 3
+    assert blk.ext_highest_seq == 9
+
+
+def test_session_bye_and_timeout():
+    s = Session()
+    s.handle_recv(_pkt(0, ssrc=7), 0)
+    evs = s.handle_rtcp_recv(Bye([7], b"bye").to_bytes(), SECOND)
+    assert ("bye", 7) in evs
+    s2 = Session()
+    s2.handle_recv(_pkt(0, ssrc=9), 0)
+    assert s2.timed_out_sources(100 * SECOND) == [9]
+    assert 9 not in s2.remote_sources
+
+
+def test_session_sr_sync_mapping():
+    s = Session()
+    sr = SenderReport(ssrc=5, ntp_timestamp=ntp_from_ns(1000 * SECOND),
+                      rtp_timestamp=90000, packet_count=1, octet_count=10)
+    s.handle_rtcp_recv(sr.to_bytes(), 0)
+    ntp_ns, rtp = s.ntp_rtp_mapping(5)
+    assert rtp == 90000
+    assert abs(ntp_ns - 1000 * SECOND) < 2
+
+
+# -- jitterbuffer --------------------------------------------------------
+
+def test_jitterbuffer_reorders():
+    jb = JitterBuffer(latency=100)
+    ids = {}
+    for seq in (0, 2, 1):
+        res, pid = jb.queue_packet(seq, now=0)
+        assert res is QueueResult.QUEUED
+        ids[seq] = pid
+    order = []
+    now = 200
+    while True:
+        r = jb.poll(now)
+        if r.outcome is not PollOutcome.FORWARD:
+            break
+        order.append(r.id)
+    assert order == [ids[0], ids[1], ids[2]]
+
+
+def test_jitterbuffer_duplicate_late():
+    jb = JitterBuffer(latency=100)
+    jb.queue_packet(0, 0)
+    res, _ = jb.queue_packet(0, 0)
+    assert res is QueueResult.DUPLICATE
+    r = jb.poll(200)
+    assert r.outcome is PollOutcome.FORWARD
+    res, _ = jb.queue_packet(0, 300)  # already forwarded -> late
+    assert res is QueueResult.LATE
+
+
+def test_jitterbuffer_timeout_then_contiguous_flow():
+    jb = JitterBuffer(latency=100)
+    _, p0 = jb.queue_packet(0, now=0)
+    r = jb.poll(50)
+    assert r.outcome is PollOutcome.TIMEOUT and r.time == 100
+    assert jb.poll(100).id == p0
+    # contiguous follow-up flows without waiting out the full deadline
+    _, p1 = jb.queue_packet(1, now=110)
+    assert jb.poll(111).id == p1
+
+
+def test_jitterbuffer_loss_reported():
+    jb = JitterBuffer(latency=10)
+    jb.queue_packet(0, 0)
+    assert jb.poll(20).outcome is PollOutcome.FORWARD
+    jb.queue_packet(3, 30)  # 1, 2 missing
+    r = jb.poll(50)
+    assert r.outcome is PollOutcome.FORWARD
+    assert r.lost_seqnums == (1, 2)
+
+
+def test_jitterbuffer_seqnum_wraparound():
+    jb = JitterBuffer(latency=10)
+    ids = []
+    for seq in (65534, 65535, 0, 1):
+        res, pid = jb.queue_packet(seq, 0)
+        assert res is QueueResult.QUEUED
+        ids.append(pid)
+    out = []
+    while True:
+        r = jb.poll(100)
+        if r.outcome is not PollOutcome.FORWARD:
+            break
+        out.append(r.id)
+    assert out == ids
+
+
+# -- pay/depay loopbacks --------------------------------------------------
+
+def test_l16_pay_depay_loopback():
+    p = parse_launch(
+        "audiotestsrc num-buffers=10 samplesperbuffer=160 "
+        "! audio/x-raw, format=S16BE, rate=8000, channels=1 "
+        "! rtpL16pay2 ! rtpL16depay2 ! appsink name=sink")
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    p.run()
+    bufs = sink.pull_all()
+    assert sum(b.size for b in bufs) == 10 * 160 * 2
+    s = sink.caps[0]
+    assert s.name == "audio/x-raw" and s["format"] == "S16BE"
+    assert s["rate"] == 8000
+    p.set_state(State.NULL)
+
+
+def test_opus_pay_depay_pts():
+    h = Harness("rtpopuspay2")
+    h.set_caps("audio/x-opus, rate=48000, channels=2")
+    for i in range(3):
+        h.push(Buffer(bytes([i] * 50), pts=i * 20_000_000))
+    pkts = [RtpPacket.parse(b.to_bytes()) for b in h.pull_all()]
+    assert [p.seqnum for p in pkts] == \
+        [(pkts[0].seqnum + i) & 0xFFFF for i in range(3)]
+    # rtp timestamps advance by 20ms * 48kHz = 960
+    assert (pkts[1].timestamp - pkts[0].timestamp) & 0xFFFFFFFF == 960
+    h.teardown()
+
+
+def test_rtpsend_rtprecv_loop():
+    p = parse_launch(
+        "audiotestsrc num-buffers=20 samplesperbuffer=160 "
+        "! audio/x-raw, format=S16BE, rate=8000, channels=1 "
+        "! rtpL16pay2 ! rtpsend name=send ! rtprecv name=recv latency=0 "
+        "! rtpL16depay2 ! appsink name=sink")
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    p.run()
+    bufs = sink.pull_all()
+    assert sum(b.size for b in bufs) == 20 * 160 * 2
+    recv = p.get_by_name("recv")
+    assert len(recv.session.remote_sources) == 1
+    p.set_state(State.NULL)
+
+
+def test_udp_roundtrip_localhost():
+    recv = parse_launch("udpsrc name=src port=0 ! appsink name=sink")
+    src = recv.get_by_name("src")
+    sink = recv.get_by_name("sink")
+    recv.set_state(State.PLAYING)
+    port = src.bound_port
+    assert port > 0
+
+    send = parse_launch(f"audiotestsrc num-buffers=5 samplesperbuffer=100 "
+                        f"! audio/x-raw, format=S16LE, rate=8000, "
+                        f"channels=1 ! udpsink host=127.0.0.1 port={port}")
+    send.set_state(State.PLAYING)
+    send.run()
+    import time
+    deadline = time.monotonic() + 5
+    while len(sink.samples) < 5 and time.monotonic() < deadline:
+        recv.iterate()
+        time.sleep(0.001)
+    assert len(sink.samples) == 5
+    from gstpu.core.buffer import NetAddressMeta
+    meta = sink.samples[0].get_meta(NetAddressMeta)
+    assert meta is not None and meta.addr[0] == "127.0.0.1"
+    send.set_state(State.NULL)
+    recv.set_state(State.NULL)
