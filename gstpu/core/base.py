@@ -489,9 +489,14 @@ class Aggregator(Element):
         while self._ready() and not all(p.is_eos()
                                         for p in self.agg_sink_pads()):
             self._ensure_src_stream()
+            queued_before = sum(len(p.queue)
+                                for p in self.agg_sink_pads())
             ret = self.aggregate(timeout=False)
             if not ret.is_ok:
                 return ret
+            queued_after = sum(len(p.queue) for p in self.agg_sink_pads())
+            if queued_after >= queued_before:
+                break  # no progress (waiting for more data/caps)
         return ret
 
     def _maybe_eos(self) -> None:

@@ -23,6 +23,8 @@ _MODULES = [
     "gstpu.elements.video.hsv",
     "gstpu.elements.video.colorlut",
     "gstpu.elements.video.videofx",
+    "gstpu.elements.mux.fmp4",
+    "gstpu.elements.mux.flvdemux",
     "gstpu.elements.net.rtp_elements",
     "gstpu.elements.net.udp",
 ]

@@ -1,0 +1,97 @@
+"""FLV demux round-trip tests (writer -> filesrc -> rsflvdemux)."""
+
+import numpy as np
+import pytest
+
+from gstpu import Buffer, State, parse_launch
+from gstpu.core.registry import make
+from gstpu.mux.flv import FlvParser, FlvWriter
+
+MSECOND = 1_000_000
+
+
+def test_parser_roundtrip(tmp_path):
+    w = FlvWriter()
+    w.audio_tag(10, b"abc", sound_format=2, rate_idx=3, stereo=True)
+    w.video_tag(20, b"vvv", codec=7, keyframe=True)
+    p = FlvParser()
+    p.push(w.to_bytes())
+    t1 = p.poll()
+    assert t1.tag_type == 8
+    assert t1.timestamp_ms == 10
+    assert t1.sound_format == 2
+    assert t1.sound_rate == 44100
+    assert t1.sound_channels == 2
+    assert t1.audio_payload == b"abc"
+    t2 = p.poll()
+    assert t2.tag_type == 9
+    assert t2.is_keyframe and t2.video_codec == 7
+    assert t2.video_payload == b"vvv"
+    assert p.poll() is None
+
+
+def test_parser_incremental_feed():
+    w = FlvWriter()
+    w.audio_tag(1, b"x" * 50)
+    data = w.to_bytes()
+    p = FlvParser()
+    tags = []
+    for i in range(0, len(data), 7):  # drip-feed 7 bytes at a time
+        p.push(data[i:i + 7])
+        while True:
+            t = p.poll()
+            if t is None:
+                break
+            tags.append(t)
+    assert len(tags) == 1 and tags[0].audio_payload == b"x" * 50
+
+
+def test_flvdemux_pipeline(tmp_path):
+    w = FlvWriter()
+    w.video_tag(0, b"\x01seqhdr", codec=7, keyframe=True,
+                avc_packet_type=0)
+    for i in range(4):
+        w.video_tag(i * 40, bytes([i]) * 20, codec=7, keyframe=(i == 0))
+    for i in range(6):
+        w.audio_tag(i * 23, bytes([i]) * 10, sound_format=2)
+    f = tmp_path / "t.flv"
+    f.write_bytes(w.to_bytes())
+
+    p = parse_launch(f"filesrc location={f} blocksize=64 ! "
+                     f"rsflvdemux name=d")
+    d = p.get_by_name("d")
+    asink, vsink = make("appsink"), make("appsink")
+    p.add(asink, vsink)
+    captured = {}
+
+    def on_pad(el, pad):
+        if pad.name == "audio":
+            pad.link(asink.static_pad("sink"))
+        else:
+            pad.link(vsink.static_pad("sink"))
+
+    d.connect("pad-added", on_pad)
+    p.set_state(State.PLAYING)
+    p.run()
+    abufs, vbufs = asink.pull_all(), vsink.pull_all()
+    assert len(abufs) == 6
+    assert len(vbufs) == 4
+    assert asink.caps[0].name == "audio/mpeg"
+    assert asink.caps[0]["rate"] == 44100
+    assert vsink.caps[0].name == "video/x-h264"
+    assert vsink.caps[0]["codec_data"] == b"\x01seqhdr".hex()
+    assert vbufs[0].is_keyframe() and not vbufs[1].is_keyframe()
+    assert abufs[1].pts == 23 * MSECOND
+    assert vbufs[2].pts == 80 * MSECOND
+    assert asink.is_eos and vsink.is_eos
+    p.set_state(State.NULL)
+
+
+def test_flvdemux_garbage_errors():
+    from gstpu.core.harness import Harness
+    h = Harness("rsflvdemux", src_pad="audio")
+    h.set_caps("video/x-flv")
+    from gstpu import FlowReturn
+    ret = h.push(Buffer(b"NOTFLV" + b"\x00" * 20))
+    assert ret is FlowReturn.ERROR
+    h.teardown()
