@@ -174,6 +174,13 @@ class Pad:
         if peer is None:
             return FlowReturn.NOT_LINKED
         self._forward_stickies(peer)
+        from gstpu.utils import tracing
+        if tracing.has_hooks("pad-push-pre") \
+                or tracing.has_hooks("pad-push-post"):
+            tracing.dispatch("pad-push-pre", self, buf)
+            ret = peer.chain(buf)
+            tracing.dispatch("pad-push-post", self, buf)
+            return ret
         return peer.chain(buf)
 
     def push_list(self, buflist: BufferList) -> FlowReturn:

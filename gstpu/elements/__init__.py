@@ -27,6 +27,7 @@ _MODULES = [
     "gstpu.elements.mux.flvdemux",
     "gstpu.elements.net.rtp_elements",
     "gstpu.elements.net.udp",
+    "gstpu.elements.utils_.supervise",
 ]
 
 _registered = False
