@@ -17,6 +17,7 @@ _MODULES = [
     "gstpu.elements.generic.compress",
     "gstpu.elements.generic.plumbing",
     "gstpu.elements.audio.audiofx",
+    "gstpu.elements.audio.g711",
     "gstpu.elements.audio.loudnorm",
     "gstpu.elements.audio.hrtf",
     "gstpu.elements.audio.rnnoise",

@@ -137,6 +137,14 @@ class RtpBaseDepay2(BaseTransform):
         self._ext_rtptime: int | None = None
         self._ts_base: int | None = None
 
+    def transform_caps(self, direction, caps, filter):
+        from gstpu.core.element import PadDirection
+        out = (self.sinkpad if direction is PadDirection.SRC
+               else self.srcpad).pad_template_caps().copy()
+        if filter is not None:
+            out = filter.intersect(out)
+        return out
+
     def set_caps(self, incaps, outcaps) -> bool:
         s = incaps[0]
         self.clock_rate = int(s.get("clock-rate", 0) or 0)
