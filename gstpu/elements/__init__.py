@@ -18,17 +18,21 @@ _MODULES = [
     "gstpu.elements.generic.plumbing",
     "gstpu.elements.audio.audiofx",
     "gstpu.elements.audio.g711",
+    "gstpu.elements.audio.convert",
     "gstpu.elements.audio.loudnorm",
     "gstpu.elements.audio.hrtf",
     "gstpu.elements.audio.rnnoise",
     "gstpu.elements.video.hsv",
     "gstpu.elements.video.colorlut",
     "gstpu.elements.video.videofx",
+    "gstpu.elements.video.convert",
+    "gstpu.elements.video.image",
     "gstpu.elements.mux.fmp4",
     "gstpu.elements.mux.flvdemux",
     "gstpu.elements.net.rtp_elements",
     "gstpu.elements.net.udp",
     "gstpu.elements.utils_.supervise",
+    "gstpu.elements.text.textelements",
 ]
 
 _registered = False
