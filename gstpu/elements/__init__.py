@@ -19,6 +19,7 @@ _MODULES = [
     "gstpu.elements.audio.audiofx",
     "gstpu.elements.audio.g711",
     "gstpu.elements.audio.convert",
+    "gstpu.elements.audio.claxon",
     "gstpu.elements.audio.loudnorm",
     "gstpu.elements.audio.hrtf",
     "gstpu.elements.audio.rnnoise",
@@ -31,6 +32,7 @@ _MODULES = [
     "gstpu.elements.mux.flvdemux",
     "gstpu.elements.net.rtp_elements",
     "gstpu.elements.net.udp",
+    "gstpu.elements.net.hls",
     "gstpu.elements.utils_.supervise",
     "gstpu.elements.text.textelements",
 ]

@@ -30,6 +30,11 @@ class FileSrc(PushSrc):
         self._offset = 0
 
     def negotiate(self) -> Caps:
+        # typefind-lite: adopt downstream's preferred caps when it has
+        # an opinion (e.g. `filesrc ! audio/x-flac ! claxondec`)
+        peer = self.srcpad.peer_query_caps()
+        if not peer.is_any() and not peer.is_empty():
+            return peer.fixate()
         return Caps.new("application/octet-stream")
 
     def start(self) -> bool:
