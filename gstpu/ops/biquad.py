@@ -87,6 +87,34 @@ def biquad_scan(x: jax.Array, b: jax.Array, a: jax.Array,
     return y, vc[..., -1, :, 0]
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def biquad_apply(x: jax.Array, b: jax.Array, a: jax.Array,
+                 state: jax.Array, chunk: int = 2048):
+    """Long-block biquad: lax.scan over chunks, parallel associative
+    scan within each chunk. Bounds the scan's intermediate memory to
+    O(batch * chunk) instead of O(batch * N) (a 48k-sample block at
+    batch 256 would otherwise materialize tens of GB of 2x2 matrices).
+    """
+    N = x.shape[-1]
+    if N <= chunk:
+        return biquad_scan(x, b, a, state)
+    K = N // chunk
+    rem = N - K * chunk
+    xc = x[..., :K * chunk].reshape(x.shape[:-1] + (K, chunk))
+    xc = jnp.moveaxis(xc, -2, 0)  # (K, ..., chunk)
+
+    def body(st, xk):
+        yk, st = biquad_scan(xk, b, a, st)
+        return st, yk
+
+    st, yc = jax.lax.scan(body, state, xc)
+    y = jnp.moveaxis(yc, 0, -2).reshape(x.shape[:-1] + (K * chunk,))
+    if rem:
+        y_tail, st = biquad_scan(x[..., K * chunk:], b, a, st)
+        y = jnp.concatenate([y, y_tail], axis=-1)
+    return y, st
+
+
 def biquad_reference(x: np.ndarray, b: np.ndarray, a: np.ndarray,
                      state: np.ndarray | None = None):
     """scipy.signal.lfilter golden (sequential, host)."""

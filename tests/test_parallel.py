@@ -73,3 +73,28 @@ def test_stream_batch_wrapper(devices):
     assert out.shape == (8, 32)
     out2 = np.asarray(sb.process(jnp.asarray(x)))
     assert not np.array_equal(out, out2)  # state carried
+
+
+def test_audiofx_chain_converges_to_target(devices):
+    import jax
+    import jax.numpy as jnp
+    from gstpu.parallel.chains import make_audiofx_chain
+    step, init_state = make_audiofx_chain(48000, 1200, 1200, block=4800)
+    B = 4
+    state = init_state(B)
+    rng = np.random.default_rng(0)
+    # streams at different input levels all converge to the target
+    x = (rng.uniform(-1, 1, (B, 4800))
+         * np.array([0.9, 0.3, 0.05, 0.6])[:, None]).astype(np.float32)
+    target = jnp.float32(10 ** (-24 / 20))
+    for _ in range(30):
+        state, out, loud = step(state, x, jnp.float64(0.0),
+                                jnp.float64(0.0), target)
+    # loud reports the pre-gain (input) loudness; convergence shows in
+    # the output level: all streams normalized to ~-24 dB RMS
+    rms_db = 20 * np.log10(np.sqrt(np.mean(np.asarray(out) ** 2,
+                                           axis=-1)))
+    assert np.all(np.abs(rms_db - (-24.0)) < 3.0), rms_db
+    # and the per-stream input loudness ordering is preserved in loud
+    loud = np.asarray(loud)
+    assert loud[0] > loud[1] > loud[2]
