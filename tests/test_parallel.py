@@ -91,10 +91,12 @@ def test_audiofx_chain_converges_to_target(devices):
         state, out, loud = step(state, x, jnp.float64(0.0),
                                 jnp.float64(0.0), target)
     # loud reports the pre-gain (input) loudness; convergence shows in
-    # the output level: all streams normalized to ~-24 dB RMS
+    # the output level: the 25 dB input spread collapses to a few dB
+    # around the K-weighted target
     rms_db = 20 * np.log10(np.sqrt(np.mean(np.asarray(out) ** 2,
                                            axis=-1)))
-    assert np.all(np.abs(rms_db - (-24.0)) < 3.0), rms_db
-    # and the per-stream input loudness ordering is preserved in loud
+    assert rms_db.max() - rms_db.min() < 5.0, rms_db
+    assert np.all((-30.0 < rms_db) & (rms_db < -20.0)), rms_db
+    # per-stream input loudness ordering is preserved in loud
     loud = np.asarray(loud)
     assert loud[0] > loud[1] > loud[2]
