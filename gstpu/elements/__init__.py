@@ -16,6 +16,7 @@ _MODULES = [
     "gstpu.elements.generic.file",
     "gstpu.elements.generic.compress",
     "gstpu.elements.generic.plumbing",
+    "gstpu.elements.generic.sodium",
     "gstpu.elements.audio.audiofx",
     "gstpu.elements.audio.g711",
     "gstpu.elements.audio.convert",
@@ -34,6 +35,7 @@ _MODULES = [
     "gstpu.elements.net.rtp_elements",
     "gstpu.elements.net.udp",
     "gstpu.elements.net.hls",
+    "gstpu.elements.net.gccbwe",
     "gstpu.elements.utils_.supervise",
     "gstpu.elements.utils_.fallbacksrc",
     "gstpu.elements.text.textelements",
