@@ -39,6 +39,7 @@ _MODULES = [
     "gstpu.elements.utils_.supervise",
     "gstpu.elements.utils_.fallbacksrc",
     "gstpu.elements.text.textelements",
+    "gstpu.elements.analytics.analytics",
 ]
 
 _registered = False
