@@ -54,16 +54,26 @@ class HsvFilter(VideoFilter):
     value_off = Property(float, default=0.0, mutable=Mutability.PLAYING)
 
     def transform_ip(self, buf: Buffer) -> None:
+        import os
         info = self.video_info
         frame = info.view(buf)
         (r, g, b), _ = _LAYOUTS[info.format]
         rgb = np.stack([frame[..., r], frame[..., g], frame[..., b]],
                        axis=-1)
-        out = np.asarray(hsv_ops.hsv_filter(
-            jnp.asarray(rgb), jnp.float32(self.hue_shift),
-            jnp.float32(self.saturation_mul),
-            jnp.float32(self.saturation_off),
-            jnp.float32(self.value_mul), jnp.float32(self.value_off)))
+        if os.environ.get("GSTPU_PALLAS") == "1":
+            # hand-tiled Pallas kernel (opt-in: the dev-tunnel's remote
+            # Mosaic compile service is flaky; the jnp path compiles
+            # identically-fused XLA and is the default)
+            from gstpu.ops.hsv_pallas import hsv_filter_frame_pallas
+            out = np.asarray(hsv_filter_frame_pallas(
+                rgb, self.hue_shift, self.saturation_mul,
+                self.saturation_off, self.value_mul, self.value_off))
+        else:
+            out = np.asarray(hsv_ops.hsv_filter(
+                jnp.asarray(rgb), jnp.float32(self.hue_shift),
+                jnp.float32(self.saturation_mul),
+                jnp.float32(self.saturation_off),
+                jnp.float32(self.value_mul), jnp.float32(self.value_off)))
         new = frame.copy()
         new[..., r], new[..., g], new[..., b] = (out[..., 0], out[..., 1],
                                                  out[..., 2])

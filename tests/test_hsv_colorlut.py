@@ -240,3 +240,17 @@ def test_colorlut_missing_location_fails():
     el = make("colorlut")
     from gstpu.core.element import StateChangeReturn
     assert el.set_state(State.READY) is StateChangeReturn.FAILURE
+
+
+def test_pallas_hsv_kernel_matches_jnp():
+    """The Pallas tile kernels (interpret mode on CPU) must be
+    bit-identical to the jnp reference path."""
+    import jax.numpy as jnp
+    from gstpu.ops.hsv_pallas import hsv_filter_frame_pallas
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    args = (40.0, 1.2, -0.1, 0.9, 0.05)
+    ref = np.asarray(hsv_filter(jnp.asarray(rgb),
+                                *[jnp.float32(a) for a in args]))
+    got = np.asarray(hsv_filter_frame_pallas(rgb, *args, interpret=True))
+    np.testing.assert_array_equal(got, ref)
