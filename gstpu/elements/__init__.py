@@ -21,6 +21,7 @@ _MODULES = [
     "gstpu.elements.audio.g711",
     "gstpu.elements.audio.convert",
     "gstpu.elements.audio.claxon",
+    "gstpu.elements.audio.agingradio",
     "gstpu.elements.audio.loudnorm",
     "gstpu.elements.audio.hrtf",
     "gstpu.elements.audio.rnnoise",
@@ -33,6 +34,7 @@ _MODULES = [
     "gstpu.elements.mux.fmp4",
     "gstpu.elements.mux.flvdemux",
     "gstpu.elements.net.rtp_elements",
+    "gstpu.elements.net.rtp_video",
     "gstpu.elements.net.udp",
     "gstpu.elements.net.hls",
     "gstpu.elements.net.gccbwe",
