@@ -1,0 +1,129 @@
+"""WebRTC signalling: sans-IO session flow + live WebSocket server."""
+
+import json
+import socket
+import time
+
+import pytest
+
+from gstpu.net.webrtc.signalling import (Server, SignallingServer,
+                                         peer_ice, peer_sdp, ws_recv,
+                                         ws_send)
+
+
+def test_session_flow_sans_io():
+    s = Server()
+    prod, out = s.handle_connect()
+    assert out[0][1]["type"] == "welcome"
+    cons, _ = s.handle_connect()
+    listener, _ = s.handle_connect()
+
+    s.handle_message(listener, {"type": "setPeerStatus",
+                                "roles": ["listener"]})
+    out = s.handle_message(prod, {"type": "setPeerStatus",
+                                  "roles": ["producer"],
+                                  "meta": {"name": "cam1"}})
+    # listener notified of the new producer
+    targets = {t for t, m in out}
+    assert listener in targets
+
+    out = s.handle_message(cons, {"type": "list"})
+    assert out[0][1]["producers"][0]["id"] == prod
+    assert out[0][1]["producers"][0]["meta"] == {"name": "cam1"}
+
+    out = s.handle_message(cons, {"type": "startSession",
+                                  "peerId": prod})
+    by_target = dict(out)
+    sid = by_target[cons]["sessionId"]
+    assert by_target[prod]["type"] == "startSession"
+    assert by_target[prod]["peerId"] == cons
+
+    # SDP offer producer -> consumer, answer back, ICE both ways
+    out = s.handle_message(prod, peer_sdp(sid, "offer", "v=0..."))
+    assert out == [(cons, peer_sdp(sid, "offer", "v=0..."))]
+    out = s.handle_message(cons, peer_sdp(sid, "answer", "v=0..a"))
+    assert out == [(prod, peer_sdp(sid, "answer", "v=0..a"))]
+    out = s.handle_message(prod, peer_ice(sid, "candidate:1", 0))
+    assert out[0][0] == cons
+
+    # end session notifies the other side
+    out = s.handle_message(cons, {"type": "endSession",
+                                  "sessionId": sid})
+    assert out == [(prod, {"type": "endSession", "sessionId": sid})]
+
+
+def test_disconnect_ends_sessions():
+    s = Server()
+    prod, _ = s.handle_connect()
+    cons, _ = s.handle_connect()
+    s.handle_message(prod, {"type": "setPeerStatus",
+                            "roles": ["producer"]})
+    out = s.handle_message(cons, {"type": "startSession",
+                                  "peerId": prod})
+    sid = dict(out)[cons]["sessionId"]
+    out = s.handle_disconnect(prod)
+    assert (cons, {"type": "endSession", "sessionId": sid}) in out
+
+
+def test_unknown_session_errors():
+    s = Server()
+    p, _ = s.handle_connect()
+    out = s.handle_message(p, peer_sdp("nope", "offer", "x"))
+    assert out[0][1]["type"] == "error"
+
+
+def _ws_connect(port):
+    conn = socket.create_connection(("127.0.0.1", port), timeout=5)
+    conn.sendall(b"GET / HTTP/1.1\r\nHost: localhost\r\n"
+                 b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                 b"Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+                 b"Sec-WebSocket-Version: 13\r\n\r\n")
+    data = b""
+    while b"\r\n\r\n" not in data:
+        data += conn.recv(1)  # byte-wise: don't swallow the first frame
+    assert b"101" in data.split(b"\r\n")[0]
+    return conn
+
+
+def _recv_json(conn):
+    data = ws_recv(conn)
+    assert data is not None
+    return json.loads(data)
+
+
+def test_websocket_server_end_to_end():
+    srv = SignallingServer()
+    srv.start()
+    try:
+        prod = _ws_connect(srv.port)
+        prod_welcome = _recv_json(prod)
+        assert prod_welcome["type"] == "welcome"
+        prod_id = prod_welcome["peerId"]
+
+        cons = _ws_connect(srv.port)
+        cons_id = _recv_json(cons)["peerId"]
+
+        ws_send(prod, json.dumps({"type": "setPeerStatus",
+                                  "roles": ["producer"]}).encode())
+        assert _recv_json(prod)["type"] == "peerStatusChanged"
+
+        ws_send(cons, json.dumps({"type": "startSession",
+                                  "peerId": prod_id}).encode())
+        started = _recv_json(cons)
+        assert started["type"] == "sessionStarted"
+        sid = started["sessionId"]
+        incoming = _recv_json(prod)
+        assert incoming["type"] == "startSession"
+        assert incoming["peerId"] == cons_id
+
+        # sdp forwarded producer -> consumer
+        ws_send(prod, json.dumps(peer_sdp(sid, "offer", "v=0")).encode())
+        fwd = _recv_json(cons)
+        assert fwd["sdp"]["sdp"] == "v=0"
+        prod.close()
+        # consumer sees the session end when the producer vanishes
+        ended = _recv_json(cons)
+        assert ended == {"type": "endSession", "sessionId": sid}
+        cons.close()
+    finally:
+        srv.stop()
