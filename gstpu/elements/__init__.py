@@ -36,6 +36,8 @@ _MODULES = [
     "gstpu.elements.net.rtp_elements",
     "gstpu.elements.net.rtp_video",
     "gstpu.elements.net.udp",
+    "gstpu.elements.net.tcp",
+    "gstpu.elements.net.rtsp",
     "gstpu.elements.net.hls",
     "gstpu.elements.net.gccbwe",
     "gstpu.elements.utils_.supervise",
