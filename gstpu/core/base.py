@@ -304,6 +304,8 @@ class PushSrc(Element):
             if e.ret is FlowReturn.EOS:
                 self.srcpad.push_event(EosEvent())
                 return TaskResult.EOS
+            if e.ret is FlowReturn.FLUSHING:
+                return TaskResult.IDLE  # starved (live source): retry
             self.post_error(f"create failed: {e}")
             return TaskResult.ERROR
         if buf is None:
