@@ -40,9 +40,11 @@ _MODULES = [
     "gstpu.elements.net.tcp",
     "gstpu.elements.net.rtsp",
     "gstpu.elements.net.hls",
+    "gstpu.elements.net.dash",
     "gstpu.elements.net.gccbwe",
     "gstpu.elements.utils_.supervise",
     "gstpu.elements.utils_.fallbacksrc",
+    "gstpu.elements.utils_.uriplaylistbin",
     "gstpu.elements.text.textelements",
     "gstpu.elements.analytics.analytics",
 ]

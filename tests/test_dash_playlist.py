@@ -1,0 +1,86 @@
+"""dashsink2 + uriplaylistbin tests."""
+
+import numpy as np
+import pytest
+
+from gstpu import Buffer, State, parse_launch
+from gstpu.codecs.flac import encode_verbatim
+from gstpu.core.audio import AudioInfo
+
+SECOND = 10**9
+
+
+def test_dashsink(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    p = parse_launch(
+        "appsrc name=src ! audio/x-opus, rate=48000, channels=2 ! "
+        "cmafmux fragment-duration=100000000 ! "
+        "dashsink2 mpd-location=manifest.mpd target-duration=1")
+    src = p.get_by_name("src")
+    from gstpu.core.caps import parse_caps
+    src.set_property("caps",
+                     parse_caps("audio/x-opus, rate=48000, channels=2"))
+    p.set_state(State.PLAYING)
+    for i in range(12):
+        src.push_buffer(Buffer(bytes([i]) * 30, pts=i * 20_000_000,
+                               duration=20_000_000))
+    src.end_of_stream()
+    p.run()
+    p.set_state(State.NULL)
+    mpd = (tmp_path / "manifest.mpd").read_text()
+    assert mpd.startswith('<?xml')
+    assert 'type="static"' in mpd  # finalized at EOS
+    assert "SegmentTemplate" in mpd
+    assert 'initialization="init.mp4"' in mpd
+    assert (tmp_path / "init.mp4").exists()
+    assert (tmp_path / "segment-00001.m4s").exists()
+    from gstpu.mux.boxes import parse_boxes
+    seg = parse_boxes((tmp_path / "segment-00001.m4s").read_bytes())
+    assert "moof" in [b.fourcc for b in seg]
+
+
+def test_uriplaylistbin_gapless(tmp_path):
+    # two short FLAC files played back-to-back with continuous pts
+    rate = 8000
+    files = []
+    for k in (1, 2):
+        pcm = (np.ones((rate, 1)) * 1000 * k).astype(np.int16)
+        f = tmp_path / f"clip{k}.flac"
+        f.write_bytes(encode_verbatim(pcm, rate, 16))
+        files.append(f"file://{f}")
+    p = parse_launch("uriplaylistbin name=pl ! appsink name=sink")
+    pl = p.get_by_name("pl")
+    pl.set_property("uris", files)
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    p.run(timeout=60)
+    bufs = sink.pull_all()
+    assert sink.is_eos
+    info = AudioInfo.from_caps(sink.caps)
+    total = sum(info.view(b).shape[0] for b in bufs)
+    assert total == 2 * rate
+    # continuous timestamps across the item boundary
+    pts = [b.pts for b in bufs]
+    assert pts == sorted(pts)
+    assert pts[0] == 0
+    mid = next(i for i, b in enumerate(bufs)
+               if info.view(b)[0, 0] == 2000)
+    assert abs(bufs[mid].pts - SECOND) < 2_000_000  # second clip at ~1s
+    p.set_state(State.NULL)
+
+
+def test_uriplaylistbin_loops(tmp_path):
+    rate = 8000
+    pcm = np.zeros((rate // 2, 1), np.int16)
+    f = tmp_path / "c.flac"
+    f.write_bytes(encode_verbatim(pcm, rate, 16))
+    p = parse_launch("uriplaylistbin name=pl ! appsink name=sink")
+    p.get_by_name("pl").set_property("uris", [f"file://{f}"])
+    p.get_by_name("pl").set_property("iterations", 3)
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    p.run(timeout=60)
+    info = AudioInfo.from_caps(sink.caps)
+    total = sum(info.view(b).shape[0] for b in sink.pull_all())
+    assert total == 3 * rate // 2
+    p.set_state(State.NULL)
