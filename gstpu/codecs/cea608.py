@@ -118,8 +118,9 @@ class Cea608Decoder:
         a, b = strip_parity(data[0]), strip_parity(data[1])
         if a is None or b is None:
             return None
-        # control-code doubling: repeated pair is ignored
-        if (a, b) == self._last_pair and a >= 0x10:
+        # control-code doubling: a repeated CONTROL pair is ignored
+        # (0x10-0x1F first byte only — printable pairs may repeat)
+        if (a, b) == self._last_pair and 0x10 <= a <= 0x1F:
             self._last_pair = None
             return None
         self._last_pair = (a, b)

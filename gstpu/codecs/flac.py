@@ -316,10 +316,13 @@ class FlacStreamDecoder:
         try:
             frame, consumed = decode_frame(bytes(self._buf),
                                            self.streaminfo)
-        except (IndexError, ValueError):
-            # likely an incomplete trailing frame; wait for more data.
-            # (IndexError = ran off the buffer)
+        except IndexError:
+            # ran off the buffer: incomplete trailing frame, wait
             return None
+        except ValueError as e:
+            # corrupt data (bad sync/CRC/reserved codes): error out
+            # rather than stalling forever on the same bytes
+            raise ValueError(f"corrupt FLAC frame: {e}") from e
         del self._buf[:consumed]
         return frame
 

@@ -102,22 +102,28 @@ def _intersect_values(a: Any, b: Any) -> Any | None:
             return None
         return out[0] if len(out) == 1 else AnyList(out)
     if isinstance(a, IntRange) and isinstance(b, IntRange):
+        # intersection of two arithmetic progressions (CRT): values
+        # x ≡ a.lo (mod a.step) and x ≡ b.lo (mod b.step)
+        g = _gcd(a.step, b.step)
+        if (b.lo - a.lo) % g != 0:
+            return None  # phases incompatible (e.g. evens ∩ odds)
+        step = a.step * b.step // g
+        # find the smallest solution >= max(a.lo, b.lo)
         lo, hi = max(a.lo, b.lo), min(a.hi, b.hi)
         if lo > hi:
             return None
-        step = a.step * b.step // _gcd(a.step, b.step)
-        # align lo to both steps' phases (phases are both 0-based from
-        # each range's lo; keep it simple: only handle step==1 mixes
-        # exactly, else require equal steps)
-        if a.step != 1 or b.step != 1:
-            if a.step != b.step:
-                return None
-        lo2 = lo
-        if lo2 > hi:
+        # solve a.lo + i*a.step ≡ b.lo (mod b.step)
+        i = ((b.lo - a.lo) // g * _modinv(a.step // g, b.step // g)) \
+            % (b.step // g)
+        x0 = a.lo + i * a.step
+        if x0 < lo:
+            x0 += ((lo - x0 + step - 1) // step) * step
+        if x0 > hi:
             return None
-        if lo2 == hi:
-            return lo2
-        return IntRange(lo2, hi, step)
+        last = x0 + ((hi - x0) // step) * step
+        if x0 == last:
+            return x0
+        return IntRange(x0, last, step)
     if isinstance(a, IntRange):
         return b if b in a else None
     if isinstance(b, IntRange):
@@ -174,6 +180,12 @@ def _gcd(a, b):
     while b:
         a, b = b, a % b
     return a
+
+
+def _modinv(a: int, m: int) -> int:
+    if m == 1:
+        return 0
+    return pow(a, -1, m)
 
 
 class Structure:

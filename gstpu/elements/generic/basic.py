@@ -103,7 +103,13 @@ class Queue(Element):
                      _tmpl("src", PadDirection.SRC)]
 
     max_size_buffers = Property(int, default=200, minimum=0,
-                                mutable=Mutability.PLAYING)
+                                mutable=Mutability.PLAYING,
+                                blurb="0 = unbounded")
+    leaky = Property(str, default="downstream",
+                     enum_values=("no", "upstream", "downstream"),
+                     mutable=Mutability.READY,
+                     blurb="Full-queue policy; 'no' drains synchronously"
+                           " (the cooperative scheduler cannot block)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -112,10 +118,30 @@ class Queue(Element):
         self.sinkpad.chain_function = self._chain
         self.sinkpad.event_function = self._event
         self._q: deque = deque()
+        self._n_buffers = 0  # events in _q don't count against the cap
         self._eos_pending = False
+        self.dropped = 0
 
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        limit = self.max_size_buffers
+        if limit and self._n_buffers >= limit:
+            if self.leaky == "upstream":
+                self.dropped += 1
+                return FlowReturn.OK       # drop the new buffer
+            if self.leaky == "downstream":
+                # drop the oldest BUFFER (never queued events)
+                for item in list(self._q):
+                    if isinstance(item, Buffer):
+                        self._q.remove(item)
+                        self._n_buffers -= 1
+                        self.dropped += 1
+                        break
+            else:  # "no": drain in-line (single-threaded: can't block)
+                while limit and self._n_buffers >= limit:
+                    if self._iterate() is TaskResult.ERROR:
+                        return FlowReturn.ERROR
         self._q.append(buf)
+        self._n_buffers += 1
         return FlowReturn.OK
 
     def _event(self, pad: Pad, ev: Event) -> bool:
@@ -134,6 +160,8 @@ class Queue(Element):
         if not self._q:
             return TaskResult.IDLE
         item = self._q.popleft()
+        if isinstance(item, Buffer):
+            self._n_buffers -= 1
         if isinstance(item, EosEvent):
             self.srcpad.push_event(item)
             return TaskResult.EOS

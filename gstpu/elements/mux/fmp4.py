@@ -109,11 +109,12 @@ class FMP4MuxBase(Aggregator):
                 self.post_error(f"{self.ELEMENT_NAME}: single-stream "
                                 f"muxer with {len(pads)} pads")
             return False
+        streams = {}
         for i, pad in enumerate(sorted(pads, key=lambda p: p.name)):
             if pad.current_caps is None:
-                return False
-            self._streams[pad.name] = _Stream(
-                pad, self._make_cfg(pad, i + 1))
+                return False  # wait until every pad has caps
+            streams[pad.name] = _Stream(pad, self._make_cfg(pad, i + 1))
+        self._streams = streams
         return True
 
     def negotiate_src_caps(self) -> Caps:

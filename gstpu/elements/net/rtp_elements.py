@@ -26,6 +26,9 @@ from gstpu.net.rtp.jitterbuffer import (JitterBuffer, PollOutcome,
                                         QueueResult)
 from gstpu.net.rtp.packet import RtpPacket
 from gstpu.net.rtp.session import RecvReply, SendReply, Session
+from gstpu.utils.log import debug_category
+
+CAT = debug_category("rtp")
 
 SECOND = 1_000_000_000
 
@@ -253,7 +256,11 @@ class RtpSend(Element):
         reply = self.session.handle_send(pkt, now)
         if reply is SendReply.NEW_SSRC:
             reply = self.session.handle_send(pkt, now)
-        if reply is SendReply.DROP:
+        if reply in (SendReply.DROP, SendReply.SSRC_COLLISION):
+            if reply is SendReply.SSRC_COLLISION:
+                # RFC 3550 never forwards a colliding SSRC
+                self.post_element_message("rtpsend-ssrc-collision",
+                                          ssrc=pkt.ssrc)
             return FlowReturn.OK
         ret = self.rtppad.push(buf)
         self._maybe_send_rtcp(now)
@@ -304,7 +311,9 @@ class RtpRecv(Element):
         self.rtcpsink.chain_function = self._rtcp_chain
         self.rtcpsink.event_function = lambda pad, ev: True
         self._jb: dict[int, JitterBuffer] = {}
-        self._held: dict[int, Buffer] = {}
+        # held buffers keyed per SSRC (jitterbuffer packet ids are
+        # only unique within one JitterBuffer instance)
+        self._held: dict[int, dict[int, Buffer]] = {}
 
     def _now(self) -> int:
         return self.running_time() or 0
@@ -324,16 +333,18 @@ class RtpRecv(Element):
         jb = self._jb.get(pkt.ssrc)
         if jb is None:
             jb = self._jb[pkt.ssrc] = JitterBuffer(self.latency)
+            self._held[pkt.ssrc] = {}
         res, pid = jb.queue_packet(pkt.seqnum, now)
         if res is QueueResult.QUEUED:
-            self._held[pid] = buf
-        return self._drain(jb, now)
+            self._held[pkt.ssrc][pid] = buf
+        return self._drain(pkt.ssrc, jb, now)
 
-    def _drain(self, jb: JitterBuffer, now: int) -> FlowReturn:
+    def _drain(self, ssrc: int, jb: JitterBuffer, now: int) -> FlowReturn:
+        held = self._held[ssrc]
         while True:
             r = jb.poll(now)
             if r.outcome is PollOutcome.FORWARD:
-                buf = self._held.pop(r.id)
+                buf = held.pop(r.id)
                 ret = self.srcpad.push(buf)
                 if not ret.is_ok:
                     return ret
@@ -341,12 +352,17 @@ class RtpRecv(Element):
                 return FlowReturn.OK
 
     def _rtcp_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
-        self.session.handle_rtcp_recv(buf.to_bytes(), self._now())
+        try:
+            self.session.handle_rtcp_recv(buf.to_bytes(), self._now())
+        except Exception as e:
+            # malformed RTCP from a remote peer must not kill dataflow
+            CAT.warning("%s: dropping malformed RTCP: %s", self.name, e)
         return FlowReturn.OK
 
     def _event(self, pad: Pad, ev: Event) -> bool:
         if isinstance(ev, EosEvent):
-            for jb in self._jb.values():
+            for ssrc, jb in self._jb.items():
+                held = self._held[ssrc]
                 for pid in jb.flush():
-                    self.srcpad.push(self._held.pop(pid))
+                    self.srcpad.push(held.pop(pid))
         return self.default_pad_event(pad, ev)

@@ -63,7 +63,7 @@ class RtpBasePay2(BaseTransform):
         self._pending: list[Buffer] = []
 
     def start(self) -> bool:
-        rng = random.Random(id(self) & 0xFFFF)
+        rng = random.SystemRandom()  # RFC 3550: random SSRC/offsets
         self._ssrc = self.ssrc if self.ssrc >= 0 \
             else rng.getrandbits(32)
         self._seqnum = self.seqnum_offset if self.seqnum_offset >= 0 \

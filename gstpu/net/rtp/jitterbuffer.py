@@ -86,9 +86,9 @@ class JitterBuffer:
             del self._items[pid]
             lost = ()
             if self._next_ext_seq is not None and ext > self._next_ext_seq:
-                lost = tuple(range(self._next_ext_seq & 0xFFFF,
-                                   (self._next_ext_seq & 0xFFFF)
-                                   + (ext - self._next_ext_seq)))
+                base = self._next_ext_seq & 0xFFFF
+                lost = tuple((base + i) & 0xFFFF
+                             for i in range(ext - self._next_ext_seq))
             self._next_ext_seq = ext + 1
             return PollResult(PollOutcome.FORWARD, id=pid,
                               lost_seqnums=lost)

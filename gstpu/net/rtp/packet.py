@@ -206,13 +206,21 @@ def parse_rtcp(data: bytes) -> list:
             raise RtpParseError(f"bad RTCP version at offset {off}")
         count = b0 & 0x1F
         size = (length + 1) * 4
+        if off + size > len(data):
+            raise RtpParseError(
+                f"truncated RTCP at offset {off}: claims {size} bytes, "
+                f"{len(data) - off} available")
         body = data[off + 4: off + size]
         if pt == RTCP_SR:
+            if len(body) < 24 + 24 * count:
+                raise RtpParseError("truncated SR")
             ssrc, ntp, rtp_ts, pc, oc = struct.unpack_from(">IQIII", body)
             reports = [ReportBlock.parse(body, 24 + i * 24)
                        for i in range(count)]
             out.append(SenderReport(ssrc, ntp, rtp_ts, pc, oc, reports))
         elif pt == RTCP_RR:
+            if len(body) < 4 + 24 * count:
+                raise RtpParseError("truncated RR")
             (ssrc,) = struct.unpack_from(">I", body)
             reports = [ReportBlock.parse(body, 4 + i * 24)
                        for i in range(count)]
@@ -221,10 +229,15 @@ def parse_rtcp(data: bytes) -> list:
             chunks = []
             p = 0
             for _ in range(count):
+                if p + 4 > len(body):
+                    raise RtpParseError("truncated SDES")
                 (ssrc,) = struct.unpack_from(">I", body, p)
                 p += 4
                 items = []
                 while p < len(body) and body[p] != 0:
+                    if p + 2 > len(body) \
+                            or p + 2 + body[p + 1] > len(body):
+                        raise RtpParseError("truncated SDES item")
                     t, ln = body[p], body[p + 1]
                     items.append((t, body[p + 2:p + 2 + ln]))
                     p += 2 + ln
@@ -234,6 +247,8 @@ def parse_rtcp(data: bytes) -> list:
                 chunks.append((ssrc, items))
             out.append(Sdes(chunks))
         elif pt == RTCP_BYE:
+            if len(body) < 4 * count:
+                raise RtpParseError("truncated BYE")
             ssrcs = [struct.unpack_from(">I", body, 4 * i)[0]
                      for i in range(count)]
             reason = b""
