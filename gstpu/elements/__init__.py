@@ -22,6 +22,7 @@ _MODULES = [
     "gstpu.elements.audio.convert",
     "gstpu.elements.audio.claxon",
     "gstpu.elements.audio.agingradio",
+    "gstpu.elements.audio.audioparsers",
     "gstpu.elements.audio.loudnorm",
     "gstpu.elements.audio.hrtf",
     "gstpu.elements.audio.rnnoise",

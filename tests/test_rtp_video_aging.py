@@ -82,3 +82,34 @@ def test_agingradio_lowpass_attenuates_high_freq():
     low = band_power(500)     # below 2 kHz cutoff
     high = band_power(12000)  # far above
     assert high < low * 0.2
+
+
+def test_ac4parse_framing():
+    h = Harness("ac4parse")
+    h.set_caps("audio/x-ac4")
+    # two frames with garbage prefix: sync 0xAC40, 16-bit size
+    f1 = b"\xacG" + b"\xac\x40" + (10).to_bytes(2, "big") + bytes(10)
+    f2 = b"\xac\x41" + (6).to_bytes(2, "big") + bytes(6) + b"\x00\x00"
+    h.push(Buffer(f1[:7]))
+    h.push(Buffer(f1[7:] + f2))
+    outs = h.pull_all()
+    assert len(outs) == 2
+    assert outs[0].size == 14   # hdr 4 + payload 10
+    assert outs[1].size == 12   # hdr 4 + payload 6 + crc 2
+    from gstpu.core.caps import Caps
+    assert h.output_caps()[0]["framed"] is True
+    h.teardown()
+
+
+def test_s302mparse_caps():
+    h = Harness("s302mparse")
+    h.set_caps("audio/x-smpte-302m")
+    # header: size=8, channels code 1 (4ch), id 0, bits code 1 (20)
+    header = (8 << 16) | (1 << 14) | (1 << 4)
+    h.push(Buffer(header.to_bytes(4, "big") + bytes(8), pts=0))
+    out = h.pull()
+    caps = h.output_caps()[0]
+    assert caps["channels"] == 4
+    assert caps["depth"] == 20
+    assert caps["parsed"] is True
+    h.teardown()
