@@ -44,6 +44,7 @@ _MODULES = [
     "gstpu.elements.net.hls",
     "gstpu.elements.net.dash",
     "gstpu.elements.net.gccbwe",
+    "gstpu.elements.net.onvif",
     "gstpu.elements.utils_.supervise",
     "gstpu.elements.utils_.fallbacksrc",
     "gstpu.elements.utils_.uriplaylistbin",

@@ -277,3 +277,28 @@ def test_udp_roundtrip_localhost():
     assert meta is not None and meta.addr[0] == "127.0.0.1"
     send.set_state(State.NULL)
     recv.set_state(State.NULL)
+
+
+def test_onvif_metadata_pay_depay():
+    from gstpu.elements.net.onvif import OnvifXMLFrameMeta
+    xml = (b"<?xml version='1.0'?><tt:MetadataStream "
+           b"xmlns:tt='http://www.onvif.org/ver10/schema'>"
+           + b"<tt:Event>" + b"x" * 3000 + b"</tt:Event>"
+           b"</tt:MetadataStream>")
+    p = parse_launch("appsrc name=src "
+                     "! application/x-onvif-metadata, encoding=utf8 "
+                     "! onvifmetadatapay mtu=500 ! onvifmetadatadepay "
+                     "! appsink name=sink")
+    src, sink = p.get_by_name("src"), p.get_by_name("sink")
+    from gstpu.core.caps import parse_caps
+    src.set_property("caps", parse_caps(
+        "application/x-onvif-metadata, encoding=utf8"))
+    p.set_state(State.PLAYING)
+    src.push_buffer(Buffer(xml, pts=0))
+    src.end_of_stream()
+    p.run()
+    out = sink.pull_all()
+    assert len(out) == 1
+    assert out[0].to_bytes() == xml  # fragmented over MTU + reassembled
+    assert out[0].get_meta(OnvifXMLFrameMeta) is not None
+    p.set_state(State.NULL)
