@@ -48,6 +48,7 @@ _MODULES = [
     "gstpu.elements.utils_.supervise",
     "gstpu.elements.utils_.fallbacksrc",
     "gstpu.elements.utils_.uriplaylistbin",
+    "gstpu.elements.utils_.debugsei",
     "gstpu.elements.text.textelements",
     "gstpu.elements.analytics.analytics",
 ]

@@ -216,3 +216,26 @@ def test_pipeline_snapshot_dot():
     assert dot.startswith("digraph")
     assert "audiotestsrc" in dot and "->" in dot
     p.set_state(State.NULL)
+
+
+def test_debugsei_inserter_roundtrip():
+    from gstpu.elements.utils_.debugsei import parse_sei_unregistered
+    h = Harness(make("debugseimetainserter", payload=b"frame-info-42"))
+    h.set_caps("video/x-h264, stream-format=byte-stream")
+    # payload containing a 00 00 01 pattern: emulation prevention needed
+    h.push(Buffer(b"\x00\x00\x00\x01\x65rest-of-frame"))
+    out = h.pull().to_bytes()
+    assert out.endswith(b"rest-of-frame")
+    found = parse_sei_unregistered(out)
+    assert found == [b"frame-info-42"]
+    h.teardown()
+
+
+def test_debugsei_emulation_prevention():
+    from gstpu.elements.utils_.debugsei import (build_sei_unregistered,
+                                                parse_sei_unregistered)
+    tricky = b"\x00\x00\x00\x00\x01\x02"
+    sei = build_sei_unregistered(tricky)
+    # no illegal start codes inside the NAL body (after the leading one)
+    assert b"\x00\x00\x01" not in sei[4:]
+    assert parse_sei_unregistered(sei) == [tricky]
