@@ -68,6 +68,8 @@ class Property:
             value = float(value)
         if self.typ is bool and isinstance(value, str):
             value = value.lower() in ("true", "1", "yes", "on")
+        if self.typ is bytes and isinstance(value, str):
+            value = value.encode("utf-8")
         if self.typ is not Any and not isinstance(value, self.typ) \
                 and value is not None:
             try:

@@ -81,7 +81,7 @@ def parse_sei_unregistered(nal_stream: bytes) -> list[bytes]:
         size += rbsp[off]
         off += 1
         body = rbsp[off:off + size]
-        if len(body) > 16:
+        if len(body) >= 16:
             out.append(body[16:])  # strip uuid
     return out
 
