@@ -24,7 +24,10 @@ PACKED_FORMATS = {
     "RGBx": 4, "BGRx": 4, "xRGB": 4, "xBGR": 4,
     "RGB": 3, "BGR": 3,
     "GRAY8": 1,
+    "RGBA64LE": 4, "RGBA64BE": 4,
 }
+# 16-bit packed formats: numpy dtype per component
+PACKED_16 = {"RGBA64LE": "<u2", "RGBA64BE": ">u2"}
 PLANAR_FORMATS = {
     # name: [(w_div, h_div)] per plane
     "I420": [(1, 1), (2, 2), (2, 2)],
@@ -86,7 +89,9 @@ class VideoInfo:
     def size(self) -> int:
         """Total bytes of one frame."""
         if self.is_packed:
-            return self.width * self.height * PACKED_FORMATS[self.format]
+            bpc = 2 if self.format in PACKED_16 else 1
+            return self.width * self.height \
+                * PACKED_FORMATS[self.format] * bpc
         total = 0
         for i, (wd, hd) in enumerate(PLANAR_FORMATS[self.format]):
             w = -(-self.width // wd)
@@ -112,6 +117,8 @@ class VideoInfo:
         arr = buf.array
         if arr.dtype != np.uint8:
             arr = arr.view(np.uint8)
+        if self.format in PACKED_16:
+            arr = arr.view(PACKED_16[self.format])
         return arr.reshape(self.height, self.width, c)
 
     def planes(self, buf: Buffer) -> list[np.ndarray]:
@@ -138,7 +145,12 @@ class VideoInfo:
 
     def make_buffer(self, frame: np.ndarray, *, pts: int | None = None,
                     duration: int | None = None) -> Buffer:
-        frame = np.ascontiguousarray(frame, dtype=np.uint8)
+        if self.format in PACKED_16:
+            frame = np.ascontiguousarray(
+                np.asarray(frame).astype(PACKED_16[self.format],
+                                         copy=False))
+        else:
+            frame = np.ascontiguousarray(frame, dtype=np.uint8)
         if duration is None:
             duration = self.frame_duration
         return Buffer(frame, pts=pts, duration=duration)

@@ -14,8 +14,10 @@ import os
 from gstpu.core.base import BaseSink
 from gstpu.core.buffer import Buffer, BufferFlags
 from gstpu.core.caps import Caps
-from gstpu.core.element import (FlowReturn, PadDirection, PadPresence,
-                                PadTemplate)
+from gstpu.core.element import (Element, FlowReturn, Message,
+                                MessageType, PadDirection,
+                                PadPresence, PadTemplate)
+from gstpu.core.event import EosEvent
 from gstpu.core.props import Mutability, Property
 from gstpu.core.registry import Rank, register_element
 
@@ -94,3 +96,145 @@ class HlsCmafSink(BaseSink):
 
     def on_eos(self) -> None:
         self._write_playlist(ended=True)
+
+
+@register_element("hlsmultivariantsink", Rank.NONE)
+class HlsMultivariantSink(Element):
+    """Multivariant (master) HLS playlist sink.
+
+    Rebuilds the reference net/hlsmultivariantsink (imp.rs): each
+    request pad is configured with either a *variant* (uri, bandwidth,
+    codecs, is-i-frame -> EXT-X-STREAM-INF / EXT-X-I-FRAME-STREAM-INF)
+    or an *alternate rendition* (media_type, uri, group_id, name,
+    language, default, autoselect, forced -> EXT-X-MEDIA).  Each pad
+    feeds an internal hlscmafsink that writes that rendition's media
+    playlist + segments; this element owns only the multivariant
+    playlist.  Non-muxed renditions only, like the reference
+    (imp.rs:166 keeps rendition URIs required for the same reason).
+    """
+
+    PAD_TEMPLATES = [PadTemplate("sink_%u", PadDirection.SINK,
+                                 PadPresence.REQUEST,
+                                 Caps.new("video/quicktime"))]
+
+    playlist_location = Property(str, default="multivariant.m3u8",
+                                 mutable=Mutability.READY,
+                                 blurb="Multivariant playlist path")
+    target_duration = Property(int, default=6, minimum=1,
+                               mutable=Mutability.READY)
+    playlist_length = Property(int, default=0, minimum=0,
+                               mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._pads: dict[str, dict] = {}     # pad name -> settings
+        self._children: dict[str, HlsCmafSink] = {}
+        self._eos: set[str] = set()
+        self._wrote_master = False
+
+    # -- pad configuration --------------------------------------------
+    def request_pad_with_settings(self, *, variant: dict | None = None,
+                                  rendition: dict | None = None):
+        pad = self.request_pad()
+        self.configure_pad(pad, variant=variant, rendition=rendition)
+        return pad
+
+    def configure_pad(self, pad, *, variant: dict | None = None,
+                      rendition: dict | None = None) -> None:
+        if (variant is None) == (rendition is None):
+            raise ValueError("pad needs exactly one of variant= / "
+                             "rendition=")
+        settings = dict(variant) if variant else dict(rendition)
+        settings["_kind"] = "variant" if variant else "rendition"
+        if "uri" not in settings:
+            raise ValueError("uri is required")
+        if variant and "bandwidth" not in settings:
+            raise ValueError("variant requires bandwidth")
+        if rendition:
+            for k in ("group_id", "name"):
+                if k not in settings:
+                    raise ValueError(f"rendition requires {k}")
+        self._pads[pad.name] = settings
+        child = HlsCmafSink(f"{self.name}-{pad.name}")
+        root = os.path.dirname(self.playlist_location)
+        uri = settings["uri"]
+        stem = os.path.splitext(uri)[0]
+        child.set_property("playlist_location", os.path.join(root, uri))
+        child.set_property("init_location",
+                           os.path.join(root, f"{stem}_init.mp4"))
+        child.set_property("location",
+                           os.path.join(root, f"{stem}_%05d.m4s"))
+        child.set_property("target_duration", self.target_duration)
+        child.set_property("playlist_length", self.playlist_length)
+        self._children[pad.name] = child
+
+    def new_request_pad(self, pad) -> None:
+        pad.chain_function = self._chain
+        pad.event_function = self._event
+
+    # -- dataflow ------------------------------------------------------
+    def _require_config(self, pad) -> HlsCmafSink:
+        child = self._children.get(pad.name)
+        if child is None:
+            raise RuntimeError(f"{self.name}.{pad.name}: pad not "
+                               "configured (call configure_pad first)")
+        return child
+
+    def _chain(self, pad, buf) -> FlowReturn:
+        child = self._require_config(pad)
+        if not self._wrote_master:
+            self._write_master()
+        return child.render(buf)
+
+    def _event(self, pad, ev) -> bool:
+        if isinstance(ev, EosEvent):
+            child = self._require_config(pad)
+            child.on_eos()
+            self._eos.add(pad.name)
+            if self._eos >= set(self._children):
+                self.post_message(Message(MessageType.EOS, self))
+        return True
+
+    # -- multivariant playlist ------------------------------------------
+    @staticmethod
+    def _yn(v: bool) -> str:
+        return "YES" if v else "NO"
+
+    def _write_master(self) -> None:
+        lines = ["#EXTM3U", "#EXT-X-VERSION:6"]
+        audio_groups: list[str] = []
+        for s in self._pads.values():
+            if s["_kind"] != "rendition":
+                continue
+            mtype = str(s.get("media_type", "audio")).upper()
+            if mtype == "AUDIO" and s["group_id"] not in audio_groups:
+                audio_groups.append(s["group_id"])
+            attrs = [f"TYPE={mtype}", f'GROUP-ID="{s["group_id"]}"',
+                     f'NAME="{s["name"]}"']
+            if s.get("language"):
+                attrs.append(f'LANGUAGE="{s["language"]}"')
+            attrs.append(f"DEFAULT={self._yn(s.get('default', False))}")
+            attrs.append(
+                f"AUTOSELECT={self._yn(s.get('autoselect', False))}")
+            if s.get("forced"):
+                attrs.append("FORCED=YES")
+            attrs.append(f'URI="{s["uri"]}"')
+            lines.append("#EXT-X-MEDIA:" + ",".join(attrs))
+        for s in self._pads.values():
+            if s["_kind"] != "variant":
+                continue
+            attrs = [f"BANDWIDTH={int(s['bandwidth'])}"]
+            if s.get("codecs"):
+                attrs.append(f'CODECS="{s["codecs"]}"')
+            if s.get("is_i_frame"):
+                attrs.append(f'URI="{s["uri"]}"')
+                lines.append("#EXT-X-I-FRAME-STREAM-INF:"
+                             + ",".join(attrs))
+            else:
+                if audio_groups:
+                    attrs.append(f'AUDIO="{s.get("audio", audio_groups[0])}"')
+                lines.append("#EXT-X-STREAM-INF:" + ",".join(attrs))
+                lines.append(s["uri"])
+        with open(self.playlist_location, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        self._wrote_master = True

@@ -21,7 +21,7 @@ from gstpu.core.registry import Rank, register_element
 from gstpu.core.video import video_caps
 from gstpu.ops.lut import CubeLut, apply_lut_1d, apply_lut_3d, parse_cube
 
-_FORMATS = ("RGBA",)  # reference also supports RGBA64LE/BE; 8-bit first
+_FORMATS = ("RGBA", "RGBA64LE", "RGBA64BE")
 
 
 @register_element("colorlut", Rank.NONE)
@@ -64,8 +64,13 @@ class ColorLut(VideoFilter):
     def transform(self, buf: Buffer) -> Buffer:
         info = self.video_info
         frame = info.view(buf)
+        deep = info.format.startswith("RGBA64")
+        if deep:
+            # jax has no big-endian dtypes: normalise to native u16
+            frame = frame.astype(np.uint16)
         fn = apply_lut_3d if self._lut.is_3d else apply_lut_1d
         out = np.asarray(fn(jnp.asarray(frame), self._dev_table,
-                            self._dev_scale, self._dev_offset))
-        return info.make_buffer(out.reshape(-1), pts=buf.pts,
-                                duration=buf.duration)
+                            self._dev_scale, self._dev_offset,
+                            max_val=65535 if deep else 255))
+        return info.make_buffer(out.reshape(info.height, info.width, -1),
+                                pts=buf.pts, duration=buf.duration)

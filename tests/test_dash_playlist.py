@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from gstpu import Buffer, State, parse_launch
+from gstpu import Buffer, Caps, State, parse_launch
 from gstpu.codecs.flac import encode_verbatim
 from gstpu.core.audio import AudioInfo
 
@@ -84,3 +84,77 @@ def test_uriplaylistbin_loops(tmp_path):
     total = sum(info.view(b).shape[0] for b in sink.pull_all())
     assert total == 3 * rate // 2
     p.set_state(State.NULL)
+
+
+def test_hlsmultivariantsink(tmp_path):
+    from gstpu.core.buffer import BufferFlags
+    from gstpu.core.caps import parse_caps
+    from gstpu.core.element import Pad, PadDirection, PadPresence, \
+        PadTemplate
+    from gstpu.core.event import (CapsEvent, EosEvent, Segment,
+                                  SegmentEvent, StreamStartEvent)
+    from gstpu.core.registry import make
+
+    sink = make("hlsmultivariantsink",
+                playlist_location=str(tmp_path / "master.m3u8"),
+                target_duration=2)
+    pads = [
+        sink.request_pad_with_settings(
+            variant={"uri": "hi.m3u8", "bandwidth": 2_000_000,
+                     "codecs": "avc1.64001f,mp4a.40.2"}),
+        sink.request_pad_with_settings(
+            variant={"uri": "iframe.m3u8", "bandwidth": 200_000,
+                     "is_i_frame": True, "codecs": "avc1.64001f"}),
+        sink.request_pad_with_settings(
+            rendition={"media_type": "audio", "uri": "en.m3u8",
+                       "group_id": "aud", "name": "English",
+                       "language": "en", "default": True,
+                       "autoselect": True}),
+    ]
+
+    def feeder():
+        return Pad("f", PadDirection.SRC,
+                   PadTemplate("src", PadDirection.SRC,
+                               PadPresence.ALWAYS, Caps.any()))
+
+    for pad in pads:
+        f = feeder()
+        f.link(pad)
+        f.push_event(StreamStartEvent("s"))
+        f.push_event(CapsEvent(parse_caps("video/quicktime")))
+        f.push_event(SegmentEvent(Segment()))
+        hdr = Buffer(b"init-seg")
+        hdr.set_flag(BufferFlags.HEADER)
+        f.push(hdr)
+        f.push(Buffer(b"frag0", pts=0, duration=2 * 10**9))
+        f.push(Buffer(b"frag1", pts=2 * 10**9, duration=2 * 10**9))
+        f.push_event(EosEvent())
+
+    master = (tmp_path / "master.m3u8").read_text()
+    assert master.startswith("#EXTM3U")
+    assert ('#EXT-X-MEDIA:TYPE=AUDIO,GROUP-ID="aud",NAME="English",'
+            'LANGUAGE="en",DEFAULT=YES,AUTOSELECT=YES,URI="en.m3u8"'
+            in master)
+    assert ('#EXT-X-STREAM-INF:BANDWIDTH=2000000,'
+            'CODECS="avc1.64001f,mp4a.40.2",AUDIO="aud"\nhi.m3u8'
+            in master)
+    assert ('#EXT-X-I-FRAME-STREAM-INF:BANDWIDTH=200000,'
+            'CODECS="avc1.64001f",URI="iframe.m3u8"' in master)
+    # every rendition got its own media playlist + init + segments
+    for uri in ("hi", "iframe", "en"):
+        pl = (tmp_path / f"{uri}.m3u8").read_text()
+        assert "#EXT-X-ENDLIST" in pl
+        assert f'#EXT-X-MAP:URI="{uri}_init.mp4"' in pl
+        assert (tmp_path / f"{uri}_init.mp4").read_bytes() == b"init-seg"
+        assert (tmp_path / f"{uri}_00001.m4s").read_bytes() == b"frag1"
+
+
+def test_hlsmultivariantsink_unconfigured_pad_errors(tmp_path):
+    from gstpu.core.registry import make
+    sink = make("hlsmultivariantsink",
+                playlist_location=str(tmp_path / "m.m3u8"))
+    pad = sink.request_pad()
+    with pytest.raises(ValueError):
+        sink.configure_pad(pad)  # neither variant nor rendition
+    with pytest.raises(ValueError):
+        sink.configure_pad(pad, variant={"uri": "x.m3u8"})  # no bandwidth

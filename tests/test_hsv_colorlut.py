@@ -254,3 +254,29 @@ def test_pallas_hsv_kernel_matches_jnp():
                                 *[jnp.float32(a) for a in args]))
     got = np.asarray(hsv_filter_frame_pallas(rgb, *args, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_colorlut_rgba64(tmp_path):
+    """16-bit path (reference imp.rs supports RGBA64): invert LUT on
+    deep-color pixels, both endiannesses, alpha untouched."""
+    from gstpu.core.harness import Harness
+    f = tmp_path / "invert.cube"
+    f.write_text(CUBE_3D)
+    for fmt, dt in (("RGBA64LE", "<u2"), ("RGBA64BE", ">u2")):
+        h = Harness(make("colorlut", location=str(f)))
+        h.set_caps(f"video/x-raw, format={fmt}, width=4, height=2, "
+                   f"framerate=30/1")
+        pix = np.zeros((2, 4, 4), dtype=dt)
+        pix[..., 0] = 65535   # R max
+        pix[..., 1] = 0
+        pix[..., 2] = 32768
+        pix[..., 3] = 1234    # alpha passthrough
+        vi = VideoInfo(fmt, 4, 2)
+        h.push(vi.make_buffer(pix))
+        out = vi.view(h.pull())
+        assert out.dtype == np.dtype(dt)
+        assert (out[..., 0] == 0).all()
+        assert (out[..., 1] == 65535).all()
+        assert abs(int(out[0, 0, 2]) - (65535 - 32768)) <= 1
+        assert (out[..., 3] == 1234).all()
+        h.teardown()
