@@ -33,6 +33,7 @@ _MODULES = [
     "gstpu.elements.video.image",
     "gstpu.elements.video.closedcaption",
     "gstpu.elements.video.scc",
+    "gstpu.elements.video.mcc",
     "gstpu.elements.video.cdg",
     "gstpu.elements.mux.fmp4",
     "gstpu.elements.mux.flvdemux",
