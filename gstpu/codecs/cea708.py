@@ -1,0 +1,145 @@
+"""CEA-708 cc_data / CDP (SMPTE 334-2) packet codec.
+
+Rebuilds the reference's CDP handling (video/closedcaption/src/
+ccutils.rs extract_cdp, cea608tocea708/imp.rs cc_data writer): cc_data
+is a sequence of 3-byte triplets (marker|valid|type, byte0, byte1);
+a CDP wraps cc_data with the 0x9669 header, frame-rate code, flags,
+sequence counter and a zero-sum checksum footer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from fractions import Fraction
+
+# cdp_frame_rate codes (SMPTE 334-2 table 2) and the per-frame
+# cc_count that fills the 9.6 kbit/s caption channel at that rate
+CDP_RATES: dict[Fraction, int] = {
+    Fraction(24000, 1001): 0x1, Fraction(24): 0x2, Fraction(25): 0x3,
+    Fraction(30000, 1001): 0x4, Fraction(30): 0x5, Fraction(50): 0x6,
+    Fraction(60000, 1001): 0x7, Fraction(60): 0x8,
+}
+CC_COUNT = {0x1: 25, 0x2: 25, 0x3: 24, 0x4: 20, 0x5: 20, 0x6: 12,
+            0x7: 10, 0x8: 10}
+
+# cc_type values inside a triplet
+CC_608_FIELD1 = 0x0
+CC_608_FIELD2 = 0x1
+CC_708_DATA = 0x2
+CC_708_START = 0x3
+
+
+def cc_triplet(byte0: int, byte1: int, cc_type: int,
+               valid: bool = True) -> bytes:
+    return bytes([0xF8 | (0x04 if valid else 0) | cc_type,
+                  byte0, byte1])
+
+
+def cc_data_from_608(pairs: list[bytes], field_: int = 0) -> bytes:
+    t = CC_608_FIELD1 if field_ == 0 else CC_608_FIELD2
+    return b"".join(cc_triplet(p[0], p[1], t) for p in pairs)
+
+
+def pad_cc_data(cc_data: bytes, cc_count: int) -> bytes:
+    """Pad with invalid-608 triplets (0xFA 00 00 — the runs that MCC
+    aliases as G..O)."""
+    n = cc_count - len(cc_data) // 3
+    if n < 0:
+        raise ValueError(f"cc_data exceeds cc_count={cc_count}")
+    return cc_data + bytes([0xFA, 0x00, 0x00]) * n
+
+
+def extract_cea608(cc_data: bytes) -> tuple[list[bytes], list[bytes]]:
+    """Valid 608 pairs per field from a cc_data triplet run."""
+    f0, f1 = [], []
+    for i in range(0, len(cc_data) - 2, 3):
+        hdr = cc_data[i]
+        if not hdr & 0x04:
+            continue  # cc_valid unset (padding)
+        t = hdr & 0x03
+        if t == CC_608_FIELD1:
+            f0.append(cc_data[i + 1:i + 3])
+        elif t == CC_608_FIELD2:
+            f1.append(cc_data[i + 1:i + 3])
+    return f0, f1
+
+
+@dataclass
+class Cdp:
+    rate_code: int = 0x4
+    sequence: int = 0
+    cc_data: bytes = b""
+    timecode: tuple[int, int, int, int] | None = None  # h, m, s, f
+    service_active: bool = True
+
+
+def build_cdp(cdp: Cdp) -> bytes:
+    flags = 0x40 | 0x01                    # ccdata_present | reserved
+    if cdp.timecode is not None:
+        flags |= 0x80
+    if cdp.service_active:
+        flags |= 0x02
+    body = bytearray([cdp.rate_code << 4 | 0x0F, flags,
+                      cdp.sequence >> 8 & 0xFF, cdp.sequence & 0xFF])
+    if cdp.timecode is not None:
+        h, m, s, f = cdp.timecode
+        body += bytes([0x71,
+                       0xC0 | (h // 10) << 4 | h % 10,
+                       0x80 | (m // 10) << 4 | m % 10,
+                       0x80 | (s // 10) << 4 | s % 10,
+                       0x80 | (f // 10) << 4 | f % 10])
+    cc_count = len(cdp.cc_data) // 3
+    body += bytes([0x72, 0xE0 | cc_count]) + cdp.cc_data
+    body += bytes([0x74, cdp.sequence >> 8 & 0xFF,
+                   cdp.sequence & 0xFF])
+    total = len(body) + 3                  # + magic(2) + length(1)
+    pkt = bytearray([0x96, 0x69, total + 1]) + body
+    checksum = (256 - sum(pkt) % 256) % 256
+    pkt.append(checksum)
+    assert sum(pkt) % 256 == 0
+    return bytes(pkt)
+
+
+def parse_cdp(data: bytes) -> Cdp:
+    """Mirror of ccutils.rs:27 extract_cdp validation order."""
+    if len(data) < 11:
+        raise ValueError(f"cdp packet too short {len(data)}")
+    if data[0] != 0x96 or data[1] != 0x69:
+        raise ValueError("cdp packet does not start with 0x9669")
+    if data[2] != len(data):
+        raise ValueError(f"advertised cdp length {data[2]} != "
+                         f"{len(data)}")
+    if sum(data) % 256 != 0:
+        raise ValueError("cdp checksum mismatch")
+    rate_code = data[3] >> 4
+    flags = data[4]
+    seq = data[5] << 8 | data[6]
+    pos = 7
+    tc = None
+    if flags & 0x80:
+        if len(data) < pos + 5:
+            raise ValueError("cdp signals a timecode but is too short")
+        if data[pos] != 0x71:
+            raise ValueError("bad time_code_section id")
+        def bcd(b, mask):
+            return ((b & mask) >> 4) * 10 + (b & 0x0F)
+        tc = (bcd(data[pos + 1], 0x30), bcd(data[pos + 2], 0x70),
+              bcd(data[pos + 3], 0x70), bcd(data[pos + 4], 0x30))
+        pos += 5
+    cc_data = b""
+    if flags & 0x40:
+        if len(data) < pos + 2:
+            raise ValueError("cdp signals cc_data but is too short")
+        if data[pos] != 0x72:
+            raise ValueError("ccp is missing start code 0x72")
+        cnt = data[pos + 1]
+        if cnt & 0xE0 != 0xE0:
+            raise ValueError(f"reserved bits are not 0xe0, found "
+                             f"{cnt & 0xE0:02x}")
+        cnt &= 0x1F
+        pos += 2
+        if len(data) < pos + 3 * cnt:
+            raise ValueError("cc_data truncated")
+        cc_data = data[pos:pos + 3 * cnt]
+    return Cdp(rate_code=rate_code, sequence=seq, cc_data=cc_data,
+               timecode=tc, service_active=bool(flags & 0x02))

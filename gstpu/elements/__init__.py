@@ -34,6 +34,7 @@ _MODULES = [
     "gstpu.elements.video.closedcaption",
     "gstpu.elements.video.scc",
     "gstpu.elements.video.mcc",
+    "gstpu.elements.video.cea708",
     "gstpu.elements.video.cdg",
     "gstpu.elements.mux.fmp4",
     "gstpu.elements.mux.flvdemux",

@@ -1,0 +1,102 @@
+"""CEA-708 CDP codec + cea608tocea708 element tests."""
+
+import pytest
+
+from gstpu import Buffer
+from gstpu.codecs.cea708 import (CC_COUNT, Cdp, build_cdp,
+                                 cc_data_from_608, extract_cea608,
+                                 pad_cc_data, parse_cdp)
+from gstpu.core.harness import Harness
+from gstpu.core.registry import make
+
+
+def test_cdp_roundtrip():
+    cc = pad_cc_data(cc_data_from_608([b"\x94\x2c", b"\x94\x2f"]), 20)
+    pkt = build_cdp(Cdp(rate_code=0x4, sequence=0x1234, cc_data=cc,
+                        timecode=(1, 2, 3, 4)))
+    assert pkt[:2] == b"\x96\x69"
+    assert sum(pkt) % 256 == 0          # zero-sum checksum
+    back = parse_cdp(pkt)
+    assert back.sequence == 0x1234
+    assert back.rate_code == 0x4
+    assert back.timecode == (1, 2, 3, 4)
+    assert back.cc_data == cc
+    f0, f1 = extract_cea608(back.cc_data)
+    assert f0 == [b"\x94\x2c", b"\x94\x2f"] and f1 == []
+
+
+def test_cdp_parse_rejects_corruption():
+    pkt = bytearray(build_cdp(Cdp(cc_data=pad_cc_data(b"", 20))))
+    with pytest.raises(ValueError, match="0x9669"):
+        parse_cdp(b"\x00" + bytes(pkt[1:]))
+    bad = bytearray(pkt); bad[10] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        parse_cdp(bytes(bad))
+    with pytest.raises(ValueError, match="too short"):
+        parse_cdp(pkt[:8])
+
+
+def test_cc_count_budget():
+    # padding fills exactly to the per-rate cc_count
+    for rate, cnt in CC_COUNT.items():
+        cc = pad_cc_data(cc_data_from_608([b"\x80\x80"]), cnt)
+        assert len(cc) == 3 * cnt
+    with pytest.raises(ValueError):
+        pad_cc_data(b"\xfc\x80\x80" * 21, 20)
+
+
+def test_element_cc_data():
+    h = Harness(make("cea608tocea708"))
+    h.set_caps("closedcaption/x-cea-608, format=raw")
+    h.push(Buffer(b"\x94\x2c", pts=7))
+    out = h.pull()
+    assert out.to_bytes() == b"\xfc\x94\x2c"
+    assert out.pts == 7
+    h.teardown()
+
+
+def test_element_cdp_with_framerate():
+    h = Harness(make("cea608tocea708"))
+    h.set_caps("closedcaption/x-cea-608, format=raw, framerate=25/1")
+    h.push(Buffer(b"\x94\x2c"))
+    h.push(Buffer(b"\x20\x20"))
+    a, b = h.pull_all()
+    # negotiation picked cdp? src template lists cc_data first, so
+    # force via downstream filter instead: parse only if cdp
+    if a.to_bytes()[:2] == b"\x96\x69":
+        cdp0, cdp1 = parse_cdp(a.to_bytes()), parse_cdp(b.to_bytes())
+        assert cdp1.sequence == cdp0.sequence + 1
+        assert len(cdp0.cc_data) == 3 * CC_COUNT[0x3]  # 24 at 25fps
+        f0, _ = extract_cea608(cdp0.cc_data)
+        assert f0 == [b"\x94\x2c"]
+    h.teardown()
+
+
+def test_element_cdp_negotiated_downstream():
+    from gstpu import State, parse_launch
+    p = parse_launch(
+        "appsrc name=src caps=\"closedcaption/x-cea-608, format=raw, "
+        "framerate=30000/1001\" ! cea608tocea708 ! "
+        "closedcaption/x-cea-708, format=cdp ! appsink name=out")
+    src = p.get_by_name("src")
+    p.set_state(State.PLAYING)
+    src.push_buffer(Buffer(b"\x94\x2c"))
+    src.end_of_stream()
+    p.run()
+    out = p.get_by_name("out").pull_all()
+    cdp = parse_cdp(out[0].to_bytes())
+    assert cdp.rate_code == 0x4
+    assert len(cdp.cc_data) == 3 * 20
+    f0, _ = extract_cea608(cdp.cc_data)
+    assert f0 == [b"\x94\x2c"]
+    p.set_state(State.NULL)
+
+
+def test_element_s334_field2():
+    h = Harness(make("cea608tocea708"))
+    h.set_caps("closedcaption/x-cea-608, format=s334-1a")
+    # field byte 0x80 = field 1(->0), 0x00 = field 2(->1)
+    h.push(Buffer(b"\x80\x94\x2c\x00\x15\x2c"))
+    out = h.pull().to_bytes()
+    assert out == b"\xfc\x94\x2c\xfd\x15\x2c"
+    h.teardown()
