@@ -44,6 +44,7 @@ _MODULES = [
     "gstpu.elements.net.tcp",
     "gstpu.elements.net.rtsp",
     "gstpu.elements.net.hls",
+    "gstpu.elements.net.mpegtslive",
     "gstpu.elements.net.dash",
     "gstpu.elements.net.gccbwe",
     "gstpu.elements.net.onvif",
