@@ -35,6 +35,7 @@ _MODULES = [
     "gstpu.elements.video.scc",
     "gstpu.elements.video.mcc",
     "gstpu.elements.video.cea708",
+    "gstpu.elements.video.st2038",
     "gstpu.elements.video.cdg",
     "gstpu.elements.mux.fmp4",
     "gstpu.elements.mux.flvdemux",

@@ -1,0 +1,70 @@
+"""ST-2038 ANC codec + converter element tests."""
+
+import pytest
+
+from gstpu import Buffer
+from gstpu.codecs.st2038 import build_anc, iter_anc, parse_anc
+from gstpu.core.harness import Harness
+from gstpu.core.registry import make
+
+
+def test_anc_roundtrip():
+    payload = bytes(range(17))
+    anc = build_anc(0x61, 0x01, payload, line_number=9,
+                    horizontal_offset=123)
+    hdr, back = parse_anc(anc)
+    assert (hdr.did, hdr.sdid, hdr.data_count) == (0x61, 0x01, 17)
+    assert (hdr.line_number, hdr.horizontal_offset) == (9, 123)
+    assert back == payload
+    # checksum b9 is the inverse of b8
+    assert (hdr.checksum >> 9) & 1 == (~(hdr.checksum >> 8)) & 1
+
+
+def test_anc_multiple_packets_and_stuffing():
+    data = (build_anc(0x61, 0x01, b"one") +
+            build_anc(0x45, 0x01, b"other-service") +
+            build_anc(0x61, 0x02, b"two") + b"\xff\xff\xff")
+    got = [(h.did, h.sdid, p) for h, p in iter_anc(data)]
+    assert got == [(0x61, 0x01, b"one"), (0x45, 0x01, b"other-service"),
+                   (0x61, 0x02, b"two")]
+
+
+def test_anc_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_anc(b"\xc0\x00\x00\x00\x00\x00")  # zero bits not zero
+    with pytest.raises(ValueError):
+        build_anc(0x61, 0x01, bytes(256))
+
+
+def test_cc_to_anc_to_cc_roundtrip():
+    from gstpu.codecs.cea708 import Cdp, build_cdp, pad_cc_data
+    cdp = build_cdp(Cdp(cc_data=pad_cc_data(b"\xfc\x94\x2c", 20)))
+
+    to_anc = Harness(make("cctost2038anc", line_number=11))
+    to_anc.set_caps("closedcaption/x-cea-708, format=cdp")
+    to_anc.push(Buffer(cdp, pts=42))
+    anc_buf = to_anc.pull()
+    hdr, payload = parse_anc(anc_buf.to_bytes())
+    assert (hdr.did, hdr.sdid, hdr.line_number) == (0x61, 0x01, 11)
+    assert payload == cdp
+    to_anc.teardown()
+
+    back = Harness(make("st2038anctocc"))
+    back.set_caps("meta/x-st-2038")
+    back.push(anc_buf)
+    out = back.pull()
+    assert out.to_bytes() == cdp
+    assert out.pts == 42
+    assert back.element.srcpad.caps()[0].name == "closedcaption/x-cea-708"
+    back.teardown()
+
+
+def test_anctocc_skips_foreign_services():
+    data = (build_anc(0x41, 0x05, b"vanc-timecode") +
+            build_anc(0x61, 0x02, b"\x80\x94\x2c"))
+    h = Harness(make("st2038anctocc"))
+    h.set_caps("meta/x-st-2038")
+    h.push(Buffer(data))
+    outs = h.pull_all()
+    assert len(outs) == 1 and outs[0].to_bytes() == b"\x80\x94\x2c"
+    h.teardown()
