@@ -15,7 +15,7 @@ from collections import deque
 from gstpu.core.audio import audio_caps
 from gstpu.core.base import BaseTransform
 from gstpu.core.buffer import Buffer
-from gstpu.core.caps import Caps, IntRange, Structure
+from gstpu.core.caps import AnyList, Caps, IntRange, Structure
 from gstpu.core.element import (Element, FlowReturn, Pad, PadDirection,
                                 PadPresence, PadTemplate)
 from gstpu.core.event import EosEvent, Event
@@ -366,3 +366,88 @@ class RtpRecv(Element):
                 for pid in jb.flush():
                     self.srcpad.push(held.pop(pid))
         return self.default_pad_event(pad, ev)
+
+
+# -- MP2T (MPEG-TS over RTP, RFC 2250) --------------------------------
+
+_MP2T_MEDIA = Caps([Structure("video/mpegts",
+                              **{"packetsize":
+                                 AnyList((188, 192, 204, 208)),
+                                 "systemstream": True})])
+
+
+@register_element("rtpmp2tpay2", Rank.SECONDARY)
+class RtpMp2tPay(RtpBasePay2):
+    """Aggregates whole TS packets into RTP payloads (reference
+    net/rtp/src/mp2t/pay/imp.rs: 7x188=1316 typical, static PT 33)."""
+
+    DEFAULT_PT = 33
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, _MP2T_MEDIA.copy()),
+        _tmpl("src", PadDirection.SRC,
+              rtp_caps("MP2T", clock_rate=90000, media="video",
+                       payload=33)),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.pt = 33
+        self._packet_size = 188
+        self._acc = b""
+
+    def set_sink_caps(self, caps) -> bool:
+        self._packet_size = int(caps[0].get("packetsize", 188) or 188)
+        return True
+
+    def handle_buffer(self, buf) -> None:
+        self._acc += buf.to_bytes()
+        n_fit = max(1, (self.mtu - 12) // self._packet_size)
+        chunk = n_fit * self._packet_size
+        rtp_ts = self.rtp_timestamp_for(buf)
+        while len(self._acc) >= chunk:
+            self.queue_packet(self._acc[:chunk], rtp_ts=rtp_ts,
+                              pts=buf.pts)
+            self._acc = self._acc[chunk:]
+
+    def drain(self):
+        if not self._acc:
+            return []
+        pkt = self._acc
+        self._acc = b""
+        self._pending = []
+        self.queue_packet(pkt, marker=True)
+        out, self._pending = self._pending, []
+        return out
+
+
+@register_element("rtpmp2tdepay2", Rank.SECONDARY)
+class RtpMp2tDepay(RtpBaseDepay2):
+    """Validates sync bytes and passes whole TS packets through
+    (reference net/rtp/src/mp2t/depay/imp.rs)."""
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK,
+              rtp_caps("MP2T", clock_rate=90000, media="video",
+                       payload=33)),
+        _tmpl("src", PadDirection.SRC, _MP2T_MEDIA.copy()),
+    ]
+
+    skip_first_bytes = Property(int, default=0, minimum=0,
+                                mutable=Mutability.READY)
+
+    def depay_src_caps(self, incaps):
+        return Caps.new("video/mpegts", packetsize=188,
+                        systemstream=True)
+
+    def handle_packet(self, pkt, buf) -> None:
+        data = pkt.payload[self.skip_first_bytes:]
+        if not data or data[0] != 0x47 or len(data) % 188:
+            # resync on packet-size multiples of the sync byte
+            pos = data.find(b"\x47")
+            if pos < 0:
+                return
+            data = data[pos:len(data) - (len(data) - pos) % 188]
+            if not data:
+                return
+        self.queue_buffer(data, pts=self.pts_for(pkt))

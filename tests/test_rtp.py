@@ -302,3 +302,54 @@ def test_onvif_metadata_pay_depay():
     assert out[0].to_bytes() == xml  # fragmented over MTU + reassembled
     assert out[0].get_meta(OnvifXMLFrameMeta) is not None
     p.set_state(State.NULL)
+
+
+def test_rtp_mp2t_roundtrip():
+    from gstpu.codecs.mpegts import build_ts_packet
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+
+    ts = b"".join(build_ts_packet(0x100, payload=bytes([i]) * 184,
+                                  pusi=True, cc=i) for i in range(9))
+    pay = Harness(make("rtpmp2tpay2", mtu=1400, ssrc=7,
+                       seqnum_offset=0, timestamp_offset=0))
+    pay.set_caps("video/mpegts, packetsize=188, systemstream=true")
+    pay.push(Buffer(ts, pts=0))
+    pay.push_eos()                        # drain the remainder
+    pkts = pay.pull_all()
+    # 1400-12 = 1388 -> 7 TS packets per RTP packet: 7 + 2
+    assert len(pkts) == 2
+    from gstpu.net.rtp.packet import RtpPacket
+    p0 = RtpPacket.parse(pkts[0].to_bytes())
+    assert p0.payload_type == 33
+    assert len(p0.payload) == 7 * 188
+    assert p0.payload[0] == 0x47
+    pay.teardown()
+
+    depay = Harness(make("rtpmp2tdepay2"))
+    depay.set_caps("application/x-rtp, media=video, encoding-name=MP2T,"
+                   " clock-rate=90000, payload=33")
+    for p in pkts:
+        depay.push(p)
+    out = b"".join(b.to_bytes() for b in depay.pull_all())
+    assert out == ts
+    assert depay.element.srcpad.caps()[0]["packetsize"] == 188
+    depay.teardown()
+
+
+def test_rtp_mp2t_depay_resync():
+    from gstpu.codecs.mpegts import build_ts_packet
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu.net.rtp.packet import RtpPacket
+
+    good = build_ts_packet(0x30, payload=b"x" * 184, pusi=True)
+    pkt = RtpPacket(payload_type=33, seqnum=1, timestamp=0, ssrc=1,
+                    payload=b"\x00\x00\x00" + good)
+    depay = Harness(make("rtpmp2tdepay2"))
+    depay.set_caps("application/x-rtp, media=video, encoding-name=MP2T,"
+                   " clock-rate=90000, payload=33")
+    depay.push(Buffer(pkt.to_bytes()))
+    outs = depay.pull_all()
+    assert len(outs) == 1 and outs[0].to_bytes() == good
+    depay.teardown()
