@@ -451,3 +451,156 @@ class RtpMp2tDepay(RtpBaseDepay2):
             if not data:
                 return
         self.queue_buffer(data, pts=self.pts_for(pkt))
+
+
+# -- AC-3 (RFC 4184) ----------------------------------------------------
+
+_AC3_MEDIA = Caps([Structure("audio/x-ac3",
+                             **{"framed": True,
+                                "rate": AnyList((32000, 44100, 48000))})])
+
+
+@register_element("rtpac3pay2", Rank.SECONDARY)
+class RtpAc3Pay(RtpBasePay2):
+    """RFC 4184: 2-byte payload header (MBZ|FT, NF).  Whole framed
+    buffers go out FT=0 NF=1; oversized frames fragment with FT=1
+    (initial, >=5/8 of the frame) / FT=3 (non-initial), NF = number
+    of fragments (reference net/rtp/src/ac3/pay/imp.rs:512)."""
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, _AC3_MEDIA.copy()),
+        _tmpl("src", PadDirection.SRC,
+              rtp_caps("AC3", media="audio")),
+    ]
+
+    def set_sink_caps(self, caps) -> bool:
+        # RTP clock rate is the audio sample rate for AC3
+        self.clock_rate = int(caps[0].get("rate", 48000) or 48000)
+        return True
+
+    def transform_caps(self, direction, caps, filter):
+        out = super().transform_caps(direction, caps, filter)
+        if direction is PadDirection.SINK and caps.is_fixed():
+            rate = caps[0].get("rate")
+            if rate is not None:
+                for s in out:
+                    s["clock-rate"] = int(rate)
+        return out
+
+    def handle_buffer(self, buf) -> None:
+        data = buf.to_bytes()
+        rtp_ts = self.rtp_timestamp_for(buf)
+        room = self.mtu - 12 - 2
+        if len(data) <= room:
+            self.queue_packet(bytes([0, 1]) + data, marker=True,
+                              rtp_ts=rtp_ts, pts=buf.pts)
+            return
+        chunks = [data[i:i + room] for i in range(0, len(data), room)]
+        n = len(chunks)
+        for i, c in enumerate(chunks):
+            ft = 1 if i == 0 else 3
+            self.queue_packet(bytes([ft, n]) + c,
+                              marker=(i == n - 1), rtp_ts=rtp_ts,
+                              pts=buf.pts)
+
+
+@register_element("rtpac3depay2", Rank.SECONDARY)
+class RtpAc3Depay(RtpBaseDepay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, rtp_caps("AC3", media="audio")),
+        _tmpl("src", PadDirection.SRC, _AC3_MEDIA.copy()),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._frag: list[bytes] = []
+        self._frag_pts = None
+
+    def depay_src_caps(self, incaps):
+        rate = int(incaps[0].get("clock-rate", 48000) or 48000)
+        return Caps.new("audio/x-ac3", framed=True, rate=rate)
+
+    def handle_packet(self, pkt, buf) -> None:
+        data = pkt.payload
+        if len(data) < 3:
+            return
+        ft = data[0] & 0x03
+        body = data[2:]
+        if ft == 0:
+            self.queue_buffer(body, pts=self.pts_for(pkt))
+            return
+        if ft == 1 or ft == 2 or not self._frag:
+            self._frag = []
+            self._frag_pts = self.pts_for(pkt)
+        self._frag.append(body)
+        if pkt.marker:
+            self.queue_buffer(b"".join(self._frag), pts=self._frag_pts)
+            self._frag = []
+
+
+# -- MPEG audio (RFC 2250) ----------------------------------------------
+
+_MPA_MEDIA = Caps([Structure("audio/mpeg", mpegversion=1)])
+
+
+@register_element("rtpmpapay2", Rank.SECONDARY)
+class RtpMpaPay(RtpBasePay2):
+    """RFC 2250 audio: 4-byte header (2 MBZ, 2 fragmentation offset),
+    static PT 14, 90kHz clock (reference net/rtp/src/mpa/pay)."""
+
+    DEFAULT_PT = 14
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, _MPA_MEDIA.copy()),
+        _tmpl("src", PadDirection.SRC,
+              rtp_caps("MPA", clock_rate=90000, media="audio")),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.pt = 14
+
+    def handle_buffer(self, buf) -> None:
+        data = buf.to_bytes()
+        rtp_ts = self.rtp_timestamp_for(buf)
+        room = self.mtu - 12 - 4
+        off = 0
+        while off < len(data) or not off:
+            chunk = data[off:off + room]
+            hdr = bytes([0, 0, off >> 8 & 0xFF, off & 0xFF])
+            last = off + room >= len(data)
+            self.queue_packet(hdr + chunk, marker=last, rtp_ts=rtp_ts,
+                              pts=buf.pts)
+            off += room
+            if last:
+                break
+
+
+@register_element("rtpmpadepay2", Rank.SECONDARY)
+class RtpMpaDepay(RtpBaseDepay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK,
+              rtp_caps("MPA", clock_rate=90000, media="audio")),
+        _tmpl("src", PadDirection.SRC, _MPA_MEDIA.copy()),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._frag: list[bytes] = []
+        self._frag_pts = None
+
+    def depay_src_caps(self, incaps):
+        return Caps.new("audio/mpeg", mpegversion=1)
+
+    def handle_packet(self, pkt, buf) -> None:
+        data = pkt.payload
+        if len(data) < 5:
+            return
+        frag_offset = data[2] << 8 | data[3]
+        if frag_offset == 0:
+            self._frag = []
+            self._frag_pts = self.pts_for(pkt)
+        self._frag.append(data[4:])
+        if pkt.marker:
+            self.queue_buffer(b"".join(self._frag), pts=self._frag_pts)
+            self._frag = []

@@ -353,3 +353,61 @@ def test_rtp_mp2t_depay_resync():
     outs = depay.pull_all()
     assert len(outs) == 1 and outs[0].to_bytes() == good
     depay.teardown()
+
+
+def test_rtp_ac3_whole_and_fragmented():
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu.net.rtp.packet import RtpPacket
+
+    pay = Harness(make("rtpac3pay2", mtu=100, ssrc=1, seqnum_offset=0,
+                       timestamp_offset=0))
+    pay.set_caps("audio/x-ac3, framed=true, rate=48000")
+    small = b"\x0b\x77" + bytes(30)
+    big = b"\x0b\x77" + bytes(300)
+    pay.push(Buffer(small, pts=0))
+    pay.push(Buffer(big, pts=10**6))
+    pkts = [RtpPacket.parse(b.to_bytes()) for b in pay.pull_all()]
+    assert pkts[0].payload[:2] == bytes([0, 1])    # FT=0 NF=1
+    assert pkts[0].payload[2:] == small and pkts[0].marker
+    frags = pkts[1:]
+    assert frags[0].payload[0] == 1                # initial fragment
+    assert all(p.payload[0] == 3 for p in frags[1:])
+    assert all(p.payload[1] == len(frags) for p in frags)
+    assert frags[-1].marker
+    pay.teardown()
+
+    depay = Harness(make("rtpac3depay2"))
+    depay.set_caps("application/x-rtp, media=audio, encoding-name=AC3,"
+                   " clock-rate=48000")
+    for p in pkts:
+        depay.push(Buffer(p.to_bytes()))
+    outs = depay.pull_all()
+    assert [o.to_bytes() for o in outs] == [small, big]
+    assert depay.element.srcpad.caps()[0]["rate"] == 48000
+    depay.teardown()
+
+
+def test_rtp_mpa_roundtrip():
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu.net.rtp.packet import RtpPacket
+
+    pay = Harness(make("rtpmpapay2", mtu=60, ssrc=1, seqnum_offset=0,
+                       timestamp_offset=0))
+    pay.set_caps("audio/mpeg, mpegversion=1")
+    frame = bytes(range(100))
+    pay.push(Buffer(frame, pts=0))
+    pkts = [RtpPacket.parse(b.to_bytes()) for b in pay.pull_all()]
+    assert all(p.payload_type == 14 for p in pkts)
+    assert len(pkts) == 3                           # 44-byte chunks
+    assert pkts[1].payload[2:4] == (44).to_bytes(2, "big")
+    depay = Harness(make("rtpmpadepay2"))
+    depay.set_caps("application/x-rtp, media=audio, encoding-name=MPA,"
+                   " clock-rate=90000, payload=14")
+    for p in pkts:
+        depay.push(Buffer(p.to_bytes()))
+    outs = depay.pull_all()
+    assert len(outs) == 1 and outs[0].to_bytes() == frame
+    pay.teardown()
+    depay.teardown()
