@@ -604,3 +604,125 @@ class RtpMpaDepay(RtpBaseDepay2):
         if pkt.marker:
             self.queue_buffer(b"".join(self._frag), pts=self._frag_pts)
             self._frag = []
+
+
+# -- MPEG-4 generic (RFC 3640, AAC-hbr) -----------------------------------
+
+_MP4G_MEDIA = Caps([Structure("audio/mpeg", mpegversion=4,
+                              **{"stream-format": "raw"})])
+
+
+@register_element("rtpmp4gpay2", Rank.SECONDARY)
+class RtpMp4gPay(RtpBasePay2):
+    """RFC 3640 AAC-hbr (reference net/rtp/src/mp4g/pay): AU-headers
+    section (16-bit bit length, then size<<indexlen|index per AU)
+    followed by the AU; oversized AUs fragment with the marker on the
+    final fragment only."""
+
+    SIZE_LEN = 13
+    INDEX_LEN = 3
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, _MP4G_MEDIA.copy()),
+        _tmpl("src", PadDirection.SRC,
+              rtp_caps("MPEG4-GENERIC", media="audio",
+                       mode="AAC-hbr", sizelength="13",
+                       indexlength="3", indexdeltalength="3")),
+    ]
+
+    def set_sink_caps(self, caps) -> bool:
+        self.clock_rate = int(caps[0].get("rate", 90000) or 90000)
+        return True
+
+    def transform_caps(self, direction, caps, filter):
+        out = super().transform_caps(direction, caps, filter)
+        if direction is PadDirection.SINK and caps.is_fixed():
+            rate = caps[0].get("rate")
+            if rate is not None:
+                for s in out:
+                    s["clock-rate"] = int(rate)
+        return out
+
+    def _au_header(self, size: int, index: int = 0) -> bytes:
+        bits = self.SIZE_LEN + self.INDEX_LEN   # 16 for AAC-hbr
+        v = size << self.INDEX_LEN | index
+        return bits.to_bytes(2, "big") + v.to_bytes(2, "big")
+
+    def handle_buffer(self, buf) -> None:
+        data = buf.to_bytes()
+        rtp_ts = self.rtp_timestamp_for(buf)
+        room = self.mtu - 12 - 4            # headers-length + 1 header
+        if len(data) <= room:
+            self.queue_packet(self._au_header(len(data)) + data,
+                              marker=True, rtp_ts=rtp_ts, pts=buf.pts)
+            return
+        chunks = [data[i:i + room] for i in range(0, len(data), room)]
+        for i, c in enumerate(chunks):
+            # fragments carry the ORIGINAL AU size (RFC 3640 3.3.6)
+            self.queue_packet(self._au_header(len(data)) + c,
+                              marker=(i == len(chunks) - 1),
+                              rtp_ts=rtp_ts, pts=buf.pts)
+
+
+@register_element("rtpmp4gdepay2", Rank.SECONDARY)
+class RtpMp4gDepay(RtpBaseDepay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK,
+              rtp_caps("MPEG4-GENERIC", media="audio",
+                       mode="AAC-hbr")),
+        _tmpl("src", PadDirection.SRC, _MP4G_MEDIA.copy()),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._size_len = 13
+        self._index_len = 3
+        self._frag: list[bytes] = []
+        self._frag_size = 0
+        self._frag_pts = None
+
+    def set_rtp_caps(self, caps) -> bool:
+        s = caps[0]
+        self._size_len = int(s.get("sizelength", 13) or 13)
+        self._index_len = int(s.get("indexlength", 3) or 3)
+        return True
+
+    def depay_src_caps(self, incaps):
+        rate = int(incaps[0].get("clock-rate", 90000) or 90000)
+        return Caps.new("audio/mpeg", mpegversion=4, rate=rate,
+                        **{"stream-format": "raw"})
+
+    def handle_packet(self, pkt, buf) -> None:
+        data = pkt.payload
+        if len(data) < 2:
+            return
+        hdr_bits = data[0] << 8 | data[1]
+        n_hdr_bytes = (hdr_bits + 7) // 8
+        per_au = self._size_len + self._index_len
+        aus = []
+        bitpos = 0
+        hdrs = data[2:2 + n_hdr_bytes]
+        while bitpos + per_au <= hdr_bits:
+            v = 0
+            for b in range(per_au):
+                byte = hdrs[(bitpos + b) >> 3]
+                v = v << 1 | (byte >> (7 - ((bitpos + b) & 7))) & 1
+            aus.append(v >> self._index_len)
+            bitpos += per_au
+        pos = 2 + n_hdr_bytes
+        pts = self.pts_for(pkt)
+        for size in aus:
+            chunk = data[pos:pos + size]
+            pos += len(chunk)
+            if len(chunk) == size and not self._frag:
+                self.queue_buffer(chunk, pts=pts)
+            else:                       # fragmented AU
+                if not self._frag:
+                    self._frag_size = size
+                    self._frag_pts = pts
+                self._frag.append(chunk)
+                joined = b"".join(self._frag)
+                if pkt.marker and len(joined) >= self._frag_size:
+                    self.queue_buffer(joined[:self._frag_size],
+                                      pts=self._frag_pts)
+                    self._frag = []

@@ -411,3 +411,38 @@ def test_rtp_mpa_roundtrip():
     assert len(outs) == 1 and outs[0].to_bytes() == frame
     pay.teardown()
     depay.teardown()
+
+
+def test_rtp_mp4g_aac_hbr_roundtrip():
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu.net.rtp.packet import RtpPacket
+
+    pay = Harness(make("rtpmp4gpay2", mtu=100, ssrc=1, seqnum_offset=0,
+                       timestamp_offset=0))
+    pay.set_caps("audio/mpeg, mpegversion=4, stream-format=raw, "
+                 "rate=44100")
+    small = bytes(range(50))
+    big = bytes(200)
+    pay.push(Buffer(small, pts=0))
+    pay.push(Buffer(big, pts=10**6))
+    pkts = [RtpPacket.parse(b.to_bytes()) for b in pay.pull_all()]
+    # AU-headers-length = 16 bits, AU header = size<<3
+    assert pkts[0].payload[:2] == (16).to_bytes(2, "big")
+    assert pkts[0].payload[2] << 8 | pkts[0].payload[3] == 50 << 3
+    assert pkts[0].marker
+    assert not pkts[1].marker and pkts[-1].marker  # big fragmented
+    pay.teardown()
+
+    depay = Harness(make("rtpmp4gdepay2"))
+    depay.set_caps("application/x-rtp, media=audio, "
+                   "encoding-name=MPEG4-GENERIC, mode=AAC-hbr, "
+                   "clock-rate=44100, sizelength=13, indexlength=3, "
+                   "indexdeltalength=3, payload=96")
+    for p in pkts:
+        depay.push(Buffer(p.to_bytes()))
+    outs = depay.pull_all()
+    assert [o.to_bytes() for o in outs] == [small, big]
+    s = depay.element.srcpad.caps()[0]
+    assert s["mpegversion"] == 4 and s["rate"] == 44100
+    depay.teardown()
