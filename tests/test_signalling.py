@@ -127,3 +127,81 @@ def test_websocket_server_end_to_end():
         cons.close()
     finally:
         srv.stop()
+
+
+# -- WHIP/WHEP sans-IO --------------------------------------------------
+
+def _whip_pair():
+    from gstpu.net.webrtc.whip import WhipClientSession, WhipServer
+    server = WhipServer(lambda sid, offer: offer.replace("offer",
+                                                         "answer"))
+    client = WhipClientSession("/whip", auth_token="tok")
+    return client, server
+
+
+def test_whip_post_flow():
+    client, server = _whip_pair()
+    req = client.post_offer("v=0 offer")
+    assert req.method == "POST"
+    assert req.headers["Authorization"] == "Bearer tok"
+    resp = server.handle_request(req)
+    assert resp.status == 201 and "Location" in resp.headers
+    assert client.handle_response(resp) is None
+    assert client.state == "active"
+    assert client.answer_sdp == "v=0 answer"
+    # trickle ICE then teardown
+    patch = client.trickle("a=candidate:1")
+    assert server.handle_request(patch).status == 204
+    sid = client.resource_url.rsplit("/", 1)[1]
+    assert server.sessions[sid]["candidates"] == ["a=candidate:1"]
+    dele = client.teardown()
+    assert server.handle_request(dele).status == 200
+    assert not server.sessions
+    assert server.handle_request(patch).status == 404  # gone
+
+
+def test_whip_redirect_repost():
+    from gstpu.net.webrtc.whip import HttpResponse
+    client, server = _whip_pair()
+    req = client.post_offer("v=0 offer")
+    follow = client.handle_response(
+        HttpResponse(307, {"Location": "/whip"}))
+    assert follow is not None and follow.method == "POST"
+    assert follow.url == "/whip"
+    resp = server.handle_request(follow)
+    client.handle_response(resp)
+    assert client.state == "active"
+
+
+def test_whip_server_validation():
+    from gstpu.net.webrtc.whip import HttpRequest
+    client, server = _whip_pair()
+    # wrong content type
+    assert server.handle_request(HttpRequest(
+        "POST", "/whip", {"Content-Type": "text/plain"},
+        b"x")).status == 415
+    # OPTIONS advertises POST
+    opt = server.handle_request(HttpRequest("OPTIONS", "/whip"))
+    assert opt.status == 204
+    assert opt.headers["Accept-Post"] == "application/sdp"
+    # unknown resource
+    assert server.handle_request(HttpRequest(
+        "DELETE", "/whip/resource/nope")).status == 404
+
+
+def test_whip_client_rejects_missing_location():
+    from gstpu.net.webrtc.whip import HttpResponse
+    client, _ = _whip_pair()
+    client.post_offer("v=0")
+    with pytest.raises(RuntimeError, match="Location"):
+        client.handle_response(HttpResponse(201, {}, b"v=0"))
+
+
+def test_whep_same_machine():
+    from gstpu.net.webrtc.whip import WhepClientSession, WhepServer
+    server = WhepServer(lambda sid, offer: "v=0 send-only-answer")
+    client = WhepClientSession("/whep")
+    resp = server.handle_request(client.post_offer("v=0 recv"))
+    client.handle_response(resp)
+    assert client.answer_sdp == "v=0 send-only-answer"
+    assert client.resource_url.startswith("/whep/resource/")
