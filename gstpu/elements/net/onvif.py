@@ -4,9 +4,11 @@ span packets, the RTP marker closes a document)."""
 
 from __future__ import annotations
 
+from gstpu.core.base import BaseTransform
 from gstpu.core.buffer import Buffer, Meta
 from gstpu.core.caps import Caps
 from gstpu.core.element import PadDirection, PadPresence, PadTemplate
+from gstpu.core.props import Mutability, Property
 from gstpu.core.registry import Rank, register_element
 from gstpu.net.rtp.basepay import RtpBaseDepay2, RtpBasePay2, rtp_caps
 from gstpu.net.rtp.packet import RtpPacket
@@ -64,3 +66,95 @@ class OnvifMetadataDepay(RtpBaseDepay2):
             self._frags = []
             self.queue_buffer(doc, pts=self._doc_pts)
             self._pending[-1].add_meta(OnvifXMLFrameMeta(True))
+
+
+ONVIF_SCHEMA = "http://www.onvif.org/ver10/schema"
+
+
+def _parse_utc(ts: str) -> int:
+    """RFC 3339 -> ns since epoch."""
+    from datetime import datetime
+    dt = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    return int(dt.timestamp() * 1_000_000_000)
+
+
+def iterate_video_analytics_frames(xml_bytes: bytes):
+    """(utc_ns, frame_element) for every tt:Frame under
+    tt:VideoAnalytics (reference net/onvif/src/lib.rs:72)."""
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(xml_bytes)
+    va = root.find(f"{{{ONVIF_SCHEMA}}}VideoAnalytics")
+    if va is None:
+        return
+    for el in va:
+        if el.tag != f"{{{ONVIF_SCHEMA}}}Frame":
+            continue
+        ts = el.get("UtcTime")
+        if ts is None:
+            raise ValueError("Frame element has no UtcTime attribute")
+        yield _parse_utc(ts), el
+
+
+@register_element("onvifmetadataparse", Rank.PRIMARY)
+class OnvifMetadataParse(BaseTransform):
+    """Retimes ONVIF metadata by the Frame UtcTime attributes
+    (reference net/onvif/src/onvifmetadataparse/imp.rs): the first
+    frame pins a UTC<->pts mapping; frames queue by UTC tick and are
+    emitted, one tt:MetadataStream document per tick, once newer data
+    has arrived past the max-lateness window (or at EOS)."""
+
+    max_lateness = Property(int, default=200_000_000, minimum=0,
+                            mutable=Mutability.READY,
+                            blurb="Queue window in ns (imp.rs:72)")
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, ONVIF_META_CAPS.copy()),
+        _tmpl("src", PadDirection.SRC,
+              Caps.new("application/x-onvif-metadata",
+                       parsed=True, encoding="utf8")),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._mapping: tuple[int, int] | None = None   # (utc0, pts0)
+        self._queued: dict[int, list] = {}
+
+    def transform_caps(self, direction, caps, filter):
+        out = (self.srcpad if direction is PadDirection.SINK
+               else self.sinkpad).pad_template_caps().copy()
+        if filter is not None:
+            out = filter.intersect(out)
+        return out
+
+    def _utc_to_pts(self, utc: int) -> int:
+        utc0, pts0 = self._mapping
+        return max(0, pts0 + utc - utc0)
+
+    def _emit(self, utc: int) -> Buffer:
+        import xml.etree.ElementTree as ET
+        ET.register_namespace("tt", ONVIF_SCHEMA)
+        root = ET.Element(f"{{{ONVIF_SCHEMA}}}MetadataStream")
+        va = ET.SubElement(root, f"{{{ONVIF_SCHEMA}}}VideoAnalytics")
+        va.extend(self._queued.pop(utc))
+        return Buffer(ET.tostring(root), pts=self._utc_to_pts(utc))
+
+    def transform(self, buf: Buffer) -> list[Buffer] | None:
+        try:
+            frames = list(iterate_video_analytics_frames(buf.to_bytes()))
+        except Exception as e:
+            self.post_error(f"onvifmetadataparse: bad XML: {e}")
+            from gstpu.core.element import FlowError, FlowReturn
+            raise FlowError(FlowReturn.ERROR)
+        for utc, el in frames:
+            if self._mapping is None:
+                self._mapping = (utc, buf.pts or 0)
+            self._queued.setdefault(utc, []).append(el)
+        if not self._queued:
+            return None
+        newest = max(self._queued)
+        ready = sorted(u for u in self._queued
+                       if newest - u > self.max_lateness)
+        return [self._emit(u) for u in ready] or None
+
+    def drain(self) -> list[Buffer]:
+        return [self._emit(u) for u in sorted(self._queued)]

@@ -446,3 +446,46 @@ def test_rtp_mp4g_aac_hbr_roundtrip():
     s = depay.element.srcpad.caps()[0]
     assert s["mpegversion"] == 4 and s["rate"] == 44100
     depay.teardown()
+
+
+def test_onvif_metadata_parse_retime_and_group():
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu.elements.net.onvif import iterate_video_analytics_frames
+
+    NS = "http://www.onvif.org/ver10/schema"
+
+    def doc(*utcs):
+        frames = "".join(
+            f'<tt:Frame UtcTime="{u}"><tt:Object ObjectId="1"/>'
+            f"</tt:Frame>" for u in utcs)
+        return (f'<tt:MetadataStream xmlns:tt="{NS}">'
+                f"<tt:VideoAnalytics>{frames}</tt:VideoAnalytics>"
+                f"</tt:MetadataStream>").encode()
+
+    h = Harness(make("onvifmetadataparse", max_lateness=0))
+    h.set_caps("application/x-onvif-metadata, encoding=utf8")
+    # two ticks arrive out of order in one buffer, one in the next
+    h.push(Buffer(doc("2026-01-01T00:00:01.000Z",
+                      "2026-01-01T00:00:00.000Z"), pts=10**9))
+    h.push(Buffer(doc("2026-01-01T00:00:02.000Z"), pts=3 * 10**9))
+    h.push_eos()
+    outs = h.pull_all()
+    assert len(outs) == 3
+    # mapping pinned at (utc of first frame seen, pts=1s): tick 0 maps
+    # 1s earlier -> clamped ordering preserved
+    assert [o.pts for o in outs] == sorted(o.pts for o in outs)
+    assert outs[1].pts - outs[0].pts == 10**9
+    parsed = list(iterate_video_analytics_frames(outs[0].to_bytes()))
+    assert len(parsed) == 1
+    h.teardown()
+
+
+def test_onvif_metadata_parse_bad_xml_errors():
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu import FlowReturn
+    h = Harness(make("onvifmetadataparse"))
+    h.set_caps("application/x-onvif-metadata, encoding=utf8")
+    assert h.push(Buffer(b"<not-xml")) is FlowReturn.ERROR
+    h.teardown()
