@@ -726,3 +726,94 @@ class RtpMp4gDepay(RtpBaseDepay2):
                     self.queue_buffer(joined[:self._frag_size],
                                       pts=self._frag_pts)
                     self._frag = []
+
+
+# -- SMPTE ST-291 ancillary data (RFC 8331) -------------------------------
+
+_ST2038_MEDIA = Caps([Structure("meta/x-st-2038", alignment="frame")])
+
+
+@register_element("rtpsmpte291pay2", Rank.SECONDARY)
+class RtpSmpte291Pay(RtpBasePay2):
+    """RFC 8331 (reference net/rtp/src/smpte291/pay): 8-byte header
+    (extended seqnum hi16, length, ANC_count, F+reserved) then each
+    ST-2038 packet rewritten as C/line/hoffset/S/StreamNum + 10-bit
+    DID/SDID/DC/UDW/checksum words, padded to 32-bit boundaries."""
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, _ST2038_MEDIA.copy()),
+        _tmpl("src", PadDirection.SRC,
+              rtp_caps("SMPTE291", clock_rate=90000, media="video")),
+    ]
+
+    def handle_buffer(self, buf) -> None:
+        from gstpu.codecs.st2038 import _BitWriter, iter_anc
+
+        rtp_ts = self.rtp_timestamp_for(buf)
+        w = _BitWriter()
+        count = 0
+        # high 16 bits of the RFC 8331 extended sequence number:
+        # counts 16-bit seqnum wraps since start
+        ext_hi = getattr(self, "_ext_hi", 0)
+        header = bytes([ext_hi >> 8, ext_hi & 0xFF, 0, 0, 0, 0, 0, 0])
+        for hdr, payload in iter_anc(buf.to_bytes()):
+            w.write(1 if hdr.c_not_y else 0, 1)
+            w.write(hdr.line_number, 11)
+            w.write(hdr.horizontal_offset, 12)
+            w.write(0, 1)                      # S
+            w.write(0, 7)                      # StreamNum
+            from gstpu.codecs.st2038 import _parity10
+            for word in (_parity10(hdr.did), _parity10(hdr.sdid),
+                         _parity10(hdr.data_count)):
+                w.write(word, 10)
+            for b in payload:
+                w.write(_parity10(b), 10)
+            w.write(hdr.checksum, 10)
+            while (len(w.out) * 8 + w.nbits) % 32:
+                w.write(0, 1)                  # word_align (RFC 8331)
+            count += 1
+        body = w.align_with_ones()
+        pkt = bytearray(header) + body
+        pkt[2:4] = len(body).to_bytes(2, "big")
+        pkt[4] = count
+        self.queue_packet(bytes(pkt), marker=True, rtp_ts=rtp_ts,
+                          pts=buf.pts)
+        if self._seqnum == 0:            # queue_packet wrapped 0xFFFF->0
+            self._ext_hi = (ext_hi + 1) & 0xFFFF
+
+
+@register_element("rtpsmpte291depay2", Rank.SECONDARY)
+class RtpSmpte291Depay(RtpBaseDepay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK,
+              rtp_caps("SMPTE291", clock_rate=90000, media="video")),
+        _tmpl("src", PadDirection.SRC, _ST2038_MEDIA.copy()),
+    ]
+
+    def depay_src_caps(self, incaps):
+        return Caps.new("meta/x-st-2038", alignment="frame")
+
+    def handle_packet(self, pkt, buf) -> None:
+        from gstpu.codecs.st2038 import _BitReader, build_anc
+        data = pkt.payload
+        if len(data) < 8:
+            return
+        anc_count = data[4]
+        r = _BitReader(data[8:])
+        pts = self.pts_for(pkt)
+        for _ in range(anc_count):
+            c_not_y = bool(r.read(1))
+            line = r.read(11)
+            hoff = r.read(12)
+            r.read(8)                          # S + StreamNum
+            did = r.read(10) & 0xFF
+            sdid = r.read(10) & 0xFF
+            dc = r.read(10) & 0xFF
+            payload = bytes(r.read(10) & 0xFF for _ in range(dc))
+            r.read(10)                         # checksum (rebuilt)
+            while r.pos % 32:
+                r.read(1)                      # word_align
+            self.queue_buffer(
+                build_anc(did, sdid, payload, c_not_y=c_not_y,
+                          line_number=line, horizontal_offset=hoff),
+                pts=pts)

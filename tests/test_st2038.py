@@ -68,3 +68,36 @@ def test_anctocc_skips_foreign_services():
     outs = h.pull_all()
     assert len(outs) == 1 and outs[0].to_bytes() == b"\x80\x94\x2c"
     h.teardown()
+
+
+def test_rtp_smpte291_roundtrip():
+    """ST-2038 buffers -> RFC 8331 RTP -> ST-2038, byte-exact."""
+    from gstpu.net.rtp.packet import RtpPacket
+
+    anc_in = (build_anc(0x61, 0x01, bytes(range(20)), line_number=9,
+                        horizontal_offset=5) +
+              build_anc(0x61, 0x02, b"\x94\x2c", c_not_y=True,
+                        line_number=11))
+    pay = Harness(make("rtpsmpte291pay2", ssrc=1, seqnum_offset=0,
+                       timestamp_offset=0))
+    pay.set_caps("meta/x-st-2038, alignment=frame")
+    pay.push(Buffer(anc_in, pts=0))
+    pkts = pay.pull_all()
+    assert len(pkts) == 1
+    p = RtpPacket.parse(pkts[0].to_bytes())
+    assert p.marker
+    assert p.payload[4] == 2                   # ANC_count
+    assert int.from_bytes(p.payload[2:4], "big") == len(p.payload) - 8
+    assert len(p.payload) % 4 == 0             # 32-bit word alignment
+    pay.teardown()
+
+    depay = Harness(make("rtpsmpte291depay2"))
+    depay.set_caps("application/x-rtp, media=video, clock-rate=90000, "
+                   "encoding-name=SMPTE291, payload=96")
+    depay.push(Buffer(p.to_bytes()))
+    outs = depay.pull_all()
+    assert b"".join(o.to_bytes() for o in outs) == anc_in
+    hdrs = [parse_anc(o.to_bytes())[0] for o in outs]
+    assert [h.sdid for h in hdrs] == [0x01, 0x02]
+    assert hdrs[1].c_not_y and hdrs[1].line_number == 11
+    depay.teardown()
