@@ -37,6 +37,7 @@ _MODULES = [
     "gstpu.elements.video.cea708",
     "gstpu.elements.video.st2038",
     "gstpu.elements.video.ttjson",
+    "gstpu.elements.video.st2038demux",
     "gstpu.elements.video.cdg",
     "gstpu.elements.mux.fmp4",
     "gstpu.elements.mux.flvdemux",

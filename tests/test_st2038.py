@@ -101,3 +101,89 @@ def test_rtp_smpte291_roundtrip():
     assert [h.sdid for h in hdrs] == [0x01, 0x02]
     assert hdrs[1].c_not_y and hdrs[1].line_number == 11
     depay.teardown()
+
+
+def _anc_feeder():
+    from gstpu.core.element import (Pad, PadDirection, PadPresence,
+                                    PadTemplate)
+    from gstpu import Caps
+    return Pad("f", PadDirection.SRC,
+               PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                           Caps.any()))
+
+
+def test_st2038_demux_splits_streams():
+    from gstpu import Caps, FlowReturn
+    from gstpu.core.caps import parse_caps
+    from gstpu.core.element import (Pad, PadDirection, PadPresence,
+                                    PadTemplate)
+    from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                  StreamStartEvent)
+
+    dm = make("st2038ancdemux")
+    combined = []
+    cap = Pad("c", PadDirection.SINK,
+              PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                          Caps.any()))
+    cap.chain_function = lambda p, b: (combined.append(b),
+                                       FlowReturn.OK)[1]
+    cap.event_function = lambda p, e: True
+    dm.static_pad("src").link(cap)
+
+    f = _anc_feeder()
+    f.link(dm.static_pad("sink"))
+    f.push_event(StreamStartEvent("s"))
+    f.push_event(CapsEvent(parse_caps("meta/x-st-2038")))
+    f.push_event(SegmentEvent(Segment()))
+    a = build_anc(0x61, 0x01, b"cdp", line_number=9)
+    b = build_anc(0x45, 0x05, b"tc", line_number=12)
+    f.push(Buffer(a + b, pts=5))
+    # combined pad re-emits one packet per buffer
+    assert [x.to_bytes() for x in combined] == [a, b]
+    # sometimes pads appeared with the reference naming scheme
+    names = sorted(p for p in dm.pads if p.startswith("anc_"))
+    assert names == ["anc_45_05_at_12_0", "anc_61_01_at_9_0"]
+    # late linking still receives subsequent data
+    got = []
+    sp = dm.static_pad("anc_61_01_at_9_0")
+    cap2 = Pad("c2", PadDirection.SINK,
+               PadTemplate("sink", PadDirection.SINK,
+                           PadPresence.ALWAYS, Caps.any()))
+    cap2.chain_function = lambda p, x: (got.append(x), FlowReturn.OK)[1]
+    cap2.event_function = lambda p, e: True
+    sp.link(cap2)
+    f.push(Buffer(a, pts=6))
+    assert [x.to_bytes() for x in got] == [a]
+
+
+def test_st2038_mux_merges_by_timestamp():
+    from gstpu.core.caps import parse_caps
+    from gstpu.core.event import (CapsEvent, EosEvent, Segment,
+                                  SegmentEvent, StreamStartEvent)
+    from gstpu import Caps, FlowReturn, State
+    from gstpu.core.element import (Pad, PadDirection, PadPresence,
+                                    PadTemplate)
+
+    mx = make("st2038ancmux")
+    out = []
+    cap = Pad("c", PadDirection.SINK,
+              PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                          Caps.any()))
+    cap.chain_function = lambda p, b: (out.append(b), FlowReturn.OK)[1]
+    cap.event_function = lambda p, e: True
+    mx.static_pad("src").link(cap)
+    feeders = []
+    for _ in range(2):
+        f = _anc_feeder()
+        f.link(mx.request_pad())
+        f.push_event(StreamStartEvent("s"))
+        f.push_event(CapsEvent(parse_caps("meta/x-st-2038")))
+        f.push_event(SegmentEvent(Segment()))
+        feeders.append(f)
+    a = build_anc(0x61, 0x01, b"one")
+    b = build_anc(0x61, 0x02, b"two")
+    feeders[0].push(Buffer(a, pts=0))
+    feeders[1].push(Buffer(b, pts=0))
+    assert out and out[0].to_bytes() == a + b
+    for f in feeders:
+        f.push_event(EosEvent())
