@@ -71,12 +71,15 @@ class Cdp:
     cc_data: bytes = b""
     timecode: tuple[int, int, int, int] | None = None  # h, m, s, f
     service_active: bool = True
+    services: list | None = None           # svc_info entries
 
 
 def build_cdp(cdp: Cdp) -> bytes:
     flags = 0x40 | 0x01                    # ccdata_present | reserved
     if cdp.timecode is not None:
         flags |= 0x80
+    if cdp.services:
+        flags |= 0x20 | 0x10 | 0x04        # present | start | complete
     if cdp.service_active:
         flags |= 0x02
     body = bytearray([cdp.rate_code << 4 | 0x0F, flags,
@@ -90,6 +93,8 @@ def build_cdp(cdp: Cdp) -> bytes:
                        0x80 | (f // 10) << 4 | f % 10])
     cc_count = len(cdp.cc_data) // 3
     body += bytes([0x72, 0xE0 | cc_count]) + cdp.cc_data
+    if cdp.services:
+        body += build_svc_info(cdp.services)
     body += bytes([0x74, cdp.sequence >> 8 & 0xFF,
                    cdp.sequence & 0xFF])
     total = len(body) + 3                  # + magic(2) + length(1)
@@ -141,5 +146,66 @@ def parse_cdp(data: bytes) -> Cdp:
         if len(data) < pos + 3 * cnt:
             raise ValueError("cc_data truncated")
         cc_data = data[pos:pos + 3 * cnt]
+        pos += 3 * cnt
+    services = None
+    if flags & 0x20:
+        if pos >= len(data) or data[pos] != 0x73:
+            raise ValueError("cdp signals svc_info but 0x73 missing")
+        services, used = parse_svc_info(data[pos:])
+        pos += used
     return Cdp(rate_code=rate_code, sequence=seq, cc_data=cc_data,
-               timecode=tc, service_active=bool(flags & 0x02))
+               timecode=tc, service_active=bool(flags & 0x02),
+               services=services)
+
+
+# -- ccsvcinfo_section (SMPTE 334-2 / CEA-708 service descriptors) -----
+
+def build_svc_info(services: list[dict], *, start: bool = True,
+                   change: bool = False, complete: bool = True) -> bytes:
+    """0x73 section.  Each service dict: service (1..63 for 708,
+    -1..-4 for 608 channels CC1-CC4), language (3-letter ISO 639.2),
+    easy_reader / wide_aspect_ratio (708 only)."""
+    if not 0 < len(services) <= 15:
+        raise ValueError("1..15 services per svc_info section")
+    out = bytearray([0x73,
+                     0x80 | (0x40 if start else 0)
+                     | (0x20 if change else 0)
+                     | (0x10 if complete else 0) | len(services)])
+    for s in services:
+        sid = int(s["service"])
+        lang = s["language"].encode()[:3].ljust(3, b" ")
+        if sid == 0 or not -4 <= sid <= 63:
+            raise ValueError(f"invalid service id {sid}")
+        csn = sid if sid > 0 else 0
+        out.append(0xE0 | (csn & 0x1F))
+        out += lang
+        if sid > 0:                      # digital (708) service
+            b3 = 0xC0 | (sid & 0x3F)
+            b4 = ((0x80 if s.get("easy_reader") else 0)
+                  | (0x40 if s.get("wide_aspect_ratio") else 0) | 0x3F)
+        else:                            # 608 channel CC1..CC4
+            b3 = 0x00 | ((-sid - 1) & 0x03)
+            b4 = 0x3F
+        out += bytes([b3, b4, 0xFF])
+    return bytes(out)
+
+
+def parse_svc_info(data: bytes) -> tuple[list[dict], int]:
+    """-> (services, bytes consumed); data starts at the 0x73 id."""
+    if data[0] != 0x73:
+        raise ValueError("not a ccsvcinfo section")
+    count = data[1] & 0x0F
+    services = []
+    pos = 2
+    for _ in range(count):
+        lang = data[pos + 1:pos + 4].decode("ascii", "replace").strip()
+        b3, b4 = data[pos + 4], data[pos + 5]
+        if b3 & 0x80:                    # digital_cc
+            services.append({"service": b3 & 0x3F, "language": lang,
+                             "easy_reader": bool(b4 & 0x80),
+                             "wide_aspect_ratio": bool(b4 & 0x40)})
+        else:
+            services.append({"service": -((b3 & 0x03) + 1),
+                             "language": lang})
+        pos += 7
+    return services, pos

@@ -81,3 +81,38 @@ class Cea608ToCea708(BaseTransform):
         else:
             out = cc
         return Buffer(out, pts=buf.pts, duration=buf.duration)
+
+
+CDP_ONLY = Caps.new("closedcaption/x-cea-708", format="cdp")
+
+
+@register_element("cdpserviceinject", Rank.NONE)
+class CdpServiceInject(BaseTransform):
+    """Injects caption service descriptors into CDP packets
+    (reference video/closedcaption/src/cdpserviceinject/imp.rs:123:
+    positive service numbers are CEA-708 services with easy-reader /
+    wide-aspect-ratio flags, -1..-4 select CEA-608 channels CC1-CC4;
+    languages are 3-letter ISO 639.2/B codes)."""
+
+    IN_PLACE = False
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    CDP_ONLY.copy()),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    CDP_ONLY.copy()),
+    ]
+
+    from gstpu.core.props import Mutability, Property
+    services = Property(object, default=None,
+                        mutable=Mutability.PLAYING,
+                        blurb="list of dicts: service, language, "
+                              "easy_reader, wide_aspect_ratio")
+
+    def transform(self, buf):
+        from gstpu.codecs.cea708 import build_cdp, parse_cdp
+        if not self.services:
+            return buf
+        cdp = parse_cdp(buf.to_bytes())
+        cdp.services = list(self.services)
+        return Buffer(build_cdp(cdp), pts=buf.pts,
+                      duration=buf.duration)

@@ -100,3 +100,37 @@ def test_element_s334_field2():
     out = h.pull().to_bytes()
     assert out == b"\xfc\x94\x2c\xfd\x15\x2c"
     h.teardown()
+
+
+def test_svc_info_roundtrip_in_cdp():
+    from gstpu.codecs.cea708 import (Cdp, build_cdp, pad_cc_data,
+                                     parse_cdp)
+    svcs = [{"service": 1, "language": "eng", "easy_reader": False,
+             "wide_aspect_ratio": True},
+            {"service": -2, "language": "spa"}]
+    pkt = build_cdp(Cdp(cc_data=pad_cc_data(b"", 20), services=svcs))
+    assert sum(pkt) % 256 == 0
+    back = parse_cdp(pkt)
+    assert back.services == svcs
+
+
+def test_cdpserviceinject_element():
+    from gstpu.codecs.cea708 import Cdp, build_cdp, pad_cc_data, \
+        parse_cdp
+    el = make("cdpserviceinject")
+    el.set_property("services", [{"service": 3, "language": "fra"}])
+    h = Harness(el)
+    h.set_caps("closedcaption/x-cea-708, format=cdp")
+    plain = build_cdp(Cdp(sequence=5,
+                          cc_data=pad_cc_data(b"\xfc\x94\x2c", 20)))
+    h.push(Buffer(plain, pts=9))
+    out = h.pull()
+    cdp = parse_cdp(out.to_bytes())
+    assert cdp.services == [{"service": 3, "language": "fra",
+                             "easy_reader": False,
+                             "wide_aspect_ratio": False}]
+    assert cdp.sequence == 5                  # original fields kept
+    f0, _ = extract_cea608(cdp.cc_data)
+    assert f0 == [b"\x94\x2c"]
+    assert out.pts == 9
+    h.teardown()
