@@ -208,12 +208,49 @@ def pipeline_snapshot(pipeline) -> str:
     return "\n".join(lines)
 
 
+class ChromeTracer(Tracer):
+    """chrome://tracing / Perfetto JSON trace of pad pushes
+    (the reference ships this as the gst-dots/perfetto bridge).
+    Each push becomes a complete ("X") duration event on the
+    element's named track; load the file in ui.perfetto.dev."""
+
+    HOOKS = {"pad-push-pre": "pre", "pad-push-post": "post"}
+
+    def __init__(self, file: str = "/tmp/gstpu-trace.json"):
+        super().__init__(file=file)
+        self.file = file
+        self._starts: dict[int, int] = {}
+        self._events: list[dict] = []
+
+    def pre(self, pad, buf) -> None:
+        self._starts[id(pad)] = time.monotonic_ns()
+
+    def post(self, pad, buf) -> None:
+        t0 = self._starts.pop(id(pad), None)
+        if t0 is None:
+            return
+        el = pad.element.name if pad.element else "?"
+        self._events.append({
+            "name": f"{el}:{pad.name}", "ph": "X", "cat": "pad-push",
+            "ts": t0 / 1000.0,
+            "dur": (time.monotonic_ns() - t0) / 1000.0,
+            "pid": 1, "tid": el,
+        })
+
+    def flush(self) -> None:
+        import json
+        with open(self.file, "w") as f:
+            json.dump({"traceEvents": self._events,
+                       "displayTimeUnit": "ns"}, f)
+
+
 _TRACERS = {
     "pad-push-timings": PadPushTimings,
     "queue-levels": QueueLevels,
     "buffer-lateness": BufferLateness,
     "pcap-writer": PcapWriter,
     "memory-tracer": MemoryTracer,
+    "chrome-tracer": ChromeTracer,
 }
 
 

@@ -205,3 +205,33 @@ def test_whep_same_machine():
     client.handle_response(resp)
     assert client.answer_sdp == "v=0 send-only-answer"
     assert client.resource_url.startswith("/whep/resource/")
+
+
+# -- RoQ framing ----------------------------------------------------------
+
+def test_roq_varints():
+    from gstpu.net.roq import decode_varint, encode_varint
+    for v in (0, 63, 64, 16383, 16384, 2**30 - 1, 2**30, 2**62 - 1):
+        data = encode_varint(v)
+        back, pos = decode_varint(data)
+        assert back == v and pos == len(data)
+    with pytest.raises(ValueError):
+        encode_varint(2**62)
+
+
+def test_roq_datagram_and_stream():
+    from gstpu.net.roq import (RoqStreamMux, RoqStreamParser,
+                               demux_datagram, mux_datagram)
+    pkt = b"\x80\x60" + bytes(40)
+    dg = mux_datagram(70000, pkt)
+    assert demux_datagram(dg) == (70000, pkt)
+
+    mux = RoqStreamMux(flow_id=5)
+    wire = mux.frame(pkt) + mux.frame(pkt[:7])
+    parser = RoqStreamParser()
+    # drip-feed byte by byte: parser must reassemble across pushes
+    out = []
+    for i in range(len(wire)):
+        out.extend(parser.push(wire[i:i + 1]))
+    assert parser.flow_id == 5
+    assert out == [pkt, pkt[:7]]

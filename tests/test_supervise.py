@@ -239,3 +239,25 @@ def test_debugsei_emulation_prevention():
     # no illegal start codes inside the NAL body (after the leading one)
     assert b"\x00\x00\x01" not in sei[4:]
     assert parse_sei_unregistered(sei) == [tricky]
+
+
+def test_chrome_tracer(tmp_path):
+    import json
+    from gstpu.utils.tracing import ChromeTracer, flush_all
+    f = tmp_path / "trace.json"
+    t = ChromeTracer(file=str(f))
+    t.install()
+    try:
+        p = parse_launch("audiotestsrc num-buffers=3 ! identity ! "
+                         "fakesink")
+        p.set_state(State.PLAYING)
+        p.run()
+        p.set_state(State.NULL)
+        flush_all()
+        doc = json.loads(f.read_text())
+        evs = doc["traceEvents"]
+        assert evs and all(e["ph"] == "X" and e["dur"] >= 0
+                           for e in evs)
+        assert any(e["name"].startswith("audiotestsrc") for e in evs)
+    finally:
+        t.uninstall()
