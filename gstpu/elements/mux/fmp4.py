@@ -38,8 +38,12 @@ class FMP4KeyframeMeta(Meta):
         self.keyframe = keyframe
 
 
-def _mux_sink_caps() -> Caps:
-    return Caps([Structure(n) for n in AUDIO_CODECS + VIDEO_CODECS])
+META_CODECS = ("application/x-onvif-metadata",)
+
+
+def _mux_sink_caps(meta: bool = False) -> Caps:
+    names = AUDIO_CODECS + VIDEO_CODECS + (META_CODECS if meta else ())
+    return Caps([Structure(n) for n in names])
 
 
 @dataclass
@@ -90,6 +94,11 @@ class FMP4MuxBase(Aggregator):
         codec_data = s.get("codec_data", b"")
         if isinstance(codec_data, str):
             codec_data = bytes.fromhex(codec_data)
+        if s.name in META_CODECS:
+            from gstpu.elements.net.onvif import ONVIF_SCHEMA
+            return StreamConfig(track_id, 1000, False, s.name,
+                                is_meta=True,
+                                meta_namespace=ONVIF_SCHEMA)
         if is_video:
             timescale = 90000
             return StreamConfig(track_id, timescale, True, s.name,
@@ -253,6 +262,12 @@ class DashMp4Mux(FMP4MuxBase):
 
 @register_element("onviffmp4mux", Rank.PRIMARY)
 class OnvifFmp4Mux(FMP4MuxBase):
+    PAD_TEMPLATES = [
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.new("video/quicktime")),
+        PadTemplate("sink_%u", PadDirection.SINK, PadPresence.REQUEST,
+                    _mux_sink_caps(meta=True)),
+    ]
     MAJOR_BRAND = "iso6"
     COMPAT_BRANDS = ["iso6", "isom", "onvif"]
 
@@ -328,3 +343,16 @@ class IsoMp4Mux(Aggregator):
                             durations=durations, samples=samples,
                             chunk_offsets=offsets))
         self.srcpad.push(Buffer(out, flags=BufferFlags.HEADER))
+
+
+@register_element("onvifmp4mux", Rank.PRIMARY)
+class OnvifMp4Mux(IsoMp4Mux):
+    """Non-fragmented variant accepting an ONVIF XML metadata track
+    (metx sample entry, meta handler, nmhd — reference onvifmp4mux)."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.new("video/quicktime")),
+        PadTemplate("sink_%u", PadDirection.SINK, PadPresence.REQUEST,
+                    _mux_sink_caps(meta=True)),
+    ]

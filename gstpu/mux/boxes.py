@@ -74,6 +74,10 @@ class StreamConfig:
     # codec private data (avcC/hvcC/av1C/dOps/dfLa payload etc.)
     codec_data: bytes = b""
     language: str = "und"
+    # timed metadata track (ONVIF XML: metx sample entry, meta handler,
+    # nmhd media header — reference mux/fmp4 onvif variant)
+    is_meta: bool = False
+    meta_namespace: str = ""
 
 
 def _sample_entry_audio(fourcc: str, cfg: StreamConfig,
@@ -102,6 +106,12 @@ def _sample_entry_video(fourcc: str, cfg: StreamConfig,
 def sample_entry(cfg: StreamConfig) -> bytes:
     """Codec-specific sample entry (reference boxes.rs codec builders)."""
     n = cfg.caps_name
+    if cfg.is_meta:
+        # metx: XML metadata sample entry (ISO 14496-12 12.3.3)
+        return box("metx", b"\x00" * 6 + u16(1),
+                   b"\x00",                       # content_encoding
+                   cfg.meta_namespace.encode() + b"\x00",
+                   b"\x00")                       # schema_location
     if n == "video/x-h264":
         return _sample_entry_video("avc1", cfg,
                                    box("avcC", cfg.codec_data))
@@ -132,6 +142,9 @@ def sample_entry(cfg: StreamConfig) -> bytes:
 
 
 def _hdlr(cfg: StreamConfig) -> bytes:
+    if cfg.is_meta:
+        return full_box("hdlr", 0, 0, u32(0), b"meta", u32(0) * 3,
+                        b"MetadataHandler\x00")
     handler = b"vide" if cfg.is_video else b"soun"
     name = b"VideoHandler\x00" if cfg.is_video else b"SoundHandler\x00"
     return full_box("hdlr", 0, 0, u32(0), handler, u32(0) * 3, name)
@@ -197,7 +210,9 @@ def _stbl(cfg: StreamConfig, samples: list["Mp4Sample"] | None = None,
 
 
 def _minf(cfg: StreamConfig, stbl: bytes) -> bytes:
-    if cfg.is_video:
+    if cfg.is_meta:
+        header = full_box("nmhd", 0, 0)
+    elif cfg.is_video:
         header = full_box("vmhd", 0, 1, u16(0), u16(0) * 3)
     else:
         header = full_box("smhd", 0, 0, u16(0), u16(0))

@@ -213,3 +213,36 @@ def test_fragment_cut_on_keyframe():
             count, = struct.unpack_from(">I", trun.data, 4)
             flags0, = struct.unpack_from(">I", trun.data, 12 + 8)
             assert flags0 == 0x02000000  # first sample is a sync sample
+
+
+def test_onvifmp4mux_metadata_track():
+    mux = make("onvifmp4mux")
+    d = MuxDriver(mux, ["video/x-h264, width=16, height=16, "
+                        "codec_data=(string)0142c01e",
+                        "application/x-onvif-metadata, encoding=utf8"])
+    d.push(0, b"frame", 0, SECOND // 30)
+    xml = b'<tt:MetadataStream xmlns:tt="x"/>'
+    d.push(1, xml, 0, SECOND)
+    d.eos()
+    data = d.bytes()
+    tree = parse_boxes(data)
+    moov = next(b for b in tree if b.fourcc == "moov")
+    traks = [b for b in parse_boxes(moov.data) if b.fourcc == "trak"]
+    assert len(traks) == 2
+    # second trak: meta handler, nmhd header, metx sample entry
+    def descend(node, path):
+        for four in path:
+            node = next(c for c in parse_boxes(node.data)
+                        if c.fourcc == four)
+        return node
+    mdia = descend(traks[1], ["mdia"])
+    hdlr = descend(mdia, ["hdlr"])
+    assert b"meta" in hdlr.data[4:12]
+    minf = descend(mdia, ["minf"])
+    assert any(c.fourcc == "nmhd" for c in parse_boxes(minf.data))
+    metx = descend(minf, ["stbl", "stsd"])
+    assert b"metx" in metx.data
+    assert b"onvif.org" in metx.data
+    # the xml sample is in the mdat
+    mdat = next(b for b in tree if b.fourcc == "mdat")
+    assert xml in mdat.data
