@@ -206,3 +206,73 @@ class PcrSlavedClock:
 
     def time(self) -> int:
         return self.adjust(self.master.time())
+
+
+# -- section builders (PAT/PMT with MPEG-2 CRC32) -----------------------
+
+_CRC_TABLE = None
+
+
+def crc32_mpeg2(data: bytes) -> int:
+    """CRC-32/MPEG-2: poly 0x04C11DB7, init 0xFFFFFFFF, no reflection,
+    no final xor (ISO 13818-1 Annex A)."""
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i << 24
+            for _ in range(8):
+                c = ((c << 1) ^ 0x04C11DB7) if c & 0x80000000 \
+                    else (c << 1)
+            tbl.append(c & 0xFFFFFFFF)
+        _CRC_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = ((crc << 8) ^ _CRC_TABLE[(crc >> 24) ^ b]) & 0xFFFFFFFF
+    return crc
+
+
+def _section(table_id: int, body: bytes) -> bytes:
+    length = len(body) + 4                    # + CRC32
+    head = bytes([table_id, 0xB0 | length >> 8, length & 0xFF]) + body
+    return head + crc32_mpeg2(head).to_bytes(4, "big")
+
+
+def build_pat(programs: dict[int, int], tsid: int = 1,
+              version: int = 0) -> bytes:
+    body = bytearray([tsid >> 8, tsid & 0xFF,
+                      0xC1 | (version & 0x1F) << 1, 0, 0])
+    for prog, pid in programs.items():
+        body += bytes([prog >> 8, prog & 0xFF,
+                       0xE0 | pid >> 8, pid & 0xFF])
+    return _section(0x00, bytes(body))
+
+
+def build_pmt(pmt_prog: int, pcr_pid: int,
+              streams: list[tuple[int, int]],
+              version: int = 0) -> bytes:
+    body = bytearray([pmt_prog >> 8, pmt_prog & 0xFF,
+                      0xC1 | (version & 0x1F) << 1, 0, 0,
+                      0xE0 | pcr_pid >> 8, pcr_pid & 0xFF,
+                      0xF0, 0x00])
+    for stype, epid in streams:
+        body += bytes([stype, 0xE0 | epid >> 8, epid & 0xFF,
+                       0xF0, 0x00])
+    return _section(0x02, bytes(body))
+
+
+def build_pes(stream_id: int, payload: bytes,
+              pts_90k: int | None = None) -> bytes:
+    """PES packet; video (0xE0..) gets unbounded length 0."""
+    hdr = bytearray()
+    flags2 = 0
+    if pts_90k is not None:
+        flags2 = 0x80
+        p = pts_90k & (1 << 33) - 1
+        hdr += bytes([0x21 | (p >> 29 & 0x0E),
+                      p >> 22 & 0xFF, 0x01 | (p >> 14 & 0xFE),
+                      p >> 7 & 0xFF, 0x01 | (p << 1 & 0xFE)])
+    body = bytes([0x80, flags2, len(hdr)]) + hdr + payload
+    length = 0 if 0xE0 <= stream_id <= 0xEF else min(len(body), 0xFFFF)
+    return (b"\x00\x00\x01" + bytes([stream_id])
+            + length.to_bytes(2, "big") + body)

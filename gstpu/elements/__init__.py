@@ -40,6 +40,7 @@ _MODULES = [
     "gstpu.elements.video.st2038demux",
     "gstpu.elements.video.cdg",
     "gstpu.elements.mux.fmp4",
+    "gstpu.elements.mux.mpegts",
     "gstpu.elements.mux.flvdemux",
     "gstpu.elements.net.rtp_elements",
     "gstpu.elements.net.rtp_video",
