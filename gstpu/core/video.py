@@ -154,3 +154,17 @@ class VideoInfo:
         if duration is None:
             duration = self.frame_duration
         return Buffer(frame, pts=pts, duration=duration)
+
+
+class VideoCaptionMeta:
+    """Closed captions attached to video frames (gst_video
+    VideoCaptionMeta analogue; reference cea608overlay/imp.rs:264
+    iterates these). caption_type: 'cea608-raw', 'cea608-s334-1a',
+    'cea708-raw' (cc_data), 'cea708-cdp'."""
+
+    def __init__(self, caption_type: str, data: bytes):
+        self.caption_type = caption_type
+        self.data = data
+
+    def copy(self):
+        return VideoCaptionMeta(self.caption_type, self.data)

@@ -38,6 +38,7 @@ _MODULES = [
     "gstpu.elements.video.st2038",
     "gstpu.elements.video.ttjson",
     "gstpu.elements.video.st2038demux",
+    "gstpu.elements.video.ccoverlay",
     "gstpu.elements.video.cdg",
     "gstpu.elements.mux.fmp4",
     "gstpu.elements.mux.mpegts",

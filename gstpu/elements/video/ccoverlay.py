@@ -1,0 +1,99 @@
+"""cea608overlay: burn CEA-608 captions into video frames.
+
+Rebuilds the reference cea608overlay (video/closedcaption/src/
+cea608overlay/imp.rs): captions arrive as VideoCaptionMeta on the
+video buffers (imp.rs:264); decoded pop-on text renders bottom-center
+with an optional black background box. Rendering uses PIL's bitmap
+font on the host; compositing is a numpy alpha blend like
+imageoverlay.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gstpu.codecs.cea608 import Cea608Decoder
+from gstpu.codecs.cea708 import extract_cea608
+from gstpu.core.base import VideoFilter
+from gstpu.core.buffer import Buffer
+from gstpu.core.element import PadDirection, PadPresence, PadTemplate
+from gstpu.core.props import Mutability, Property
+from gstpu.core.registry import Rank, register_element
+from gstpu.core.video import VideoCaptionMeta, video_caps
+
+
+@register_element("cea608overlay", Rank.NONE)
+class Cea608Overlay(VideoFilter):
+    IN_PLACE = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    video_caps(formats=("RGBA", "RGB"))),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    video_caps(formats=("RGBA", "RGB"))),
+    ]
+
+    black_background = Property(bool, default=False,
+                                mutable=Mutability.PLAYING)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._dec = Cea608Decoder()
+        self._text: str | None = None
+        self._strip: np.ndarray | None = None
+
+    def _pairs_from_meta(self, m: VideoCaptionMeta):
+        if m.caption_type == "cea608-raw":
+            return [m.data[i:i + 2]
+                    for i in range(0, len(m.data) - 1, 2)]
+        if m.caption_type == "cea608-s334-1a":
+            return [m.data[i + 1:i + 3]
+                    for i in range(0, len(m.data) - 2, 3)
+                    if m.data[i] & 0x80]          # field 1 only
+        if m.caption_type == "cea708-raw":
+            return extract_cea608(m.data)[0]
+        return []
+
+    def _render(self, text: str) -> np.ndarray:
+        from PIL import Image, ImageDraw, ImageFont
+        font = ImageFont.load_default()
+        lines = text.split("\n")
+        pad = 4
+        boxes = [ImageDraw.Draw(Image.new("RGBA", (1, 1)))
+                 .textbbox((0, 0), ln, font=font) for ln in lines]
+        w = max(b[2] - b[0] for b in boxes) + 2 * pad
+        lh = max(b[3] - b[1] for b in boxes) + 2
+        h = lh * len(lines) + 2 * pad
+        img = Image.new("RGBA", (w, h),
+                        (0, 0, 0, 255 if self.black_background else 0))
+        draw = ImageDraw.Draw(img)
+        for i, ln in enumerate(lines):
+            draw.text((pad, pad + i * lh), ln, font=font,
+                      fill=(255, 255, 255, 255))
+        return np.asarray(img)
+
+    def transform_ip(self, buf: Buffer) -> None:
+        for m in buf.metas:
+            if not isinstance(m, VideoCaptionMeta):
+                continue
+            for pair in self._pairs_from_meta(m):
+                text = self._dec.push_pair(pair)
+                if text is not None:
+                    self._text = text or None
+                    self._strip = (self._render(text)
+                                   if text else None)
+        if self._strip is None:
+            return
+        info = self.video_info
+        frame = info.view(buf).copy()
+        ov = self._strip
+        h = min(ov.shape[0], info.height)
+        w = min(ov.shape[1], info.width)
+        y0 = max(0, info.height - h - info.height // 10)
+        x0 = max(0, (info.width - w) // 2)
+        region = frame[y0:y0 + h, x0:x0 + w, :3].astype(np.float32)
+        src = ov[:h, :w]
+        alpha = src[..., 3:4].astype(np.float32) / 255.0
+        blended = src[..., :3] * alpha + region * (1 - alpha)
+        frame[y0:y0 + h, x0:x0 + w, :3] = \
+            blended.round().astype(np.uint8)
+        buf.data = frame
