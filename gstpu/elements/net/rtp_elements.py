@@ -817,3 +817,102 @@ class RtpSmpte291Depay(RtpBaseDepay2):
                 build_anc(did, sdid, payload, c_not_y=c_not_y,
                           line_number=line, horizontal_offset=hoff),
                 pts=pts)
+
+
+# -- JPEG (RFC 2435) ------------------------------------------------------
+
+@register_element("rtpjpegpay2", Rank.SECONDARY)
+class RtpJpegPay(RtpBasePay2):
+    """RFC 2435: strips the JFIF container, sends 8-byte main headers
+    (type-specific, 24-bit fragment offset, type, Q, width/8,
+    height/8) + the entropy scan; quant tables ride the first
+    fragment as Q=255 (reference net/rtp/src/jpeg/pay)."""
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, Caps.new("image/jpeg")),
+        _tmpl("src", PadDirection.SRC,
+              rtp_caps("JPEG", clock_rate=90000, media="video",
+                       payload=26)),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.pt = 26
+
+    def handle_buffer(self, buf) -> None:
+        from gstpu.codecs.rtpjpeg import parse_jpeg
+        try:
+            info = parse_jpeg(buf.to_bytes())
+        except ValueError as e:
+            self.post_error(f"rtpjpegpay: {e}")
+            from gstpu.core.element import FlowError
+            raise FlowError(FlowReturn.ERROR)
+        rtp_ts = self.rtp_timestamp_for(buf)
+        qdata = b"".join(info.qtables)
+        qhdr = bytes([0, 0]) + len(qdata).to_bytes(2, "big") + qdata
+        scan = info.scan
+        off = 0
+        room = self.mtu - 12 - 8
+        while off < len(scan) or off == 0:
+            hdr = (bytes([0]) + off.to_bytes(3, "big")
+                   + bytes([info.jpeg_type, 255,
+                            (info.width + 7) // 8,
+                            (info.height + 7) // 8]))
+            extra = qhdr if off == 0 else b""
+            chunk = scan[off:off + room - len(extra)]
+            last = off + len(chunk) >= len(scan)
+            self.queue_packet(hdr + extra + chunk, marker=last,
+                              rtp_ts=rtp_ts, pts=buf.pts)
+            off += len(chunk)
+            if last:
+                break
+
+
+@register_element("rtpjpegdepay2", Rank.SECONDARY)
+class RtpJpegDepay(RtpBaseDepay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK,
+              rtp_caps("JPEG", clock_rate=90000, media="video")),
+        _tmpl("src", PadDirection.SRC, Caps.new("image/jpeg")),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._frags: dict[int, bytes] = {}
+        self._info = None
+        self._pts = None
+
+    def depay_src_caps(self, incaps):
+        return Caps.new("image/jpeg", parsed=True)
+
+    def handle_packet(self, pkt, buf) -> None:
+        from gstpu.codecs.rtpjpeg import JpegInfo, reassemble_jpeg
+        data = pkt.payload
+        if len(data) < 8:
+            return
+        off = int.from_bytes(data[1:4], "big")
+        jtype, q, w8, h8 = data[4], data[5], data[6], data[7]
+        pos = 8
+        if off == 0:
+            qtables = []
+            if q >= 128 and len(data) >= 12:
+                qlen = int.from_bytes(data[10:12], "big")
+                qdata = data[12:12 + qlen]
+                qtables = [qdata[i:i + 64]
+                           for i in range(0, len(qdata), 64)]
+                pos = 12 + qlen
+            self._info = JpegInfo(w8 * 8, h8 * 8, jtype & 0x3F,
+                                  qtables, b"")
+            self._frags = {}
+            self._pts = self.pts_for(pkt)
+        if self._info is None:
+            return                          # mid-frame join: wait
+        self._frags[off] = data[pos:]
+        if pkt.marker:
+            scan = b"".join(self._frags[k]
+                            for k in sorted(self._frags))
+            self._info.scan = scan
+            self.queue_buffer(reassemble_jpeg(self._info),
+                              pts=self._pts)
+            self._info = None
+            self._frags = {}

@@ -489,3 +489,78 @@ def test_onvif_metadata_parse_bad_xml_errors():
     h.set_caps("application/x-onvif-metadata, encoding=utf8")
     assert h.push(Buffer(b"<not-xml")) is FlowReturn.ERROR
     h.teardown()
+
+
+def test_rtp_jpeg_roundtrip_decodes_pixel_exact():
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu.net.rtp.packet import RtpPacket
+
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(rng.integers(0, 256, (48, 64, 3),
+                                       dtype=np.uint8), "RGB")
+    b = io.BytesIO()
+    img.save(b, "JPEG", quality=75)
+    jpeg = b.getvalue()
+
+    pay = Harness(make("rtpjpegpay2", mtu=400, ssrc=1,
+                       seqnum_offset=0, timestamp_offset=0))
+    pay.set_caps("image/jpeg")
+    pay.push(Buffer(jpeg, pts=0))
+    pkts = [RtpPacket.parse(x.to_bytes()) for x in pay.pull_all()]
+    assert len(pkts) > 1                    # fragmented
+    assert pkts[0].payload_type == 26
+    assert pkts[0].payload[5] == 255        # Q=255: inline qtables
+    assert pkts[0].payload[6] == 64 // 8
+    assert pkts[-1].marker
+    pay.teardown()
+
+    depay = Harness(make("rtpjpegdepay2"))
+    depay.set_caps("application/x-rtp, media=video, "
+                   "encoding-name=JPEG, clock-rate=90000, payload=26")
+    for p in pkts:
+        depay.push(Buffer(p.to_bytes()))
+    outs = depay.pull_all()
+    assert len(outs) == 1
+    orig = np.asarray(Image.open(io.BytesIO(jpeg)))
+    back = np.asarray(Image.open(io.BytesIO(outs[0].to_bytes())))
+    assert (orig == back).all()
+    depay.teardown()
+
+
+def test_rtp_jpeg_depay_midstream_join():
+    """Joining after offset 0 must wait for the next frame start."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+
+    rng = np.random.default_rng(4)
+    img = Image.fromarray(rng.integers(0, 256, (16, 16, 3),
+                                       dtype=np.uint8), "RGB")
+    b = io.BytesIO()
+    img.save(b, "JPEG")
+    pay = Harness(make("rtpjpegpay2", mtu=200, ssrc=1,
+                       seqnum_offset=0, timestamp_offset=0))
+    pay.set_caps("image/jpeg")
+    pay.push(Buffer(b.getvalue(), pts=0))
+    pay.push(Buffer(b.getvalue(), pts=10**9 // 30))
+    pkts = pay.pull_all()
+    n_per_frame = len(pkts) // 2
+    depay = Harness(make("rtpjpegdepay2"))
+    depay.set_caps("application/x-rtp, media=video, "
+                   "encoding-name=JPEG, clock-rate=90000, payload=26")
+    for p in pkts[1:]:                      # drop the first fragment
+        depay.push(p)
+    outs = depay.pull_all()
+    assert len(outs) == 1                   # only the second frame
+    Image.open(io.BytesIO(outs[0].to_bytes())).load()
+    depay.teardown()
