@@ -162,3 +162,191 @@ class RtpVp9Depay(RtpBaseDepay2):
             self.queue_buffer(frame, pts=self._frame_pts)
             if self._delta:
                 self._pending[-1].set_flag(BufferFlags.DELTA_UNIT)
+
+
+# -- AV1 (RFC 9628) -------------------------------------------------------
+
+OBU_SEQUENCE_HEADER = 1
+OBU_TEMPORAL_DELIMITER = 2
+OBU_TILE_LIST = 8
+
+
+def leb128_encode(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def leb128_decode(data: bytes, pos: int = 0) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        b = data[pos]
+        v |= (b & 0x7F) << shift
+        pos += 1
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def parse_obus(data: bytes):
+    """(obu_type, element_bytes) for a sized obu-stream; the element
+    keeps its header but has_size_field cleared (RFC 9628 4.4 — RTP
+    carries OBUs without internal size fields)."""
+    pos = 0
+    while pos < len(data):
+        hdr = data[pos]
+        otype = hdr >> 3 & 0x0F
+        ext = bool(hdr & 0x04)
+        if not hdr & 0x02:
+            raise ValueError("obu without size field in obu-stream")
+        hlen = 2 if ext else 1
+        size, after = leb128_decode(data, pos + hlen)
+        body = data[after:after + size]
+        element = bytes([hdr & ~0x02]) \
+            + data[pos + 1:pos + hlen] + body
+        yield otype, element
+        pos = after + size
+
+
+@register_element("rtpav1pay2", Rank.SECONDARY)
+class RtpAv1Pay(RtpBasePay2):
+    """RFC 9628 (reference net/rtp/src/av1/pay): 1-byte aggregation
+    header Z|Y|W|N, leb128-prefixed OBU elements (last unprefixed when
+    W=count<=3), temporal delimiters and tile lists dropped, large
+    OBUs fragmented with Z/Y continuation bits."""
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK,
+              Caps.new("video/x-av1",
+                       **{"stream-format": "obu-stream"})),
+        _tmpl("src", PadDirection.SRC,
+              rtp_caps("AV1", clock_rate=90000, media="video")),
+    ]
+
+    def handle_buffer(self, buf) -> None:
+        obus = [el for t, el in parse_obus(buf.to_bytes())
+                if t not in (OBU_TEMPORAL_DELIMITER, OBU_TILE_LIST)]
+        if not obus:
+            return
+        rtp_ts = self.rtp_timestamp_for(buf)
+        n_bit = any(t == OBU_SEQUENCE_HEADER
+                    for t, _ in parse_obus(buf.to_bytes()))
+        room = self.mtu - 12 - 1
+        packets: list[tuple[int, int, list[bytes]]] = []  # z, y, els
+        z = 0
+        els: list[bytes] = []
+        used = 0
+        for obu in obus:
+            data = obu
+            while True:
+                need = len(leb128_encode(len(data))) + len(data)
+                if used + need <= room:
+                    els.append(data)
+                    used += need
+                    break
+                space = room - used - 2    # leb128 of a fragment fits
+                if space < 8 and els:      # flush and retry
+                    packets.append((z, 0, els))
+                    z = 0
+                    els, used = [], 0
+                    continue
+                frag, data = data[:max(space, 1)], data[max(space, 1):]
+                els.append(frag)
+                packets.append((z, 1, els))
+                z = 1
+                els, used = [], 0
+        if els:
+            packets.append((z, 0, els))
+        for pi, (pz, py, pels) in enumerate(packets):
+            w = len(pels) if len(pels) <= 3 else 0
+            hdr = (pz << 7 | py << 6 | w << 4
+                   | (1 if n_bit and pi == 0 else 0) << 3)
+            body = b""
+            for j, el in enumerate(pels):
+                last = j == len(pels) - 1
+                if w and last:
+                    body += el
+                else:
+                    body += leb128_encode(len(el)) + el
+            self.queue_packet(bytes([hdr]) + body,
+                              marker=(pi == len(packets) - 1),
+                              rtp_ts=rtp_ts, pts=buf.pts)
+
+
+@register_element("rtpav1depay2", Rank.SECONDARY)
+class RtpAv1Depay(RtpBaseDepay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK,
+              rtp_caps("AV1", clock_rate=90000, media="video")),
+        _tmpl("src", PadDirection.SRC,
+              Caps.new("video/x-av1",
+                       **{"stream-format": "obu-stream"})),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._frag = b""
+        self._tu: list[bytes] = []         # complete OBU elements
+        self._tu_pts = None
+
+    def depay_src_caps(self, incaps):
+        return Caps.new("video/x-av1",
+                        **{"stream-format": "obu-stream",
+                           "alignment": "tu"})
+
+    @staticmethod
+    def _resize(element: bytes) -> bytes:
+        """Re-add the has_size_field and leb128 size."""
+        hdr = element[0] | 0x02
+        ext = bool(element[0] & 0x04)
+        hlen = 2 if ext else 1
+        body = element[hlen:]
+        return (bytes([hdr]) + element[1:hlen]
+                + leb128_encode(len(body)) + body)
+
+    def handle_packet(self, pkt, buf) -> None:
+        data = pkt.payload
+        if not data:
+            return
+        z, y = data[0] >> 7 & 1, data[0] >> 6 & 1
+        w = data[0] >> 4 & 0x3
+        pos = 1
+        els = []
+        count = 0
+        while pos < len(data):
+            count += 1
+            if w and count == w:
+                els.append(data[pos:])
+                pos = len(data)
+            else:
+                ln, pos = leb128_decode(data, pos)
+                els.append(data[pos:pos + ln])
+                pos += ln
+        if not els:
+            return
+        if self._tu_pts is None:
+            self._tu_pts = self.pts_for(pkt)
+        for i, el in enumerate(els):
+            first, last = i == 0, i == len(els) - 1
+            if first and z:
+                self._frag += el
+                if not (last and y):
+                    self._tu.append(self._frag)
+                    self._frag = b""
+            elif last and y:
+                self._frag += el
+            else:
+                self._tu.append(el)
+        if pkt.marker:
+            if self._frag:                 # truncated fragment: drop
+                self._frag = b""
+            out = b"\x12\x00"              # temporal delimiter
+            out += b"".join(self._resize(el) for el in self._tu
+                            if el)
+            self.queue_buffer(out, pts=self._tu_pts)
+            self._tu = []
+            self._tu_pts = None

@@ -564,3 +564,72 @@ def test_rtp_jpeg_depay_midstream_join():
     assert len(outs) == 1                   # only the second frame
     Image.open(io.BytesIO(outs[0].to_bytes())).load()
     depay.teardown()
+
+
+def _av1_obu(otype, body):
+    from gstpu.elements.net.rtp_video import leb128_encode
+    return bytes([otype << 3 | 0x02]) + leb128_encode(len(body)) + body
+
+
+def test_rtp_av1_roundtrip():
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu.net.rtp.packet import RtpPacket
+
+    # temporal unit: TD + seq header + frame (big, forces fragmenting)
+    tu = (_av1_obu(2, b"") + _av1_obu(1, bytes(range(20)))
+          + _av1_obu(6, bytes(600)))
+    pay = Harness(make("rtpav1pay2", mtu=200, ssrc=1, seqnum_offset=0,
+                       timestamp_offset=0))
+    pay.set_caps("video/x-av1, stream-format=obu-stream")
+    pay.push(Buffer(tu, pts=0))
+    pkts = [RtpPacket.parse(b.to_bytes()) for b in pay.pull_all()]
+    assert len(pkts) > 1
+    # first packet: N=1 (starts with a sequence header), Z=0
+    assert pkts[0].payload[0] & 0x08
+    assert not pkts[0].payload[0] & 0x80
+    # continuation packets carry Z=1
+    assert pkts[1].payload[0] & 0x80
+    assert pkts[-1].marker
+    pay.teardown()
+
+    depay = Harness(make("rtpav1depay2"))
+    depay.set_caps("application/x-rtp, media=video, encoding-name=AV1,"
+                   " clock-rate=90000, payload=96")
+    for p in pkts:
+        depay.push(Buffer(p.to_bytes()))
+    outs = depay.pull_all()
+    assert len(outs) == 1
+    from gstpu.elements.net.rtp_video import parse_obus
+    got = list(parse_obus(outs[0].to_bytes()))
+    # TD regenerated + seq header + frame, bodies identical
+    assert [t for t, _ in got] == [2, 1, 6]
+    assert got[1][1][1:] == bytes(range(20))
+    assert got[2][1][1:] == bytes(600)
+
+
+def test_rtp_av1_small_tu_single_packet():
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu.net.rtp.packet import RtpPacket
+    from gstpu.elements.net.rtp_video import parse_obus
+
+    tu = _av1_obu(6, b"tiny-frame")
+    pay = Harness(make("rtpav1pay2", ssrc=1, seqnum_offset=0,
+                       timestamp_offset=0))
+    pay.set_caps("video/x-av1, stream-format=obu-stream")
+    pay.push(Buffer(tu, pts=0))
+    pkts = pay.pull_all()
+    assert len(pkts) == 1
+    p = RtpPacket.parse(pkts[0].to_bytes())
+    assert p.payload[0] >> 4 & 3 == 1       # W=1, unprefixed element
+    assert not p.payload[0] & 0x08          # no seq header: N=0
+    pay.teardown()
+    depay = Harness(make("rtpav1depay2"))
+    depay.set_caps("application/x-rtp, media=video, encoding-name=AV1,"
+                   " clock-rate=90000, payload=96")
+    depay.push(pkts[0])
+    out = depay.pull_all()[0].to_bytes()
+    types = [t for t, _ in parse_obus(out)]
+    assert types == [2, 6]
+    depay.teardown()
