@@ -50,6 +50,7 @@ _MODULES = [
     "gstpu.elements.net.rtsp",
     "gstpu.elements.net.hls",
     "gstpu.elements.net.mpegtslive",
+    "gstpu.elements.net.raptorq",
     "gstpu.elements.net.dash",
     "gstpu.elements.net.gccbwe",
     "gstpu.elements.net.onvif",
