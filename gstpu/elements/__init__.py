@@ -39,6 +39,7 @@ _MODULES = [
     "gstpu.elements.video.ttjson",
     "gstpu.elements.video.st2038demux",
     "gstpu.elements.video.ccoverlay",
+    "gstpu.elements.video.cccombiner",
     "gstpu.elements.video.cdg",
     "gstpu.elements.mux.fmp4",
     "gstpu.elements.mux.mpegts",
