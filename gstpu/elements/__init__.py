@@ -40,6 +40,7 @@ _MODULES = [
     "gstpu.elements.video.st2038demux",
     "gstpu.elements.video.ccoverlay",
     "gstpu.elements.video.cccombiner",
+    "gstpu.elements.video.transcriberbin",
     "gstpu.elements.video.cdg",
     "gstpu.elements.mux.fmp4",
     "gstpu.elements.mux.mpegts",

@@ -117,3 +117,87 @@ def test_combine_then_overlay_chain():
     vf.push_event(EosEvent())
     assert len(out) == 1
     assert vi.view(out[0]).any()       # burned-in caption
+
+
+def test_transcriberbin_with_mock_transcriber():
+    """A toy transcriber (emits one word per audio buffer) drives the
+    full audio->text->608->combiner->meta path."""
+    from gstpu.core.base import BaseTransform
+    from gstpu.core.registry import register_element, Rank
+    from gstpu.core.video import VideoCaptionMeta
+
+    name = "mocktranscriber"
+    from gstpu.core.registry import _registry
+    if name not in _registry:
+        @register_element(name, Rank.NONE)
+        class MockTranscriber(BaseTransform):
+            PAD_TEMPLATES = [
+                PadTemplate("sink", PadDirection.SINK,
+                            PadPresence.ALWAYS,
+                            Caps.new("audio/x-raw")),
+                PadTemplate("src", PadDirection.SRC,
+                            PadPresence.ALWAYS,
+                            Caps.new("text/x-raw", format="utf8")),
+            ]
+
+            def transform_caps(self, direction, caps, filter):
+                out = (Caps.new("text/x-raw", format="utf8")
+                       if direction is PadDirection.SINK
+                       else Caps.new("audio/x-raw"))
+                if filter is not None:
+                    out = filter.intersect(out)
+                return out
+
+            def transform(self, buf):
+                return Buffer(b"HELLO", pts=buf.pts,
+                              duration=buf.duration)
+
+    tb = make("transcriberbin", transcriber="mocktranscriber")
+    from gstpu.core.element import State
+    vout = _capture(tb.static_pad("src_video"))
+    aout = _capture(tb.static_pad("src_audio"))
+    tb.set_state(State.PLAYING)
+
+    acaps = "audio/x-raw, format=S16LE, rate=48000, channels=1"
+    vcaps = ("video/x-raw, format=RGBA, width=4, height=4, "
+             "framerate=30/1")
+    af, vf = _feeder(acaps), _feeder(vcaps)
+    af.link(tb.static_pad("sink_audio"))
+    vf.link(tb.static_pad("sink_video"))
+    _start(af, acaps)
+    _start(vf, vcaps)
+
+    af.push(Buffer(bytes(96), pts=0, duration=SECOND))
+    af.push_event(EosEvent())
+    vi = VideoInfo("RGBA", 4, 4)
+    import numpy as np
+    vf.push(vi.make_buffer(np.zeros((4, 4, 4), np.uint8), pts=0,
+                           duration=SECOND))
+    vf.push_event(EosEvent())
+
+    assert len(aout) == 1                  # audio passthrough
+    assert len(vout) == 1
+    metas = [m for m in vout[0].metas
+             if isinstance(m, VideoCaptionMeta)]
+    assert metas                           # captions attached
+    # the 608 pairs decode back to the mock transcript
+    from gstpu.codecs.cea608 import Cea608Decoder
+    dec = Cea608Decoder()
+    text = None
+    for m in metas:
+        text = dec.push_pair(m.data) or text
+    assert text == "HELLO"
+
+
+def test_transcriberbin_passthrough_without_transcriber():
+    from gstpu.core.element import State
+    tb = make("transcriberbin")
+    vout = _capture(tb.static_pad("src_video"))
+    tb.set_state(State.PLAYING)
+    vcaps = ("video/x-raw, format=RGBA, width=4, height=4, "
+             "framerate=30/1")
+    vf = _feeder(vcaps)
+    vf.link(tb.static_pad("sink_video"))
+    _start(vf, vcaps)
+    vf.push(Buffer(bytes(64), pts=0))
+    assert len(vout) == 1 and not vout[0].metas
