@@ -4,7 +4,7 @@ span packets, the RTP marker closes a document)."""
 
 from __future__ import annotations
 
-from gstpu.core.base import BaseTransform
+from gstpu.core.base import Aggregator, BaseTransform
 from gstpu.core.buffer import Buffer, Meta
 from gstpu.core.caps import Caps
 from gstpu.core.element import PadDirection, PadPresence, PadTemplate
@@ -158,3 +158,88 @@ class OnvifMetadataParse(BaseTransform):
 
     def drain(self) -> list[Buffer]:
         return [self._emit(u) for u in sorted(self._queued)]
+
+
+class OnvifMetadataFrameMeta(Meta):
+    """A complete ONVIF XML document attached to a media buffer
+    (reference onvifmetadatacombiner attaches the meta buffers)."""
+
+    def __init__(self, data: bytes, pts: int | None = None):
+        self.data = data
+        self.pts = pts
+
+    def copy(self):
+        return OnvifMetadataFrameMeta(self.data, self.pts)
+
+
+@register_element("onvifmetadatacombiner", Rank.NONE)
+class OnvifMetadataCombiner(Aggregator):
+    """Pairs a media stream with parsed ONVIF metadata documents:
+    every metadata buffer whose pts falls within a media buffer's
+    interval is attached as OnvifMetadataFrameMeta (reference
+    net/onvif/src/onvifmetadatacombiner/imp.rs)."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.any()),
+        PadTemplate("media", PadDirection.SINK, PadPresence.REQUEST,
+                    Caps.any()),
+        PadTemplate("meta", PadDirection.SINK, PadPresence.REQUEST,
+                    Caps.new("application/x-onvif-metadata")),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._media_pad = None
+        self._meta_pad = None
+        self._pending: list[tuple[int, bytes]] = []
+
+    def request_pad(self, name=None):
+        from gstpu.core.base import AggregatorPad
+        if name == "meta" or (name is None and
+                              self._media_pad is not None):
+            tmpl, n = self.PAD_TEMPLATES[2], "meta"
+        else:
+            tmpl, n = self.PAD_TEMPLATES[1], "media"
+        pad = AggregatorPad(n, tmpl, self)
+        self.add_pad(pad)
+        if n == "media":
+            self._media_pad = pad
+        else:
+            self._meta_pad = pad
+        return pad
+
+    def negotiate_src_caps(self):
+        if self._media_pad is None or \
+                self._media_pad.current_caps is None:
+            return None
+        return self._media_pad.current_caps.copy()
+
+    def aggregate(self, timeout: bool) -> FlowReturn:
+        from gstpu.core.element import FlowReturn
+        if self._media_pad is None:
+            return FlowReturn.OK
+        if self._meta_pad is not None:
+            while True:
+                mb = self._meta_pad.pop_buffer()
+                if mb is None:
+                    break
+                self._pending.append((mb.pts or 0, mb.to_bytes()))
+        buf = self._media_pad.peek_buffer()
+        if buf is None:
+            return FlowReturn.OK
+        if self._meta_pad is not None and not self._meta_pad.is_eos() \
+                and self._meta_pad.peek_buffer() is None and \
+                not timeout:
+            return FlowReturn.OK
+        self._media_pad.pop_buffer()
+        end = (buf.pts or 0) + (buf.duration or 0)
+        out = buf.copy()
+        remaining = []
+        for pts, data in self._pending:
+            if pts < end or end <= (buf.pts or 0):
+                out.add_meta(OnvifMetadataFrameMeta(data, pts))
+            else:
+                remaining.append((pts, data))
+        self._pending = remaining
+        return self.srcpad.push(out)

@@ -201,3 +201,29 @@ def test_transcriberbin_passthrough_without_transcriber():
     _start(vf, vcaps)
     vf.push(Buffer(bytes(64), pts=0))
     assert len(vout) == 1 and not vout[0].metas
+
+
+def test_onvifmetadatacombiner():
+    from gstpu.elements.net.onvif import OnvifMetadataFrameMeta
+    cb = make("onvifmetadatacombiner")
+    out = _capture(cb.static_pad("src"))
+    mcaps = ("video/x-raw, format=RGBA, width=4, height=4, "
+             "framerate=30/1")
+    mf = _feeder(mcaps)
+    mf.link(cb.request_pad("media"))
+    _start(mf, mcaps)
+    xf = _feeder("application/x-onvif-metadata")
+    xf.link(cb.request_pad("meta"))
+    _start(xf, "application/x-onvif-metadata, encoding=utf8")
+    xf.push(Buffer(b"<tt:MetadataStream/>", pts=10_000_000))
+    xf.push_event(EosEvent())
+    import numpy as np
+    from gstpu.core.video import VideoInfo
+    vi = VideoInfo("RGBA", 4, 4)
+    mf.push(vi.make_buffer(np.zeros((4, 4, 4), np.uint8), pts=0))
+    mf.push_event(EosEvent())
+    assert len(out) == 1
+    metas = [m for m in out[0].metas
+             if isinstance(m, OnvifMetadataFrameMeta)]
+    assert metas and metas[0].data == b"<tt:MetadataStream/>"
+    assert metas[0].pts == 10_000_000
