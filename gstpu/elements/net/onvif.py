@@ -4,12 +4,13 @@ span packets, the RTP marker closes a document)."""
 
 from __future__ import annotations
 
-from gstpu.core.base import Aggregator, BaseTransform
+from gstpu.core.base import Aggregator, BaseTransform, VideoFilter
 from gstpu.core.buffer import Buffer, Meta
 from gstpu.core.caps import Caps
 from gstpu.core.element import PadDirection, PadPresence, PadTemplate
 from gstpu.core.props import Mutability, Property
 from gstpu.core.registry import Rank, register_element
+from gstpu.core.video import video_caps
 from gstpu.net.rtp.basepay import RtpBaseDepay2, RtpBasePay2, rtp_caps
 from gstpu.net.rtp.packet import RtpPacket
 
@@ -243,3 +244,107 @@ class OnvifMetadataCombiner(Aggregator):
                 remaining.append((pts, data))
         self._pending = remaining
         return self.srcpad.push(out)
+
+
+@register_element("onvifmetadataoverlay", Rank.NONE)
+class OnvifMetadataOverlay(VideoFilter):
+    """Draws Object bounding boxes from attached ONVIF metadata onto
+    frames (reference net/onvif/src/onvifmetadataoverlay/imp.rs:684:
+    boxes are normalized [-1, 1], x_pix = (1 + left) * W/2, y flipped).
+    """
+
+    IN_PLACE = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    video_caps(formats=("RGBA", "RGB"))),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    video_caps(formats=("RGBA", "RGB"))),
+    ]
+
+    def _boxes(self, xml_bytes: bytes):
+        import xml.etree.ElementTree as ET
+        root = ET.fromstring(xml_bytes)
+        for bbox in root.iter(f"{{{ONVIF_SCHEMA}}}BoundingBox"):
+            try:
+                yield (float(bbox.get("left")),
+                       float(bbox.get("top")),
+                       float(bbox.get("right")),
+                       float(bbox.get("bottom")))
+            except (TypeError, ValueError):
+                continue
+
+    def transform_ip(self, buf) -> None:
+        import numpy as np
+        metas = [m for m in buf.metas
+                 if isinstance(m, OnvifMetadataFrameMeta)]
+        if not metas:
+            return
+        info = self.video_info
+        frame = info.view(buf).copy()
+        W, H = info.width, info.height
+        for m in metas:
+            for left, top, right, bottom in self._boxes(m.data):
+                x1 = int((1.0 + left) * W / 2)
+                x2 = int((1.0 + right) * W / 2)
+                y1 = int((1.0 - top) * H / 2)
+                y2 = int((1.0 - bottom) * H / 2)
+                x1, x2 = sorted((max(0, min(W - 1, x1)),
+                                 max(0, min(W - 1, x2))))
+                y1, y2 = sorted((max(0, min(H - 1, y1)),
+                                 max(0, min(H - 1, y2))))
+                color = (255, 255, 0)
+                for t in range(2):          # 2px outline
+                    frame[y1 + t, x1:x2 + 1, :3] = color
+                    frame[max(y2 - t, 0), x1:x2 + 1, :3] = color
+                    frame[y1:y2 + 1, x1 + t, :3] = color
+                    frame[y1:y2 + 1, max(x2 - t, 0), :3] = color
+        buf.data = frame
+
+
+@register_element("onvifmetadataextractor", Rank.NONE)
+class OnvifMetadataExtractor(BaseTransform):
+    """Inverse of the combiner: strips OnvifMetadataFrameMeta back
+    onto a sometimes `meta` pad (reference onvifmetadataextractor)."""
+
+    IN_PLACE = False
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    Caps.any()),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.any()),
+        PadTemplate("meta", PadDirection.SRC, PadPresence.SOMETIMES,
+                    ONVIF_META_CAPS.copy()),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._meta_pad = None
+
+    def _ensure_meta_pad(self):
+        if self._meta_pad is not None:
+            return self._meta_pad
+        from gstpu.core.element import Pad, PadDirection
+        from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                      StreamStartEvent)
+        pad = Pad("meta", PadDirection.SRC, self.PAD_TEMPLATES[2],
+                  self)
+        self.add_pad(pad)
+        pad.push_event(StreamStartEvent(f"{self.name}/meta"))
+        pad.push_event(CapsEvent(ONVIF_META_CAPS.copy()))
+        pad.push_event(SegmentEvent(Segment()))
+        self._meta_pad = pad
+        return pad
+
+    def transform(self, buf):
+        keep = []
+        for m in buf.metas:
+            if isinstance(m, OnvifMetadataFrameMeta):
+                pad = self._ensure_meta_pad()
+                if pad.is_linked():
+                    pad.push(Buffer(m.data, pts=m.pts
+                                    if m.pts is not None else buf.pts))
+            else:
+                keep.append(m)
+        out = buf.copy()
+        out.metas = keep
+        return out

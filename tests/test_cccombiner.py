@@ -227,3 +227,49 @@ def test_onvifmetadatacombiner():
              if isinstance(m, OnvifMetadataFrameMeta)]
     assert metas and metas[0].data == b"<tt:MetadataStream/>"
     assert metas[0].pts == 10_000_000
+
+
+def test_onvif_overlay_and_extractor():
+    import numpy as np
+    from gstpu.core.harness import Harness
+    from gstpu.core.video import VideoInfo
+    from gstpu.elements.net.onvif import (ONVIF_SCHEMA,
+                                          OnvifMetadataFrameMeta)
+
+    xml = (f'<tt:MetadataStream xmlns:tt="{ONVIF_SCHEMA}">'
+           f'<tt:VideoAnalytics><tt:Frame UtcTime="2026-01-01T00:00:00Z">'
+           f'<tt:Object ObjectId="1"><tt:Appearance><tt:Shape>'
+           f'<tt:BoundingBox left="-0.5" top="0.5" right="0.5" '
+           f'bottom="-0.5"/></tt:Shape></tt:Appearance></tt:Object>'
+           f'</tt:Frame></tt:VideoAnalytics></tt:MetadataStream>'
+           ).encode()
+    vi = VideoInfo("RGBA", 80, 60)
+    h = Harness(make("onvifmetadataoverlay"))
+    h.set_caps("video/x-raw, format=RGBA, width=80, height=60, "
+               "framerate=30/1")
+    b = vi.make_buffer(np.zeros((60, 80, 4), np.uint8), pts=0)
+    b.add_meta(OnvifMetadataFrameMeta(xml, 0))
+    h.push(b)
+    out = vi.view(h.pull())
+    # box covers x 20..60, y 15..45 (normalized +-0.5)
+    assert tuple(out[15, 40, :3]) == (255, 255, 0)   # top edge
+    assert tuple(out[30, 20, :3]) == (255, 255, 0)   # left edge
+    assert tuple(out[30, 40, :3]) == (0, 0, 0)       # interior empty
+    h.teardown()
+
+    ex = make("onvifmetadataextractor")
+    h2 = Harness(ex)
+    h2.set_caps("video/x-raw, format=RGBA, width=80, height=60, "
+                "framerate=30/1")
+    b2 = vi.make_buffer(np.zeros((60, 80, 4), np.uint8), pts=5)
+    b2.add_meta(OnvifMetadataFrameMeta(xml, 123))
+    h2.push(b2)                    # creates the meta pad
+    mp = ex.static_pad("meta")
+    got = _capture(mp)
+    b3 = vi.make_buffer(np.zeros((60, 80, 4), np.uint8), pts=6)
+    b3.add_meta(OnvifMetadataFrameMeta(b"<x/>", 456))
+    h2.push(b3)
+    assert [g.to_bytes() for g in got] == [b"<x/>"]
+    assert got[0].pts == 456
+    assert all(not v.metas for v in h2.pull_all())
+    h2.teardown()
