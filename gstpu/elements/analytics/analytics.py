@@ -19,6 +19,7 @@ from gstpu.core.event import (CapsEvent, EosEvent, Segment, SegmentEvent,
                               StreamStartEvent)
 from gstpu.core.props import Mutability, Property
 from gstpu.core.registry import Rank, register_element
+from gstpu.core.video import video_caps
 from gstpu.ops.detection import Detection, yolox_decode
 
 
@@ -135,9 +136,13 @@ class YoloxTensorDec(BaseTransform):
     IN_PLACE = True
     PAD_TEMPLATES = [
         PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
-                    Caps.new("application/x-tensor", type="yolox")),
+                    Caps(list(Caps.new("application/x-tensor",
+                                       type="yolox"))
+                         + list(video_caps()))),
         PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
-                    Caps.new("application/x-tensor", type="yolox")),
+                    Caps(list(Caps.new("application/x-tensor",
+                                       type="yolox"))
+                         + list(video_caps()))),
     ]
 
     score_threshold = Property(float, default=0.3, minimum=0.0,
@@ -152,8 +157,76 @@ class YoloxTensorDec(BaseTransform):
                            mutable=Mutability.READY)
 
     def transform_ip(self, buf: Buffer) -> None:
-        arr = buf.array.view(np.float32) \
-            .reshape(-1, 5 + self.num_classes)
-        dets = yolox_decode(arr, self.image_width, self.image_height,
+        tm = buf.get_meta(TensorMeta)
+        if tm is not None:
+            # video buffer carrying inference output (yoloxinference)
+            arr = np.asarray(tm.data).reshape(-1,
+                                              5 + self.num_classes)
+            from gstpu.core.video import VideoInfo
+            info = VideoInfo.from_caps(self.in_caps)
+            w, h = info.width, info.height
+        else:
+            arr = buf.array.view(np.float32) \
+                .reshape(-1, 5 + self.num_classes)
+            w, h = self.image_width, self.image_height
+        dets = yolox_decode(arr, w, h,
                             self.score_threshold, self.nms_threshold)
         buf.add_meta(AnalyticsRelationMeta(dets))
+
+
+class TensorMeta(Meta):
+    """Raw inference output attached to a media buffer (gst analytics
+    TensorMeta analogue; reference burn-yoloxinference attaches its
+    output this way)."""
+
+    def __init__(self, data: np.ndarray, tensor_type: str = "yolox"):
+        self.data = data
+        self.tensor_type = tensor_type
+
+    def copy(self):
+        return TensorMeta(self.data, self.tensor_type)
+
+
+@register_element("yoloxinference", Rank.NONE)
+class YoloxInference(BaseTransform):
+    """Runs the JAX YOLOX forward (gstpu/ops/yolox.py) on RGB frames
+    and attaches the (A, 5+C) output as TensorMeta (reference
+    analytics/burn/src/yoloxinference; the burn/wgpu compute becomes
+    a jitted TPU graph here).  Input frames must already be scaled to
+    a multiple of 32 (like the reference's videoconvertscale step)."""
+
+    IN_PLACE = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    video_caps(formats=("RGB", "RGBA"))),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    video_caps(formats=("RGB", "RGBA"))),
+    ]
+
+    model_file = Property(str, default=None, mutable=Mutability.READY,
+                          blurb=".npz weights (random init if unset)")
+    num_classes = Property(int, default=80, minimum=1,
+                           mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._params = None
+
+    def start(self) -> bool:
+        from gstpu.ops import yolox
+        if self.model_file:
+            self._params = yolox.load_params(self.model_file)
+        else:
+            self._params = yolox.init_params(self.num_classes)
+        return True
+
+    def transform_ip(self, buf: Buffer) -> None:
+        import jax.numpy as jnp
+
+        from gstpu.core.video import VideoInfo
+        from gstpu.ops.yolox import yolox_forward
+        info = VideoInfo.from_caps(self.in_caps)
+        frame = info.view(buf)[..., :3].astype(np.float32) / 255.0
+        pred = np.asarray(yolox_forward(self._params,
+                                        jnp.asarray(frame)))
+        buf.add_meta(TensorMeta(pred))
