@@ -209,3 +209,91 @@ def parse_svc_info(data: bytes) -> tuple[list[dict], int]:
                              "language": lang})
         pos += 7
     return services, pos
+
+
+# -- DTVCC packets and service blocks (CEA-708 6.2/6.3) ----------------
+
+def ccdata_split(cc_data: bytes):
+    """cc_data triplets -> (608 field pairs list, DTVCC packets list).
+
+    A CC_708_START triplet begins a packet; CC_708_DATA triplets
+    continue it (the reference's cea708mux feeds these into
+    cea708_types' CCDataParser)."""
+    pairs = []
+    packets = []
+    cur = None
+    for i in range(0, len(cc_data) - 2, 3):
+        hdr = cc_data[i]
+        if not hdr & 0x04:
+            continue
+        t = hdr & 0x03
+        two = cc_data[i + 1:i + 3]
+        if t in (CC_608_FIELD1, CC_608_FIELD2):
+            pairs.append((t, two))
+        elif t == CC_708_START:
+            if cur:
+                packets.append(bytes(cur))
+            cur = bytearray(two)
+        elif t == CC_708_DATA and cur is not None:
+            cur += two
+    if cur:
+        packets.append(bytes(cur))
+    return pairs, packets
+
+
+def dtvcc_to_ccdata(packet: bytes) -> bytes:
+    """DTVCC packet bytes -> cc_data triplets (START + DATA)."""
+    if len(packet) % 2:
+        packet += b"\x00"
+    out = b""
+    for i in range(0, len(packet), 2):
+        t = CC_708_START if i == 0 else CC_708_DATA
+        out += cc_triplet(packet[i], packet[i + 1], t)
+    return out
+
+
+def parse_dtvcc(packet: bytes) -> tuple[int, list[tuple[int, bytes]]]:
+    """-> (sequence_no, [(service_no, block_data), ...]).
+
+    byte0: seq(2) | packet_size_code(6); total packet length is
+    packet_size_code*2 (128 when 0).  Service block header:
+    service_number(3) | block_size(5); service 7 = extended header.
+    """
+    seq = packet[0] >> 6
+    size = (packet[0] & 0x3F) * 2 or 128
+    data = packet[1:size]
+    blocks = []
+    pos = 0
+    while pos < len(data):
+        hdr = data[pos]
+        if hdr == 0:
+            break                           # padding
+        svc = hdr >> 5
+        blen = hdr & 0x1F
+        pos += 1
+        if svc == 7:                        # extended service number
+            svc = data[pos] & 0x3F
+            pos += 1
+        blocks.append((svc, data[pos:pos + blen]))
+        pos += blen
+    return seq, blocks
+
+
+def build_dtvcc(seq: int, blocks: list[tuple[int, bytes]]) -> bytes:
+    body = bytearray()
+    for svc, data in blocks:
+        if not 0 < svc <= 63 or len(data) > 31:
+            raise ValueError(f"bad service block ({svc}, "
+                             f"{len(data)} bytes)")
+        if svc <= 6:
+            body.append(svc << 5 | len(data))
+        else:
+            body.append(7 << 5 | len(data))
+            body.append(svc)
+        body += data
+    total = 1 + len(body)
+    if total % 2:
+        body.append(0)
+        total += 1
+    size_code = (total // 2) % 64
+    return bytes([(seq & 0x3) << 6 | size_code]) + bytes(body)

@@ -14,7 +14,7 @@ from fractions import Fraction
 
 from gstpu.codecs.cea708 import (CC_COUNT, CDP_RATES, Cdp, build_cdp,
                                  cc_data_from_608, pad_cc_data)
-from gstpu.core.base import BaseTransform
+from gstpu.core.base import Aggregator, BaseTransform
 from gstpu.core.buffer import Buffer
 from gstpu.core.caps import AnyList, Caps, Structure
 from gstpu.core.element import PadDirection, PadPresence, PadTemplate
@@ -116,3 +116,87 @@ class CdpServiceInject(BaseTransform):
         cdp.services = list(self.services)
         return Buffer(build_cdp(cdp), pts=buf.pts,
                       duration=buf.duration)
+
+
+@register_element("cea708mux", Rank.NONE)
+class Cea708Mux(Aggregator):
+    """Merges several CEA-708 streams into one CDP sequence
+    (reference video/closedcaption/src/cea708mux/imp.rs): each input's
+    DTVCC service blocks are re-muxed into a single packet per output
+    frame (per-pad `service-N` remapping via pad order when services
+    collide is the caller's job — colliding service numbers keep the
+    first pad's blocks, like the reference's discarded_services).
+    608 pairs pass through from the first pad carrying any.
+    """
+
+    PAD_TEMPLATES = [
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.new("closedcaption/x-cea-708", format="cdp")),
+        PadTemplate("sink_%u", PadDirection.SINK, PadPresence.REQUEST,
+                    Caps([Structure("closedcaption/x-cea-708",
+                                    format=AnyList(("cdp",
+                                                    "cc_data")))])),
+    ]
+
+    from gstpu.core.props import Mutability, Property
+    framerate_code = Property(int, default=0x4, minimum=1, maximum=8,
+                              mutable=Mutability.READY,
+                              blurb="CDP frame rate code (0x4=29.97)")
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._seq = 0
+        self._dtvcc_seq = 0
+
+    def negotiate_src_caps(self):
+        return Caps.new("closedcaption/x-cea-708", format="cdp")
+
+    def _cc_data_of(self, pad, buf) -> bytes:
+        if pad.current_caps[0].get("format") == "cdp":
+            from gstpu.codecs.cea708 import parse_cdp
+            return parse_cdp(buf.to_bytes()).cc_data
+        return buf.to_bytes()
+
+    def aggregate(self, timeout: bool) -> FlowReturn:
+        from gstpu.codecs.cea708 import (CC_COUNT, Cdp, build_cdp,
+                                         build_dtvcc, cc_data_from_608,
+                                         ccdata_split, dtvcc_to_ccdata,
+                                         pad_cc_data, parse_dtvcc)
+        pads = self.agg_sink_pads()
+        if not pads or not all(p.peek_buffer() or p.is_eos()
+                               for p in pads):
+            return FlowReturn.OK
+        ready = [p for p in pads if p.peek_buffer()]
+        if not ready:
+            return FlowReturn.OK
+        pts = min((p.peek_buffer().pts or 0) for p in ready)
+        blocks: list[tuple[int, bytes]] = []
+        seen: set[int] = set()
+        pairs_out: list[tuple[int, bytes]] = []
+        have_608 = False
+        for p in ready:
+            if (p.peek_buffer().pts or 0) != pts:
+                continue
+            buf = p.pop_buffer()
+            pairs, pkts = ccdata_split(self._cc_data_of(p, buf))
+            if pairs and not have_608:
+                pairs_out = pairs
+                have_608 = True
+            for pkt in pkts:
+                _seq, blks = parse_dtvcc(pkt)
+                for svc, data in blks:
+                    if svc in seen:
+                        continue           # first pad wins
+                    seen.add(svc)
+                    blocks.append((svc, data))
+        cc = b"".join(cc_data_from_608([pr], field_=f)
+                      for f, pr in pairs_out)
+        if blocks:
+            pkt = build_dtvcc(self._dtvcc_seq, blocks)
+            self._dtvcc_seq = (self._dtvcc_seq + 1) & 0x3
+            cc += dtvcc_to_ccdata(pkt)
+        cc = pad_cc_data(cc, CC_COUNT[self.framerate_code])
+        out = build_cdp(Cdp(rate_code=self.framerate_code,
+                            sequence=self._seq, cc_data=cc))
+        self._seq = (self._seq + 1) & 0xFFFF
+        return self.srcpad.push(Buffer(out, pts=pts))

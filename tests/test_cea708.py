@@ -134,3 +134,55 @@ def test_cdpserviceinject_element():
     assert f0 == [b"\x94\x2c"]
     assert out.pts == 9
     h.teardown()
+
+
+def test_cea708mux_merges_services():
+    from gstpu import Caps, FlowReturn
+    from gstpu.codecs.cea708 import (build_dtvcc, ccdata_split,
+                                     dtvcc_to_ccdata, extract_cea608,
+                                     parse_cdp, parse_dtvcc,
+                                     cc_data_from_608)
+    from gstpu.core.caps import parse_caps
+    from gstpu.core.element import (Pad, PadDirection, PadPresence,
+                                    PadTemplate)
+    from gstpu.core.event import (CapsEvent, EosEvent, Segment,
+                                  SegmentEvent, StreamStartEvent)
+
+    mx = make("cea708mux", framerate_code=0x3)   # 25fps: cc_count 24
+    out = []
+    cap = Pad("c", PadDirection.SINK,
+              PadTemplate("sink", PadDirection.SINK,
+                          PadPresence.ALWAYS, Caps.any()))
+    cap.chain_function = lambda p, b: (out.append(b), FlowReturn.OK)[1]
+    cap.event_function = lambda p, e: True
+    mx.static_pad("src").link(cap)
+    feeders = []
+    for _ in range(2):
+        f = Pad("f", PadDirection.SRC,
+                PadTemplate("src", PadDirection.SRC,
+                            PadPresence.ALWAYS, Caps.any()))
+        f.link(mx.request_pad())
+        f.push_event(StreamStartEvent("s"))
+        f.push_event(CapsEvent(parse_caps(
+            "closedcaption/x-cea-708, format=cc_data")))
+        f.push_event(SegmentEvent(Segment()))
+        feeders.append(f)
+
+    # pad 0: 608 pair + service 1; pad 1: service 2 + colliding svc 1
+    cc0 = (cc_data_from_608([b"\x94\x2c"])
+           + dtvcc_to_ccdata(build_dtvcc(0, [(1, b"one")])))
+    cc1 = dtvcc_to_ccdata(build_dtvcc(0, [(2, b"two"),
+                                          (1, b"conflict")]))
+    feeders[0].push(Buffer(cc0, pts=0))
+    feeders[1].push(Buffer(cc1, pts=0))
+    assert len(out) == 1
+    cdp = parse_cdp(out[0].to_bytes())
+    assert len(cdp.cc_data) == 3 * 24
+    f0, _ = extract_cea608(cdp.cc_data)
+    assert f0 == [b"\x94\x2c"]
+    _, pkts = ccdata_split(cdp.cc_data)
+    assert len(pkts) == 1
+    _seq, blocks = parse_dtvcc(pkts[0])
+    assert blocks == [(1, b"one"), (2, b"two")]   # first pad won svc 1
+    for f in feeders:
+        f.push_event(EosEvent())
