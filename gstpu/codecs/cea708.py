@@ -297,3 +297,36 @@ def build_dtvcc(seq: int, blocks: list[tuple[int, bytes]]) -> bytes:
         total += 1
     size_code = (total // 2) % 64
     return bytes([(seq & 0x3) << 6 | size_code]) + bytes(body)
+
+
+# C1 window-command operand lengths (CEA-708 table 17): used to skip
+# formatting commands when extracting bare service text
+_C1_LENGTHS = {**{c: 0 for c in range(0x80, 0x88)},   # CW0-7
+               0x88: 1, 0x89: 1, 0x8A: 1, 0x8B: 1, 0x8C: 1,
+               0x8D: 1, 0x8E: 0, 0x8F: 0,
+               0x90: 2, 0x91: 3, 0x92: 2, 0x97: 4,
+               **{c: 6 for c in range(0x98, 0xA0)}}   # DF0-7
+
+
+def service_block_text(data: bytes) -> str:
+    """Printable text from one service block: G0 passthrough, CR ->
+    newline, C1 window/pen commands skipped, ETX ignored."""
+    out = []
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if 0x20 <= b <= 0x7F:
+            out.append(chr(b) if b != 0x7F else "♪")
+            i += 1
+        elif b == 0x0D:
+            out.append("\n")
+            i += 1
+        elif b in (0x00, 0x03, 0x08, 0x0C, 0x0E):  # NUL/ETX/BS/FF/HCR
+            i += 1
+        elif b == 0x10:                    # EXT1: skip one code
+            i += 2
+        elif 0x80 <= b <= 0x9F:
+            i += 1 + _C1_LENGTHS.get(b, 0)
+        else:
+            i += 1
+    return "".join(out)

@@ -97,3 +97,50 @@ class Cea608Overlay(VideoFilter):
         frame[y0:y0 + h, x0:x0 + w, :3] = \
             blended.round().astype(np.uint8)
         buf.data = frame
+
+
+@register_element("cea708overlay", Rank.NONE)
+class Cea708Overlay(Cea608Overlay):
+    """Burns CEA-708 service text into frames (reference
+    cea708overlay): cc_data/CDP captions arrive as VideoCaptionMeta;
+    DTVCC service blocks for `service` decode through the minimal
+    Service text extractor (codecs/cea708.py service_block_text) and
+    render like the 608 overlay; embedded 608 pairs also work."""
+
+    from gstpu.core.props import Mutability, Property
+    service = Property(int, default=1, minimum=1, maximum=63,
+                       mutable=Mutability.PLAYING)
+
+    def transform_ip(self, buf: Buffer) -> None:
+        from gstpu.codecs.cea708 import (ccdata_split, parse_cdp,
+                                         parse_dtvcc,
+                                         service_block_text)
+        from gstpu.core.video import VideoCaptionMeta
+        for m in buf.metas:
+            if not isinstance(m, VideoCaptionMeta):
+                continue
+            cc = m.data
+            if m.caption_type == "cea708-cdp":
+                cc = parse_cdp(cc).cc_data
+            elif m.caption_type != "cea708-raw":
+                continue
+            pairs, pkts = ccdata_split(cc)
+            for _f, pair in pairs:
+                text = self._dec.push_pair(pair)
+                if text is not None:
+                    self._text = text or None
+                    self._strip = self._render(text) if text else None
+            for pkt in pkts:
+                _seq, blocks = parse_dtvcc(pkt)
+                for svc, data in blocks:
+                    if svc != self.service:
+                        continue
+                    text = service_block_text(data).strip()
+                    if text:
+                        self._strip = self._render(text)
+        # composite via the 608 overlay's blending path
+        metas, buf.metas = buf.metas, []
+        try:
+            super().transform_ip(buf)
+        finally:
+            buf.metas = metas

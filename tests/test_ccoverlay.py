@@ -60,3 +60,25 @@ def test_overlay_cea708_raw_meta():
     h.push(b)
     assert vi.view(h.pull()).any()
     h.teardown()
+
+
+def test_cea708_overlay_service_text():
+    from gstpu.codecs.cea708 import (build_dtvcc, dtvcc_to_ccdata,
+                                     service_block_text)
+    # service text extraction handles window commands + CR
+    data = b"\x98" + bytes(6) + b"HI\x0dTHERE\x03"
+    assert service_block_text(data) == "HI\nTHERE"
+
+    vi = VideoInfo("RGBA", 160, 120)
+    h = Harness(make("cea708overlay", service=2,
+                     black_background=True))
+    h.set_caps("video/x-raw, format=RGBA, width=160, height=120, "
+               "framerate=30/1")
+    cc = dtvcc_to_ccdata(build_dtvcc(0, [(1, b"WRONG"),
+                                         (2, b"RIGHT\x03")]))
+    b = vi.make_buffer(_frame(vi))
+    b.add_meta(VideoCaptionMeta("cea708-raw", cc))
+    h.push(b)
+    out = vi.view(h.pull())
+    assert out.any()
+    h.teardown()
