@@ -916,3 +916,100 @@ class RtpJpegDepay(RtpBaseDepay2):
                               pts=self._pts)
             self._info = None
             self._frags = {}
+
+
+# -- AMR-NB / AMR-WB (RFC 4867, octet-aligned) ----------------------------
+
+# core frame bytes per frame type (ETSI TS 126 101 / 126 201)
+_AMR_NB_SIZES = (12, 13, 15, 17, 19, 20, 26, 31, 5)
+_AMR_WB_SIZES = (17, 23, 32, 36, 40, 46, 50, 58, 60, 5)
+
+
+def _amr_pair(wb: bool):
+    enc = "AMR-WB" if wb else "AMR"
+    media = "audio/AMR-WB" if wb else "audio/AMR"
+    rate = 16000 if wb else 8000
+    sizes = _AMR_WB_SIZES if wb else _AMR_NB_SIZES
+    suffix = "wb" if wb else ""
+
+    @register_element(f"rtpamr{suffix}pay2", Rank.SECONDARY)
+    class Pay(RtpBasePay2):
+        """Octet-aligned RFC 4867: CMR octet, then one TOC octet per
+        frame (F|FT|Q), then the core frames (reference
+        net/rtp/src/amr/pay prefers octet-align=1)."""
+
+        PAD_TEMPLATES = [
+            _tmpl("sink", PadDirection.SINK, Caps.new(media)),
+            _tmpl("src", PadDirection.SRC,
+                  rtp_caps(enc, clock_rate=rate, media="audio",
+                           **{"octet-align": "1"})),
+        ]
+
+        def handle_buffer(self, buf) -> None:
+            data = buf.to_bytes()
+            # split the buffer into frames via the FT in each TOC-less
+            # AMR file-storage frame header octet
+            frames = []
+            pos = 0
+            while pos < len(data):
+                ft = data[pos] >> 3 & 0x0F
+                if ft >= len(sizes):
+                    break
+                n = sizes[ft]
+                frames.append((ft, bool(data[pos] & 0x04),
+                               data[pos + 1:pos + 1 + n]))
+                pos += 1 + n
+            if not frames:
+                return
+            toc = bytes(((0x80 if i < len(frames) - 1 else 0)
+                         | ft << 3 | (0x04 if q else 0))
+                        for i, (ft, q, _) in enumerate(frames))
+            body = b"".join(f for _, _, f in frames)
+            self.queue_packet(b"\xF0" + toc + body, marker=True,
+                              rtp_ts=self.rtp_timestamp_for(buf),
+                              pts=buf.pts)
+
+    Pay.__name__ = f"RtpAmr{'Wb' if wb else ''}Pay"
+
+    @register_element(f"rtpamr{suffix}depay2", Rank.SECONDARY)
+    class Depay(RtpBaseDepay2):
+        PAD_TEMPLATES = [
+            _tmpl("sink", PadDirection.SINK,
+                  rtp_caps(enc, clock_rate=rate, media="audio")),
+            _tmpl("src", PadDirection.SRC, Caps.new(media)),
+        ]
+
+        def depay_src_caps(self, incaps):
+            if incaps[0].get("octet-align") != "1":
+                self.post_error(f"rtpamr{suffix}depay2: only "
+                                "octet-aligned mode supported")
+                return None
+            return Caps.new(media, rate=rate, channels=1)
+
+        def handle_packet(self, pkt, buf) -> None:
+            data = pkt.payload
+            if len(data) < 2:
+                return
+            tocs = []
+            pos = 1                         # skip CMR
+            while pos < len(data):
+                tocs.append(data[pos])
+                follow = data[pos] & 0x80
+                pos += 1
+                if not follow:
+                    break
+            out = b""
+            for t in tocs:
+                ft = t >> 3 & 0x0F
+                if ft >= len(sizes):
+                    return                  # malformed
+                n = sizes[ft]
+                out += bytes([t & 0x7C]) + data[pos:pos + n]
+                pos += n
+            self.queue_buffer(out, pts=self.pts_for(pkt))
+
+    Depay.__name__ = f"RtpAmr{'Wb' if wb else ''}Depay"
+
+
+_amr_pair(False)
+_amr_pair(True)

@@ -633,3 +633,42 @@ def test_rtp_av1_small_tu_single_packet():
     types = [t for t, _ in parse_obus(out)]
     assert types == [2, 6]
     depay.teardown()
+
+
+@pytest.mark.parametrize("wb", [False, True])
+def test_rtp_amr_octet_aligned_roundtrip(wb):
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu.net.rtp.packet import RtpPacket
+    from gstpu.elements.net.rtp_elements import (_AMR_NB_SIZES,
+                                                 _AMR_WB_SIZES)
+
+    sizes = _AMR_WB_SIZES if wb else _AMR_NB_SIZES
+    sfx = "wb" if wb else ""
+    media = "audio/AMR-WB" if wb else "audio/AMR"
+    rate = 16000 if wb else 8000
+    # two frames (FT 0 and FT 7) in file-storage framing, Q=1
+    fr = b""
+    for ft in (0, 7):
+        fr += bytes([ft << 3 | 0x04]) + bytes(range(sizes[ft]))
+
+    pay = Harness(make(f"rtpamr{sfx}pay2", ssrc=1, seqnum_offset=0,
+                       timestamp_offset=0))
+    pay.set_caps(media)
+    pay.push(Buffer(fr, pts=0))
+    pkts = pay.pull_all()
+    assert len(pkts) == 1
+    p = RtpPacket.parse(pkts[0].to_bytes())
+    assert p.payload[0] == 0xF0                 # CMR: no request
+    assert p.payload[1] & 0x80                  # first TOC has F=1
+    assert not p.payload[2] & 0x80              # last TOC F=0
+    pay.teardown()
+
+    depay = Harness(make(f"rtpamr{sfx}depay2"))
+    depay.set_caps(f"application/x-rtp, media=audio, encoding-name="
+                   f"{'AMR-WB' if wb else 'AMR'}, clock-rate={rate}, "
+                   f"octet-align=(string)1, payload=96")
+    depay.push(pkts[0])
+    out = depay.pull_all()
+    assert len(out) == 1 and out[0].to_bytes() == fr
+    depay.teardown()
