@@ -1013,3 +1013,83 @@ def _amr_pair(wb: bool):
 
 _amr_pair(False)
 _amr_pair(True)
+
+
+# -- MPEG-1/2 video (RFC 2250) --------------------------------------------
+
+_MPV_MEDIA = Caps([Structure("video/mpeg",
+                             mpegversion=AnyList((1, 2)),
+                             systemstream=False)])
+
+
+@register_element("rtpmpvpay2", Rank.SECONDARY)
+class RtpMpvPay(RtpBasePay2):
+    """RFC 2250 section 3.4: 4-byte MPEG video-specific header
+    (TR and picture-type fields zeroed like the reference's simple
+    payloader path), static PT 32, marker at frame end."""
+
+    DEFAULT_PT = 32
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, _MPV_MEDIA.copy()),
+        _tmpl("src", PadDirection.SRC,
+              rtp_caps("MPV", clock_rate=90000, media="video",
+                       payload=32)),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.pt = 32
+
+    def handle_buffer(self, buf) -> None:
+        data = buf.to_bytes()
+        rtp_ts = self.rtp_timestamp_for(buf)
+        room = self.mtu - 12 - 4
+        off = 0
+        while off < len(data) or not off:
+            chunk = data[off:off + room]
+            last = off + room >= len(data)
+            # B (beginning-of-slice) on the first fragment, E (end)
+            # on the last; other header fields zero
+            hdr = bytes([0, 0,
+                         (0x10 if off == 0 else 0)
+                         | (0x08 if last else 0), 0])
+            self.queue_packet(hdr + chunk, marker=last, rtp_ts=rtp_ts,
+                              pts=buf.pts)
+            off += room
+            if last:
+                break
+
+
+@register_element("rtpmpvdepay2", Rank.SECONDARY)
+class RtpMpvDepay(RtpBaseDepay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK,
+              rtp_caps("MPV", clock_rate=90000, media="video",
+                       payload=32)),
+        _tmpl("src", PadDirection.SRC, _MPV_MEDIA.copy()),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._frag: list[bytes] = []
+        self._frag_pts = None
+
+    def depay_src_caps(self, incaps):
+        return Caps.new("video/mpeg", mpegversion=2,
+                        systemstream=False)
+
+    def handle_packet(self, pkt, buf) -> None:
+        data = pkt.payload
+        if len(data) < 5:
+            return
+        hdr_len = 4
+        if data[2] & 0x04:                  # T bit: MPEG-2 extension
+            hdr_len = 8
+        if not self._frag:
+            self._frag_pts = self.pts_for(pkt)
+        self._frag.append(data[hdr_len:])
+        if pkt.marker:
+            self.queue_buffer(b"".join(self._frag),
+                              pts=self._frag_pts)
+            self._frag = []

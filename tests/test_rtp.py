@@ -672,3 +672,29 @@ def test_rtp_amr_octet_aligned_roundtrip(wb):
     out = depay.pull_all()
     assert len(out) == 1 and out[0].to_bytes() == fr
     depay.teardown()
+
+
+def test_rtp_mpv_roundtrip():
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu.net.rtp.packet import RtpPacket
+
+    frame = b"\x00\x00\x01\xb3" + bytes(500)   # sequence header-ish
+    pay = Harness(make("rtpmpvpay2", mtu=200, ssrc=1, seqnum_offset=0,
+                       timestamp_offset=0))
+    pay.set_caps("video/mpeg, mpegversion=2, systemstream=false")
+    pay.push(Buffer(frame, pts=0))
+    pkts = [RtpPacket.parse(b.to_bytes()) for b in pay.pull_all()]
+    assert len(pkts) == 3 and all(p.payload_type == 32 for p in pkts)
+    assert pkts[0].payload[2] & 0x10            # B on first
+    assert pkts[-1].payload[2] & 0x08 and pkts[-1].marker
+    pay.teardown()
+
+    depay = Harness(make("rtpmpvdepay2"))
+    depay.set_caps("application/x-rtp, media=video, encoding-name=MPV,"
+                   " clock-rate=90000, payload=32")
+    for p in pkts:
+        depay.push(Buffer(p.to_bytes()))
+    outs = depay.pull_all()
+    assert len(outs) == 1 and outs[0].to_bytes() == frame
+    depay.teardown()
