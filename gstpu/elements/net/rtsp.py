@@ -1,4 +1,5 @@
-"""rtspsrc2: RTSP 1.0 client source (TCP-interleaved transport).
+"""rtspsrc2: RTSP 1.0 client source (TCP-interleaved or UDP
+transport).
 
 Rebuilds the reference's RTSP client rewrite (net/rtsp rtspsrc2)
 control-protocol core: OPTIONS/DESCRIBE (SDP parse) /SETUP/PLAY over
@@ -149,11 +150,17 @@ class RtspSrc(PushSrc):
     location = Property(str, default=None, mutable=Mutability.READY,
                         blurb="rtsp:// URL")
     timeout_s = Property(float, default=5.0, minimum=0.1)
+    protocols = Property(str, default="tcp", mutable=Mutability.READY,
+                         enum_values=("tcp", "udp"),
+                         blurb="Transport: tcp (interleaved) or udp "
+                               "(RTP/AVP with client_port)")
 
     def __init__(self, name=None):
         super().__init__(name)
         self._conn: RtspConnection | None = None
         self._media: dict | None = None
+        self._rtp_sock = None
+        self._rtcp_sock = None
         self.is_live = True
 
     def start(self) -> bool:
@@ -176,10 +183,25 @@ class RtspSrc(PushSrc):
             control = self._media["control"] or self.location
             if not control.startswith("rtsp"):
                 control = self.location.rstrip("/") + "/" + control
+            if self.protocols == "udp":
+                import socket as _socket
+                self._rtp_sock = _socket.socket(_socket.AF_INET,
+                                                _socket.SOCK_DGRAM)
+                self._rtp_sock.bind(("127.0.0.1", 0))
+                self._rtp_sock.setblocking(False)
+                self._rtcp_sock = _socket.socket(_socket.AF_INET,
+                                                 _socket.SOCK_DGRAM)
+                self._rtcp_sock.bind(("127.0.0.1", 0))
+                self._rtcp_sock.setblocking(False)
+                rtp_port = self._rtp_sock.getsockname()[1]
+                rtcp_port = self._rtcp_sock.getsockname()[1]
+                transport = (f"RTP/AVP;unicast;client_port="
+                             f"{rtp_port}-{rtcp_port}")
+            else:
+                transport = "RTP/AVP/TCP;unicast;interleaved=0-1"
             status, _, _ = c.request(
                 "SETUP", url=control,
-                headers={"Transport":
-                         "RTP/AVP/TCP;unicast;interleaved=0-1"})
+                headers={"Transport": transport})
             if status != 200:
                 raise ConnectionError(f"SETUP -> {status}")
             status, _, _ = c.request("PLAY")
@@ -192,6 +214,10 @@ class RtspSrc(PushSrc):
             return False
 
     def stop(self) -> bool:
+        for sock in (self._rtp_sock, self._rtcp_sock):
+            if sock is not None:
+                sock.close()
+        self._rtp_sock = self._rtcp_sock = None
         if self._conn:
             try:
                 self._conn.request("TEARDOWN")
@@ -212,6 +238,15 @@ class RtspSrc(PushSrc):
         return Caps([s])
 
     def create(self) -> Buffer | None:
+        if self._rtp_sock is not None:
+            try:
+                payload, _addr = self._rtp_sock.recvfrom(65536)
+            except BlockingIOError:
+                raise FlowError(FlowReturn.FLUSHING, "no datagram yet")
+            buf = Buffer(payload)
+            if self.clock is not None:
+                buf.pts = self.running_time()
+            return buf
         try:
             frame = self._conn.read_data_frame(blocking=False)
         except ConnectionError:

@@ -143,3 +143,71 @@ def test_tcp_client_server_roundtrip():
     assert got == total
     recv.set_state(State.NULL)
     h.teardown()
+
+
+class MiniRtspUdpServer(MiniRtspServer):
+    """Variant honoring client_port: streams RTP over UDP after PLAY."""
+
+    def _run(self):
+        conn, _ = self._srv.accept()
+        conn.settimeout(10)
+        playing = False
+        client_rtp = None
+        buf = b""
+        while not playing:
+            while b"\r\n\r\n" not in buf:
+                buf += conn.recv(4096)
+            req, buf = buf.split(b"\r\n\r\n", 1)
+            lines = req.decode().split("\r\n")
+            method = lines[0].split()[0]
+            cseq = next(line.split(":")[1].strip() for line in lines
+                        if line.lower().startswith("cseq"))
+            extra = ""
+            body = b""
+            if method == "DESCRIBE":
+                body = SDP.encode()
+                extra = ("Content-Type: application/sdp\r\n"
+                         f"Content-Length: {len(body)}\r\n")
+            elif method == "SETUP":
+                tline = next(line for line in lines
+                             if line.lower().startswith("transport"))
+                assert "RTP/AVP;unicast;client_port=" in tline
+                ports = tline.split("client_port=")[1].split(";")[0]
+                client_rtp = int(ports.split("-")[0])
+                extra = ("Session: 1\r\nTransport: RTP/AVP;unicast;"
+                         f"client_port={ports};server_port=5000-5001"
+                         "\r\n")
+            elif method == "PLAY":
+                extra = "Session: 1\r\n"
+                playing = True
+            conn.sendall((f"RTSP/1.0 200 OK\r\nCSeq: {cseq}\r\n"
+                          f"{extra}\r\n").encode() + body)
+        out = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i in range(self.n_packets):
+            pkt = RtpPacket(payload_type=96, seqnum=i,
+                            timestamp=i * 160, ssrc=0xABCD,
+                            payload=bytes([i]) * 20)
+            out.sendto(pkt.to_bytes(), ("127.0.0.1", client_rtp))
+            time.sleep(0.01)
+        out.close()
+        time.sleep(0.2)
+        conn.close()
+
+
+def test_rtspsrc2_udp_transport():
+    srv = MiniRtspUdpServer(n_packets=5)
+    p = parse_launch(f"rtspsrc2 location=rtsp://127.0.0.1:{srv.port}/s"
+                     f" protocols=udp ! appsink name=sink")
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    deadline = time.monotonic() + 10
+    while len(sink.samples) < 5 and time.monotonic() < deadline:
+        p.iterate()
+        time.sleep(0.005)
+    p.set_state(State.NULL)
+    srv.stop()
+    assert len(sink.samples) >= 5
+    pkts = [RtpPacket.parse(b.to_bytes())
+            for b in list(sink.samples)[:5]]
+    assert [q.seqnum for q in pkts] == list(range(5))
+    assert sink.caps[0]["encoding-name"] == "L16"
