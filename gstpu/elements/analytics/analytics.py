@@ -230,3 +230,181 @@ class YoloxInference(BaseTransform):
         pred = np.asarray(yolox_forward(self._params,
                                         jnp.asarray(frame)))
         buf.add_meta(TensorMeta(pred))
+
+
+# -- hand detection (MediaPipe palm) --------------------------------------
+
+def palm_rotation_from_keypoints(kp0, kp2) -> float:
+    """pi/2 + atan2 of the wrist->middle-finger vector (reference
+    handdetectiontensordec/imp.rs:255 hand alignment offset)."""
+    import math
+    return math.pi / 2 + math.atan2(kp2[1] - kp0[1], kp2[0] - kp0[0])
+
+
+def decode_palm_detections(rows: np.ndarray, *, confidence=0.5,
+                           nms_iou=0.3, max_hands=2,
+                           video_size=None) -> list:
+    """rows: (N, 8) [score, cx, cy, size, kp0x, kp0y, kp2x, kp2y] ->
+    rotated palm ROIs (imp.rs:184-245: rr_size = 2.9*size, center
+    shifted half a box along the rotation)."""
+    import math
+
+    from gstpu.ops.detection import Detection, nms
+    cands = []
+    for det in np.asarray(rows, np.float32).reshape(-1, 8):
+        score, cx, cy, size, k0x, k0y, k2x, k2y = (float(v)
+                                                   for v in det)
+        if score < confidence or size <= 0:
+            continue
+        rot = palm_rotation_from_keypoints((k0x, k0y), (k2x, k2y))
+        rr = 2.9 * size
+        ccx = cx + 0.5 * size * math.sin(rot)
+        ccy = cy - 0.5 * size * math.cos(rot)
+        if video_size is not None:
+            w, h = video_size
+            ccx, ccy, rr = ccx * w, ccy * h, rr * max(w, h)
+        half = rr / 2
+        d = Detection(x=ccx - half, y=ccy - half, w=rr, h=rr,
+                      score=score, class_id=0, label="hand")
+        d.rotation = rot
+        cands.append(d)
+    if not cands:
+        return []
+    boxes = np.array([[d.x, d.y, d.w, d.h] for d in cands],
+                     np.float32)
+    scores = np.array([d.score for d in cands], np.float32)
+    keep = nms(boxes, scores, nms_iou)
+    return [cands[i] for i in keep[:max_hands]]
+
+
+@register_element("handdetectiontensordec", Rank.NONE)
+class HandDetectionTensorDec(BaseTransform):
+    """Decodes post-processed palm-detection tensors into
+    AnalyticsRelationMeta hand ROIs (reference analytics/analytics/
+    src/handdetectiontensordec)."""
+
+    IN_PLACE = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    Caps(list(Caps.new("application/x-tensor",
+                                       type="palm-detection"))
+                         + list(video_caps()))),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps(list(Caps.new("application/x-tensor",
+                                       type="palm-detection"))
+                         + list(video_caps()))),
+    ]
+
+    confidence_threshold = Property(float, default=0.5, minimum=0.0,
+                                    maximum=1.0,
+                                    mutable=Mutability.PLAYING)
+    nms_iou_threshold = Property(float, default=0.3, minimum=0.0,
+                                 maximum=1.0,
+                                 mutable=Mutability.PLAYING)
+    max_hands = Property(int, default=2, minimum=1,
+                         mutable=Mutability.PLAYING)
+
+    def transform_ip(self, buf: Buffer) -> None:
+        tm = buf.get_meta(TensorMeta)
+        video_size = None
+        if tm is not None:
+            rows = np.asarray(tm.data)
+            from gstpu.core.video import VideoInfo
+            info = VideoInfo.from_caps(self.in_caps)
+            video_size = (info.width, info.height)
+        else:
+            rows = buf.array.view(np.float32).reshape(-1, 8)
+        hands = decode_palm_detections(
+            rows, confidence=self.confidence_threshold,
+            nms_iou=self.nms_iou_threshold, max_hands=self.max_hands,
+            video_size=video_size)
+        buf.add_meta(AnalyticsRelationMeta(hands))
+
+
+# -- ONVIF XML <-> AnalyticsRelationMeta ----------------------------------
+
+@register_element("onvifmeta2relationmeta", Rank.NONE)
+class OnvifMeta2RelationMeta(BaseTransform):
+    """Parses attached ONVIF documents' BoundingBoxes into
+    AnalyticsRelationMeta detections (normalized [-1,1] coords mapped
+    like onvifmeta2relationmeta/imp.rs:502)."""
+
+    IN_PLACE = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    video_caps()),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    video_caps()),
+    ]
+
+    def transform_ip(self, buf: Buffer) -> None:
+        from gstpu.core.video import VideoInfo
+        from gstpu.elements.net.onvif import (ONVIF_SCHEMA,
+                                              OnvifMetadataFrameMeta)
+        from gstpu.ops.detection import Detection
+        info = VideoInfo.from_caps(self.in_caps)
+        W, H = info.width, info.height
+        dets = []
+        import xml.etree.ElementTree as ET
+        for m in buf.metas:
+            if not isinstance(m, OnvifMetadataFrameMeta):
+                continue
+            root = ET.fromstring(m.data)
+            for obj in root.iter(f"{{{ONVIF_SCHEMA}}}Object"):
+                bbox = obj.find(f".//{{{ONVIF_SCHEMA}}}BoundingBox")
+                if bbox is None:
+                    continue
+                left = float(bbox.get("left", 0))
+                right = float(bbox.get("right", 0))
+                top = float(bbox.get("top", 0))
+                bottom = float(bbox.get("bottom", 0))
+                x1 = (1.0 + left) * W / 2
+                x2 = (1.0 + right) * W / 2
+                y1 = (1.0 - top) * H / 2
+                y2 = (1.0 - bottom) * H / 2
+                dets.append(Detection(
+                    x=min(x1, x2), y=min(y1, y2),
+                    w=abs(x2 - x1), h=abs(y2 - y1), score=1.0,
+                    class_id=int(obj.get("ObjectId", 0)), label=""))
+        if dets:
+            buf.add_meta(AnalyticsRelationMeta(dets))
+
+
+@register_element("relationmeta2onvifmeta", Rank.NONE)
+class RelationMeta2OnvifMeta(BaseTransform):
+    """Inverse: AnalyticsRelationMeta detections become an attached
+    ONVIF VideoAnalytics document (reference relationmeta2onvifmeta).
+    """
+
+    IN_PLACE = True
+    PAD_TEMPLATES = OnvifMeta2RelationMeta.PAD_TEMPLATES
+
+    def transform_ip(self, buf: Buffer) -> None:
+        import xml.etree.ElementTree as ET
+
+        from gstpu.core.video import VideoInfo
+        from gstpu.elements.net.onvif import (ONVIF_SCHEMA,
+                                              OnvifMetadataFrameMeta)
+        rm = buf.get_meta(AnalyticsRelationMeta)
+        if rm is None or not rm.detections:
+            return
+        info = VideoInfo.from_caps(self.in_caps)
+        W, H = info.width, info.height
+        ET.register_namespace("tt", ONVIF_SCHEMA)
+        root = ET.Element(f"{{{ONVIF_SCHEMA}}}MetadataStream")
+        va = ET.SubElement(root, f"{{{ONVIF_SCHEMA}}}VideoAnalytics")
+        frame = ET.SubElement(va, f"{{{ONVIF_SCHEMA}}}Frame")
+        frame.set("UtcTime", "1970-01-01T00:00:00.000Z")
+        for d in rm.detections:
+            obj = ET.SubElement(frame, f"{{{ONVIF_SCHEMA}}}Object")
+            obj.set("ObjectId", str(d.class_id))
+            app = ET.SubElement(obj, f"{{{ONVIF_SCHEMA}}}Appearance")
+            shape = ET.SubElement(app, f"{{{ONVIF_SCHEMA}}}Shape")
+            bbox = ET.SubElement(shape,
+                                 f"{{{ONVIF_SCHEMA}}}BoundingBox")
+            bbox.set("left", f"{d.x / W * 2 - 1:.6f}")
+            bbox.set("right", f"{(d.x + d.w) / W * 2 - 1:.6f}")
+            bbox.set("top", f"{1 - d.y / H * 2:.6f}")
+            bbox.set("bottom", f"{1 - (d.y + d.h) / H * 2:.6f}")
+        buf.add_meta(OnvifMetadataFrameMeta(ET.tostring(root),
+                                            buf.pts))
