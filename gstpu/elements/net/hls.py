@@ -238,3 +238,100 @@ class HlsMultivariantSink(Element):
         with open(self.playlist_location, "w") as f:
             f.write("\n".join(lines) + "\n")
         self._wrote_master = True
+
+
+@register_element("hlswebvttsink", Rank.NONE)
+class HlsWebVttSink(BaseSink):
+    """WebVTT subtitle segments + media playlist for HLS (reference
+    net/hlssink3/src/hlswebvttsink: each segment is a standalone
+    WEBVTT document with an X-TIMESTAMP-MAP header; cues land in the
+    segment containing their start time)."""
+
+    PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK,
+                                 PadPresence.ALWAYS,
+                                 Caps.new("text/vtt"))]
+
+    location = Property(str, default="segment%05d.vtt",
+                        mutable=Mutability.READY)
+    playlist_location = Property(str, default="subtitles.m3u8",
+                                 mutable=Mutability.READY)
+    target_duration = Property(int, default=6, minimum=1,
+                               mutable=Mutability.READY)
+    playlist_length = Property(int, default=0, minimum=0,
+                               mutable=Mutability.READY)
+    write_timestamp_map = Property(bool, default=True,
+                                   mutable=Mutability.READY)
+    # 90kHz offset for the MPEGTS side of X-TIMESTAMP-MAP (reference
+    # default: one hour)
+    mpegts_time_offset = Property(int, default=60 * 60 * 90000,
+                                  minimum=0, mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._cues: list[str] = []
+        self._seg_start: int | None = None
+        self._seg_index = 0
+        self._media_sequence = 0
+        self._segments: list[tuple[str, float]] = []
+
+    def _header(self) -> str:
+        hdr = "WEBVTT"
+        if self.write_timestamp_map:
+            off = self.mpegts_time_offset
+            hdr += (f"\nX-TIMESTAMP-MAP=MPEGTS:{off},"
+                    "LOCAL:00:00:00.000")
+        return hdr + "\n\n"
+
+    def _close_segment(self, end_pts: int) -> None:
+        if self._seg_start is None:
+            return
+        name = self.location % self._seg_index \
+            if "%" in self.location else f"{self.location}" \
+            f"{self._seg_index}"
+        with open(name, "w") as f:
+            f.write(self._header() + "".join(self._cues))
+        dur = max((end_pts - self._seg_start) / SECOND, 0.001)
+        self._segments.append((name, dur))
+        self._seg_index += 1
+        self._cues = []
+        self._seg_start = None
+        if self.playlist_length and \
+                len(self._segments) > self.playlist_length:
+            old, _ = self._segments.pop(0)
+            self._media_sequence += 1
+            try:
+                os.unlink(old)
+            except OSError:
+                pass
+        self._write_playlist(ended=False)
+
+    def render(self, buf: Buffer):
+        text = buf.to_bytes().decode()
+        if text.startswith("WEBVTT"):
+            return FlowReturn.OK          # header handled per segment
+        pts = buf.pts or 0
+        if self._seg_start is not None and \
+                pts - self._seg_start >= self.target_duration * SECOND:
+            self._close_segment(pts)
+        if self._seg_start is None:
+            self._seg_start = pts
+        self._cues.append(text)
+        return FlowReturn.OK
+
+    def _write_playlist(self, ended: bool) -> None:
+        lines = ["#EXTM3U", "#EXT-X-VERSION:3",
+                 f"#EXT-X-TARGETDURATION:{self.target_duration}",
+                 f"#EXT-X-MEDIA-SEQUENCE:{self._media_sequence}"]
+        for name, dur in self._segments:
+            lines.append(f"#EXTINF:{dur:.3f},")
+            lines.append(os.path.basename(name))
+        if ended:
+            lines.append("#EXT-X-ENDLIST")
+        with open(self.playlist_location, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def on_eos(self) -> None:
+        if self._cues:
+            last = self._seg_start or 0
+            self._close_segment(last + self.target_duration * SECOND)
+        self._write_playlist(ended=True)

@@ -158,3 +158,33 @@ def test_hlsmultivariantsink_unconfigured_pad_errors(tmp_path):
         sink.configure_pad(pad)  # neither variant nor rendition
     with pytest.raises(ValueError):
         sink.configure_pad(pad, variant={"uri": "x.m3u8"})  # no bandwidth
+
+
+def test_hlswebvttsink(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from gstpu import State, parse_launch
+    from gstpu.codecs.cea608 import Cea608Encoder
+
+    p = parse_launch('appsrc name=src caps="closedcaption/x-cea-608, '
+                     'format=raw" ! cea608tojson ! jsontovtt '
+                     'default_duration=1000000000 ! hlswebvttsink '
+                     'target_duration=2 playlist_location=s.m3u8')
+    src = p.get_by_name("src")
+    p.set_state(State.PLAYING)
+    base = 0
+    for word in ("ONE", "TWO", "THREE"):
+        for i, pair in enumerate(Cea608Encoder().encode_popon(word)):
+            src.push_buffer(Buffer(pair, pts=base + i * 33_000_000))
+        base += 3 * 10**9
+    src.end_of_stream()
+    p.run()
+    p.set_state(State.NULL)
+    pl = (tmp_path / "s.m3u8").read_text()
+    assert "#EXT-X-ENDLIST" in pl
+    segs = [ln for ln in pl.splitlines() if ln.endswith(".vtt")]
+    assert len(segs) >= 2
+    first = (tmp_path / segs[0]).read_text()
+    assert first.startswith("WEBVTT\nX-TIMESTAMP-MAP=MPEGTS:")
+    assert "ONE" in first and "-->" in first
+    joined = "".join((tmp_path / s).read_text() for s in segs)
+    assert "TWO" in joined and "THREE" in joined
