@@ -537,6 +537,16 @@ class AudioDecoder(BaseTransform):
         self._pending_out: list[Buffer] = []
         self._next_pts: int | None = None
 
+    def transform_caps(self, direction, caps, filter):
+        """Decoders change caps class entirely: answer with the
+        opposite pad's template (a sink query about raw-audio
+        downstream constraints must not empty the compressed side)."""
+        out = (self.srcpad if direction is PadDirection.SINK
+               else self.sinkpad).pad_template_caps().copy()
+        if filter is not None:
+            out = filter.intersect(out)
+        return out
+
     def set_output_format(self, info: AudioInfo) -> None:
         self.output_info = info
         self.out_caps = info.to_caps()

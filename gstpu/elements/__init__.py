@@ -21,6 +21,7 @@ _MODULES = [
     "gstpu.elements.audio.g711",
     "gstpu.elements.audio.convert",
     "gstpu.elements.audio.claxon",
+    "gstpu.elements.audio.lewton",
     "gstpu.elements.audio.agingradio",
     "gstpu.elements.audio.audioparsers",
     "gstpu.elements.audio.loudnorm",
