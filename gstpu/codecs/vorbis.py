@@ -130,7 +130,6 @@ class Codebook:
         self.tree = [[0, 0]]
         available = [0] * 33
         first = True
-        single = [e for e, ln in enumerate(lengths) if ln]
         for entry, ln in enumerate(lengths):
             if ln == 0:
                 continue
