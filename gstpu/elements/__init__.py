@@ -54,6 +54,7 @@ _MODULES = [
     "gstpu.elements.net.hls",
     "gstpu.elements.net.mpegtslive",
     "gstpu.elements.net.raptorq",
+    "gstpu.elements.net.webrtcsink",
     "gstpu.elements.net.dash",
     "gstpu.elements.net.gccbwe",
     "gstpu.elements.net.onvif",

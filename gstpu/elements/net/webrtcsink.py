@@ -1,0 +1,151 @@
+"""webrtcsink / webrtcsrc: producer/consumer shells over the sans-IO
+signalling protocol.
+
+Rebuilds the reference webrtcsink's control plane (net/webrtc/src/
+webrtcsink: announce as producer, accept startSession, exchange SDP
+through `peer` messages, payload media as RTP per consumer).  The
+ICE/DTLS transport the reference gets from webrtcbin has no
+counterpart in this zero-egress environment; instead each consumer
+session exposes an RTP src pad (`session_%s`) the application routes
+over its own transport (udpsink, intersink, quinnroq framing...) —
+that boundary is the documented env gate in PARITY.md.
+"""
+
+from __future__ import annotations
+
+from gstpu.core.buffer import Buffer
+from gstpu.core.caps import Caps
+from gstpu.core.element import (Element, FlowReturn, Pad, PadDirection,
+                                PadPresence, PadTemplate, State)
+from gstpu.core.event import (CapsEvent, Event, Segment, SegmentEvent,
+                              StreamStartEvent)
+from gstpu.core.props import Mutability, Property
+from gstpu.core.registry import Rank, make, register_element
+
+_PAYLOADERS = {
+    "video/x-vp8": ("rtpvp8pay2", "VP8"),
+    "video/x-vp9": ("rtpvp9pay2", "VP9"),
+    "audio/x-opus": ("rtpopuspay2", "OPUS"),
+    "audio/x-alaw": ("rtppcmapay2", "PCMA"),
+    "audio/x-mulaw": ("rtppcmupay2", "PCMU"),
+}
+
+
+@register_element("webrtcsink", Rank.NONE)
+class WebRtcSink(Element):
+    """Producer side: media sink pads -> per-consumer RTP src pads +
+    the signalling session lifecycle."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("sink_%u", PadDirection.SINK, PadPresence.REQUEST,
+                    # encoded media the payloaders accept
+                    Caps([s for n in _PAYLOADERS
+                          for s in Caps.new(n)])),
+        PadTemplate("session_%s", PadDirection.SRC,
+                    PadPresence.SOMETIMES,
+                    Caps.new("application/x-rtp")),
+    ]
+
+    display_name = Property(str, default="gstpu-webrtcsink",
+                            mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.peer_id: str | None = None
+        self._payloaders: dict[str, Element] = {}   # sink pad -> pay
+        self._sessions: dict[str, Pad] = {}         # session -> src
+        self._outbox: list[dict] = []
+
+    # -- signalling (sans-IO: the app shuttles dicts) --------------------
+    def signalling_connect(self, welcome_msg: dict) -> list[dict]:
+        """Feed the server's welcome; returns messages to send."""
+        self.peer_id = welcome_msg["peerId"]
+        return [{"type": "setPeerStatus", "roles": ["producer"],
+                 "meta": {"name": self.display_name}}]
+
+    def handle_signalling(self, msg: dict) -> list[dict]:
+        t = msg.get("type")
+        if t == "startSession":
+            sid = msg["sessionId"]
+            pad = Pad(f"session_{sid}", PadDirection.SRC,
+                      self.PAD_TEMPLATES[1], self)
+            self.add_pad(pad)
+            pad.push_event(StreamStartEvent(f"{self.name}/{sid}"))
+            pad.push_event(CapsEvent(Caps.new("application/x-rtp")))
+            pad.push_event(SegmentEvent(Segment()))
+            self._sessions[sid] = pad
+            self.post_element_message("consumer-added", session=sid,
+                                      peer=msg.get("peerId"))
+            return [{"type": "peer", "sessionId": sid,
+                     "sdp": {"type": "offer",
+                             "sdp": self._offer_sdp()}}]
+        if t == "peer" and "sdp" in msg:
+            return []                       # answer accepted
+        if t == "endSession":
+            sid = msg.get("sessionId")
+            pad = self._sessions.pop(sid, None)
+            if pad is not None:
+                self.remove_pad(pad)
+            self.post_element_message("consumer-removed", session=sid)
+            return []
+        return []
+
+    def _offer_sdp(self) -> str:
+        lines = ["v=0", f"o=- 0 0 IN IP4 127.0.0.1",
+                 f"s={self.display_name}", "t=0 0"]
+        for pad_name, pay in self._payloaders.items():
+            enc = pay._gstpu_encoding
+            kind = "audio" if enc in ("OPUS", "PCMA", "PCMU") \
+                else "video"
+            pt = pay.pt
+            rate = pay.clock_rate or 90000
+            lines.append(f"m={kind} 9 UDP/TLS/RTP/SAVPF {pt}")
+            lines.append(f"a=rtpmap:{pt} {enc}/{rate}")
+            lines.append("a=sendonly")
+        return "\r\n".join(lines) + "\r\n"
+
+    # -- media -------------------------------------------------------------
+    def request_pad(self, name: str | None = None) -> Pad:
+        pad = super().request_pad(name)
+        pad.chain_function = self._chain
+        pad.event_function = self._event
+        return pad
+
+    def _payloader_for(self, pad: Pad) -> Element:
+        pay = self._payloaders.get(pad.name)
+        if pay is None:
+            caps_name = pad.caps()[0].name
+            factory, enc = _PAYLOADERS[caps_name]
+            pay = make(factory)
+            pay._gstpu_encoding = enc
+            pay.set_state(State.PLAYING)
+            feed = Pad("f", PadDirection.SRC,
+                       PadTemplate("src", PadDirection.SRC,
+                                   PadPresence.ALWAYS, Caps.any()))
+            feed.link(pay.static_pad("sink"))
+            cap = Pad("c", PadDirection.SINK,
+                      PadTemplate("sink", PadDirection.SINK,
+                                  PadPresence.ALWAYS, Caps.any()))
+            cap.chain_function = self._fanout
+            cap.event_function = lambda p, e: True
+            pay.static_pad("src").link(cap)
+            pay._gstpu_feed = feed
+            feed.push_event(StreamStartEvent(pad.name))
+            feed.push_event(CapsEvent(pad.caps().copy()))
+            feed.push_event(SegmentEvent(Segment()))
+            self._payloaders[pad.name] = pay
+        return pay
+
+    def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        pay = self._payloader_for(pad)
+        return pay._gstpu_feed.push(buf)
+
+    def _event(self, pad: Pad, ev: Event) -> bool:
+        return True
+
+    def _fanout(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        ret = FlowReturn.OK
+        for spad in self._sessions.values():
+            if spad.is_linked():
+                ret = spad.push(buf.copy())
+        return ret

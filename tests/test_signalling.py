@@ -235,3 +235,73 @@ def test_roq_datagram_and_stream():
         out.extend(parser.push(wire[i:i + 1]))
     assert parser.flow_id == 5
     assert out == [pkt, pkt[:7]]
+
+
+# -- webrtcsink producer shell -------------------------------------------
+
+def test_webrtcsink_full_session_flow():
+    from gstpu import Buffer, Caps, FlowReturn, State
+    from gstpu.core.caps import parse_caps
+    from gstpu.core.element import (Pad, PadDirection, PadPresence,
+                                    PadTemplate)
+    from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                  StreamStartEvent)
+    from gstpu.core.registry import make
+    from gstpu.net.webrtc.signalling import Server
+    from gstpu.net.rtp.packet import RtpPacket
+
+    server = Server()
+    sink = make("webrtcsink", display_name="cam-1")
+    sink.set_state(State.PLAYING)
+
+    # producer connects + announces
+    prod_id, msgs = server.handle_connect()
+    outgoing = sink.signalling_connect(msgs[0][1])
+    for m in outgoing:
+        server.handle_message(prod_id, m)
+
+    # a consumer lists producers and starts a session
+    cons_id, _ = server.handle_connect()
+    lst = server.handle_message(cons_id, {"type": "list"})
+    assert lst[0][1]["producers"][0]["meta"]["name"] == "cam-1"
+
+    # media pad first so the offer has an m-line
+    vpad = sink.request_pad()
+    feed = Pad("f", PadDirection.SRC,
+               PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                           Caps.any()))
+    feed.link(vpad)
+    feed.push_event(StreamStartEvent("v"))
+    feed.push_event(CapsEvent(parse_caps("video/x-vp8")))
+    feed.push_event(SegmentEvent(Segment()))
+    feed.push(Buffer(b"\x10frame0", pts=0))   # creates the payloader
+
+    out = server.handle_message(cons_id, {"type": "startSession",
+                                          "peerId": prod_id})
+    start = next(m for to, m in out if to == prod_id)
+    replies = sink.handle_signalling(start)
+    assert replies and replies[0]["type"] == "peer"
+    sdp = replies[0]["sdp"]["sdp"]
+    assert "m=video" in sdp and "VP8/90000" in sdp
+
+    # consumer's session pad carries the payloaded RTP
+    sid = start["sessionId"]
+    spad = sink.static_pad(f"session_{sid}")
+    got = []
+    cap = Pad("c", PadDirection.SINK,
+              PadTemplate("sink", PadDirection.SINK,
+                          PadPresence.ALWAYS, Caps.any()))
+    cap.chain_function = lambda p, b: (got.append(b), FlowReturn.OK)[1]
+    cap.event_function = lambda p, e: True
+    spad.link(cap)
+    feed.push(Buffer(b"\x10frame1", pts=33_000_000))
+    assert got
+    pkt = RtpPacket.parse(got[0].to_bytes())
+    assert pkt.payload.endswith(b"frame1")
+
+    # teardown removes the pad and posts a message
+    from gstpu.core.element import Bus
+    sink.bus = Bus()
+    sink.handle_signalling({"type": "endSession", "sessionId": sid})
+    assert sink.static_pad(f"session_{sid}") is None
+    sink.set_state(State.NULL)
