@@ -64,6 +64,7 @@ _MODULES = [
     "gstpu.elements.utils_.debugsei",
     "gstpu.elements.text.textelements",
     "gstpu.elements.analytics.analytics",
+    "gstpu.elements.generic.aliases",
 ]
 
 _registered = False
