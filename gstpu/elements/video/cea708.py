@@ -17,6 +17,7 @@ from gstpu.codecs.cea708 import (CC_COUNT, CDP_RATES, Cdp, build_cdp,
 from gstpu.core.base import Aggregator, BaseTransform
 from gstpu.core.buffer import Buffer
 from gstpu.core.caps import AnyList, Caps, Structure
+from gstpu.core.props import Mutability, Property
 from gstpu.core.element import PadDirection, PadPresence, PadTemplate
 from gstpu.core.registry import Rank, register_element
 
@@ -200,3 +201,50 @@ class Cea708Mux(Aggregator):
                             sequence=self._seq, cc_data=cc))
         self._seq = (self._seq + 1) & 0xFFFF
         return self.srcpad.push(Buffer(out, pts=pts))
+
+
+@register_element("tttocea708", Rank.NONE)
+class TtToCea708(BaseTransform):
+    """Timed text -> CEA-708 cc_data carrying one service block per
+    buffer (reference tttocea708; the minimal Service text form this
+    framework's cea708overlay/service_block_text understands: a
+    define-window command, the G0 text, ETX)."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    Caps.new("text/x-raw", format="utf8")),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.new("closedcaption/x-cea-708",
+                             format="cc_data")),
+    ]
+
+    service = Property(int, default=1, minimum=1, maximum=63,
+                       mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._seq = 0
+
+    def transform_caps(self, direction, caps, filter):
+        out = (Caps.new("closedcaption/x-cea-708", format="cc_data")
+               if direction is PadDirection.SINK
+               else Caps.new("text/x-raw", format="utf8")).copy()
+        if filter is not None:
+            out = filter.intersect(out)
+        return out
+
+    def transform(self, buf: Buffer) -> list[Buffer] | None:
+        from gstpu.codecs.cea708 import build_dtvcc, dtvcc_to_ccdata
+        text = buf.to_bytes().decode("utf-8", "replace")
+        payload = (b"\x98" + bytes(6)           # DF0 window
+                   + text.encode("ascii", "replace")
+                   .replace(b"\n", b"\x0d") + b"\x03")
+        out = []
+        # service blocks carry at most 31 bytes: split long text
+        for i in range(0, len(payload), 31):
+            pkt = build_dtvcc(self._seq, [(self.service,
+                                           payload[i:i + 31])])
+            self._seq = (self._seq + 1) & 0x3
+            out.append(Buffer(dtvcc_to_ccdata(pkt), pts=buf.pts,
+                              duration=buf.duration))
+        return out or None

@@ -96,3 +96,108 @@ class St2038AncToCc(BaseTransform):
             out.append(Buffer(payload, pts=buf.pts,
                               duration=buf.duration))
         return out or None
+
+
+class St2038Meta:
+    """ANC packets attached to video buffers (gst AncillaryMeta
+    analogue; reference st2038combiner/extractor move these)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+    def copy(self):
+        return St2038Meta(self.data)
+
+
+@register_element("st2038combiner", Rank.NONE)
+class St2038Combiner(BaseTransform):
+    """Attaches a held ST-2038 stream's packets to passing video
+    frames as St2038Meta (reference st2038combiner aggregates video +
+    anc; here the anc stream arrives via push_anc()/a linked feeder
+    onto the `anc` pad)."""
+
+    IN_PLACE = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    Caps.any()),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.any()),
+        PadTemplate("anc", PadDirection.SINK, PadPresence.REQUEST,
+                    ST2038_CAPS.copy()),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._pending: list[tuple[int, bytes]] = []
+
+    def request_pad(self, name=None):
+        from gstpu.core.element import Pad
+        pad = Pad("anc", PadDirection.SINK, self.PAD_TEMPLATES[2],
+                  self)
+        self.add_pad(pad)
+        pad.chain_function = self._anc_chain
+        pad.event_function = lambda p, e: True
+        return pad
+
+    def _anc_chain(self, pad, buf):
+        from gstpu.core.element import FlowReturn
+        self._pending.append((buf.pts or 0, buf.to_bytes()))
+        return FlowReturn.OK
+
+    def transform_ip(self, buf: Buffer) -> None:
+        end = (buf.pts or 0) + (buf.duration or 0)
+        keep = []
+        for pts, data in self._pending:
+            if pts < end or end <= (buf.pts or 0):
+                buf.add_meta(St2038Meta(data))
+            else:
+                keep.append((pts, data))
+        self._pending = keep
+
+
+@register_element("st2038extractor", Rank.NONE)
+class St2038Extractor(BaseTransform):
+    """Strips St2038Meta back onto a sometimes `anc` pad."""
+
+    IN_PLACE = False
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    Caps.any()),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.any()),
+        PadTemplate("anc", PadDirection.SRC, PadPresence.SOMETIMES,
+                    ST2038_CAPS.copy()),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._anc_pad = None
+
+    def _ensure_pad(self):
+        if self._anc_pad is not None:
+            return self._anc_pad
+        from gstpu.core.element import Pad
+        from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                      StreamStartEvent)
+        pad = Pad("anc", PadDirection.SRC, self.PAD_TEMPLATES[2],
+                  self)
+        self.add_pad(pad)
+        pad.push_event(StreamStartEvent(f"{self.name}/anc"))
+        pad.push_event(CapsEvent(Caps.new("meta/x-st-2038")))
+        pad.push_event(SegmentEvent(Segment()))
+        self._anc_pad = pad
+        return pad
+
+    def transform(self, buf: Buffer) -> Buffer:
+        keep = []
+        for m in buf.metas:
+            if isinstance(m, St2038Meta):
+                pad = self._ensure_pad()
+                if pad.is_linked():
+                    pad.push(Buffer(m.data, pts=buf.pts,
+                                    duration=buf.duration))
+            else:
+                keep.append(m)
+        out = buf.copy()
+        out.metas = keep
+        return out

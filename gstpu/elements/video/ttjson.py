@@ -126,3 +126,33 @@ class JsonToVtt(BaseTransform):
         start, text = self._open
         self._open = None
         return [self._cue(start, start + self.default_duration, text)]
+
+
+@register_element("tttojson", Rank.NONE)
+class TtToJson(BaseTransform):
+    """Timed text -> Lines JSON documents (reference tttojson uses
+    the same ttutils schema as cea608tojson)."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    Caps.new("text/x-raw", format="utf8")),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    JSON_CAPS.copy()),
+    ]
+
+    mode = Property(str, default="RollUp2",
+                    enum_values=("PopOn", "PaintOn", "RollUp2",
+                                 "RollUp3", "RollUp4"),
+                    mutable=Mutability.READY)
+
+    def transform_caps(self, direction, caps, filter):
+        out = (JSON_CAPS if direction is PadDirection.SINK
+               else Caps.new("text/x-raw", format="utf8")).copy()
+        if filter is not None:
+            out = filter.intersect(out)
+        return out
+
+    def transform(self, buf: Buffer) -> Buffer:
+        text = buf.to_bytes().decode("utf-8", "replace")
+        return Buffer(lines_to_json(text, mode=self.mode),
+                      pts=buf.pts, duration=buf.duration)

@@ -186,3 +186,26 @@ def test_cea708mux_merges_services():
     assert blocks == [(1, b"one"), (2, b"two")]   # first pad won svc 1
     for f in feeders:
         f.push_event(EosEvent())
+
+
+def test_tttocea708_roundtrips_via_overlay_extractor():
+    from gstpu import State, parse_launch
+    from gstpu.codecs.cea708 import ccdata_split, parse_dtvcc
+    from gstpu.codecs.cea708 import service_block_text
+    p = parse_launch('appsrc name=src caps="text/x-raw, format=utf8" '
+                     '! tttocea708 service=3 ! appsink name=out')
+    src = p.get_by_name("src")
+    p.set_state(State.PLAYING)
+    src.push_buffer(Buffer(b"HELLO 708", pts=0))
+    src.end_of_stream()
+    p.run()
+    cc = b"".join(b.to_bytes()
+                  for b in p.get_by_name("out").pull_all())
+    _pairs, pkts = ccdata_split(cc)
+    texts = []
+    for pkt in pkts:
+        for svc, data in parse_dtvcc(pkt)[1]:
+            assert svc == 3
+            texts.append(service_block_text(data))
+    assert "".join(texts) == "HELLO 708"
+    p.set_state(State.NULL)

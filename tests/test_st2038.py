@@ -187,3 +187,56 @@ def test_st2038_mux_merges_by_timestamp():
     assert out and out[0].to_bytes() == a + b
     for f in feeders:
         f.push_event(EosEvent())
+
+
+def test_st2038_combiner_extractor_meta_path():
+    import numpy as np
+    from gstpu.core.harness import Harness
+    from gstpu.core.video import VideoInfo
+    from gstpu.elements.video.st2038 import St2038Meta
+    from gstpu import Caps, FlowReturn
+    from gstpu.core.element import (Pad, PadDirection, PadPresence,
+                                    PadTemplate)
+    from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                  StreamStartEvent)
+    from gstpu.core.caps import parse_caps
+
+    anc = build_anc(0x61, 0x01, b"cdp-bytes")
+    cb = make("st2038combiner")
+    h = Harness(cb)
+    h.set_caps("video/x-raw, format=RGBA, width=4, height=4, "
+               "framerate=30/1")
+    ancpad = cb.request_pad()
+    feeder = Pad("f", PadDirection.SRC,
+                 PadTemplate("src", PadDirection.SRC,
+                             PadPresence.ALWAYS, Caps.any()))
+    feeder.link(ancpad)
+    feeder.push_event(StreamStartEvent("a"))
+    feeder.push_event(CapsEvent(parse_caps("meta/x-st-2038")))
+    feeder.push_event(SegmentEvent(Segment()))
+    feeder.push(Buffer(anc, pts=5))
+    vi = VideoInfo("RGBA", 4, 4)
+    h.push(vi.make_buffer(np.zeros((4, 4, 4), np.uint8), pts=0))
+    out = h.pull()
+    metas = [m for m in out.metas if isinstance(m, St2038Meta)]
+    assert metas and metas[0].data == anc
+    h.teardown()
+
+    ex = make("st2038extractor")
+    h2 = Harness(ex)
+    h2.set_caps("video/x-raw, format=RGBA, width=4, height=4, "
+                "framerate=30/1")
+    h2.push(out)
+    got = []
+    cap = Pad("c", PadDirection.SINK,
+              PadTemplate("sink", PadDirection.SINK,
+                          PadPresence.ALWAYS, Caps.any()))
+    cap.chain_function = lambda p, b: (got.append(b), FlowReturn.OK)[1]
+    cap.event_function = lambda p, e: True
+    ex.static_pad("anc").link(cap)
+    b2 = vi.make_buffer(np.zeros((4, 4, 4), np.uint8), pts=40)
+    b2.add_meta(St2038Meta(anc))
+    h2.push(b2)
+    assert [g.to_bytes() for g in got] == [anc]
+    assert all(not v.metas for v in h2.pull_all())
+    h2.teardown()
