@@ -1093,3 +1093,97 @@ class RtpMpvDepay(RtpBaseDepay2):
             self.queue_buffer(b"".join(self._frag),
                               pts=self._frag_pts)
             self._frag = []
+
+
+# -- MPEG-4 audio LATM (RFC 3016) -----------------------------------------
+
+_MP4A_MEDIA = Caps([Structure("audio/mpeg", mpegversion=4,
+                              **{"stream-format": "raw"})])
+
+
+@register_element("rtpmp4apay2", Rank.SECONDARY)
+class RtpMp4aPay(RtpBasePay2):
+    """RFC 3016 MP4A-LATM with muxConfigPresent=0: each packet is one
+    audioMuxElement = 0xFF-run length prefix + the raw AAC frame;
+    fragments continue with the marker on the final one (reference
+    net/rtp/src/mp4a/pay)."""
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK, _MP4A_MEDIA.copy()),
+        _tmpl("src", PadDirection.SRC,
+              rtp_caps("MP4A-LATM", media="audio",
+                       cpresent="0")),
+    ]
+
+    def set_sink_caps(self, caps) -> bool:
+        self.clock_rate = int(caps[0].get("rate", 90000) or 90000)
+        self._config = caps[0].get("codec_data") or ""
+        return True
+
+    def transform_caps(self, direction, caps, filter):
+        out = super().transform_caps(direction, caps, filter)
+        if direction is PadDirection.SINK and caps.is_fixed():
+            s = caps[0]
+            rate = s.get("rate")
+            for st in out:
+                if rate is not None:
+                    st["clock-rate"] = int(rate)
+                cfg = s.get("codec_data")
+                if cfg:
+                    st["config"] = cfg if isinstance(cfg, str) \
+                        else bytes(cfg).hex()
+        return out
+
+    def handle_buffer(self, buf) -> None:
+        data = buf.to_bytes()
+        n = len(data)
+        prefix = b"\xff" * (n // 255) + bytes([n % 255])
+        payload = prefix + data
+        rtp_ts = self.rtp_timestamp_for(buf)
+        room = self.mtu - 12
+        chunks = [payload[i:i + room]
+                  for i in range(0, len(payload), room)] or [b""]
+        for i, c in enumerate(chunks):
+            self.queue_packet(c, marker=(i == len(chunks) - 1),
+                              rtp_ts=rtp_ts, pts=buf.pts)
+
+
+@register_element("rtpmp4adepay2", Rank.SECONDARY)
+class RtpMp4aDepay(RtpBaseDepay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK,
+              rtp_caps("MP4A-LATM", media="audio")),
+        _tmpl("src", PadDirection.SRC, _MP4A_MEDIA.copy()),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._frags: list[bytes] = []
+        self._frag_pts = None
+
+    def depay_src_caps(self, incaps):
+        s = incaps[0]
+        rate = int(s.get("clock-rate", 90000) or 90000)
+        kw = {"stream-format": "raw"}
+        cfg = s.get("config")
+        if cfg:
+            kw["codec_data"] = cfg
+        return Caps.new("audio/mpeg", mpegversion=4, rate=rate, **kw)
+
+    def handle_packet(self, pkt, buf) -> None:
+        if not self._frags:
+            self._frag_pts = self.pts_for(pkt)
+        self._frags.append(pkt.payload)
+        if not pkt.marker:
+            return
+        data = b"".join(self._frags)
+        self._frags = []
+        pos = 0
+        n = 0
+        while pos < len(data):
+            n += data[pos]
+            if data[pos] != 0xFF:
+                pos += 1
+                break
+            pos += 1
+        self.queue_buffer(data[pos:pos + n], pts=self._frag_pts)

@@ -10,6 +10,7 @@ from gstpu.core.buffer import Buffer, BufferFlags
 from gstpu.core.caps import Caps
 from gstpu.core.element import PadDirection, PadPresence, PadTemplate
 from gstpu.core.registry import Rank, register_element
+from gstpu.core.video import video_caps
 from gstpu.net.rtp.basepay import RtpBaseDepay2, RtpBasePay2, rtp_caps
 from gstpu.net.rtp.packet import RtpPacket
 
@@ -350,3 +351,134 @@ class RtpAv1Depay(RtpBaseDepay2):
             self.queue_buffer(out, pts=self._tu_pts)
             self._tu = []
             self._tu_pts = None
+
+
+# -- raw video (RFC 4175) --------------------------------------------------
+
+_VRAW_PGROUP = {"RGB": 3, "RGBA": 4, "BGR": 3, "BGRA": 4, "GRAY8": 1}
+_VRAW_SAMPLING = {"RGB": "RGB", "RGBA": "RGBA", "BGR": "BGR",
+                  "BGRA": "BGRA", "GRAY8": "GRAYSCALE"}
+
+
+@register_element("rtpvrawpay2", Rank.SECONDARY)
+class RtpVRawPay(RtpBasePay2):
+    """RFC 4175: 2-byte extended seqnum + per-line headers
+    (Length, F|LineNo, C|Offset) + pixel data (reference
+    net/rtp/src/raw_video/pay)."""
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK,
+              video_caps(formats=tuple(_VRAW_PGROUP))),
+        _tmpl("src", PadDirection.SRC,
+              rtp_caps("RAW", clock_rate=90000, media="video")),
+    ]
+
+    def set_sink_caps(self, caps) -> bool:
+        from gstpu.core.video import VideoInfo
+        self._info = VideoInfo.from_caps(caps)
+        return True
+
+    def transform_caps(self, direction, caps, filter):
+        out = super().transform_caps(direction, caps, filter)
+        if direction is PadDirection.SINK and caps.is_fixed():
+            s = caps[0]
+            for st in out:
+                st["sampling"] = _VRAW_SAMPLING[s["format"]]
+                st["width"] = str(s["width"])
+                st["height"] = str(s["height"])
+                st["depth"] = "8"
+        return out
+
+    def handle_buffer(self, buf) -> None:
+        info = self._info
+        pg = _VRAW_PGROUP[info.format]
+        stride = info.width * pg
+        data = buf.to_bytes()
+        rtp_ts = self.rtp_timestamp_for(buf)
+        room = self.mtu - 12 - 2
+        line = 0
+        off_px = 0
+        while line < info.height:
+            # build one packet: as many (partial) lines as fit
+            hdrs = []
+            chunks = []
+            used = 2
+            while line < info.height:
+                remain_px = info.width - off_px
+                avail = room - used - 6
+                if avail < pg:
+                    break
+                take_px = min(remain_px, avail // pg)
+                cont = not (take_px == remain_px
+                            and line == info.height - 1)
+                hdrs.append((take_px * pg, line, off_px))
+                chunks.append(
+                    data[line * stride + off_px * pg:
+                         line * stride + (off_px + take_px) * pg])
+                used += 6 + take_px * pg
+                off_px += take_px
+                if off_px >= info.width:
+                    off_px = 0
+                    line += 1
+            payload = b"\x00\x00"          # extended seqnum
+            for i, (ln, lno, ofs) in enumerate(hdrs):
+                c = 0x8000 if i < len(hdrs) - 1 else 0
+                payload += (ln.to_bytes(2, "big")
+                            + lno.to_bytes(2, "big")
+                            + (c | ofs).to_bytes(2, "big"))
+            payload += b"".join(chunks)
+            last = line >= info.height
+            self.queue_packet(payload, marker=last, rtp_ts=rtp_ts,
+                              pts=buf.pts)
+
+
+@register_element("rtpvrawdepay2", Rank.SECONDARY)
+class RtpVRawDepay(RtpBaseDepay2):
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK,
+              rtp_caps("RAW", clock_rate=90000, media="video")),
+        _tmpl("src", PadDirection.SRC,
+              video_caps(formats=tuple(_VRAW_PGROUP))),
+    ]
+
+    def depay_src_caps(self, incaps):
+        s = incaps[0]
+        fmt = next(k for k, v in _VRAW_SAMPLING.items()
+                   if v == s.get("sampling", "RGB"))
+        self._w = int(s["width"])
+        self._h = int(s["height"])
+        self._pg = _VRAW_PGROUP[fmt]
+        self._frame = bytearray(self._w * self._h * self._pg)
+        from fractions import Fraction
+        return Caps.new("video/x-raw", format=fmt, width=self._w,
+                        height=self._h, framerate=Fraction(30, 1))
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._frame_pts = None
+
+    def handle_packet(self, pkt, buf) -> None:
+        data = pkt.payload
+        pos = 2
+        hdrs = []
+        while pos + 6 <= len(data):
+            ln = int.from_bytes(data[pos:pos + 2], "big")
+            lno = int.from_bytes(data[pos + 2:pos + 4], "big") & 0x7FFF
+            word = int.from_bytes(data[pos + 4:pos + 6], "big")
+            cont = bool(word & 0x8000)
+            hdrs.append((ln, lno, word & 0x7FFF))
+            pos += 6
+            if not cont:
+                break
+        if self._frame_pts is None:
+            self._frame_pts = self.pts_for(pkt)
+        stride = self._w * self._pg
+        for ln, lno, ofs in hdrs:
+            start = lno * stride + ofs * self._pg
+            self._frame[start:start + ln] = data[pos:pos + ln]
+            pos += ln
+        if pkt.marker:
+            self.queue_buffer(bytes(self._frame),
+                              pts=self._frame_pts)
+            self._frame = bytearray(len(self._frame))
+            self._frame_pts = None

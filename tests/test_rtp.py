@@ -698,3 +698,72 @@ def test_rtp_mpv_roundtrip():
     outs = depay.pull_all()
     assert len(outs) == 1 and outs[0].to_bytes() == frame
     depay.teardown()
+
+
+def test_rtp_vraw_roundtrip():
+    import numpy as np
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu.core.video import VideoInfo
+    from gstpu.net.rtp.packet import RtpPacket
+
+    vi = VideoInfo("RGB", 64, 16)
+    rng = np.random.default_rng(5)
+    frame = rng.integers(0, 256, (16, 64, 3), dtype=np.uint8)
+    pay = Harness(make("rtpvrawpay2", mtu=400, ssrc=1,
+                       seqnum_offset=0, timestamp_offset=0))
+    pay.set_caps("video/x-raw, format=RGB, width=64, height=16, "
+                 "framerate=30/1")
+    pay.push(vi.make_buffer(frame, pts=0))
+    pkts = pay.pull_all()
+    assert len(pkts) > 1
+    p0 = RtpPacket.parse(pkts[0].to_bytes())
+    assert int.from_bytes(p0.payload[2:4], "big") > 0   # line length
+    assert RtpPacket.parse(pkts[-1].to_bytes()).marker
+    pay.teardown()
+
+    depay = Harness(make("rtpvrawdepay2"))
+    depay.set_caps("application/x-rtp, media=video, encoding-name=RAW,"
+                   " clock-rate=90000, payload=96, sampling=RGB, "
+                   "width=(string)64, height=(string)16, "
+                   "depth=(string)8")
+    for p in pkts:
+        depay.push(p)
+    outs = depay.pull_all()
+    assert len(outs) == 1
+    back = VideoInfo.from_caps(depay.element.srcpad.caps()).view(
+        outs[0])
+    assert (back == frame).all()
+    depay.teardown()
+
+
+def test_rtp_mp4a_latm_roundtrip():
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu.net.rtp.packet import RtpPacket
+
+    pay = Harness(make("rtpmp4apay2", mtu=120, ssrc=1, seqnum_offset=0,
+                       timestamp_offset=0))
+    pay.set_caps("audio/mpeg, mpegversion=4, stream-format=raw, "
+                 "rate=44100, codec_data=(string)1210")
+    small = bytes(range(60))
+    big = bytes(300)                       # 0xFF-run length prefix
+    pay.push(Buffer(small, pts=0))
+    pay.push(Buffer(big, pts=10**6))
+    pkts = [RtpPacket.parse(b.to_bytes()) for b in pay.pull_all()]
+    assert pkts[0].payload[0] == 60        # single length byte
+    assert pkts[1].payload[0] == 0xFF      # 255 + 45
+    assert pkts[1].payload[1] == 45
+    pay.teardown()
+
+    depay = Harness(make("rtpmp4adepay2"))
+    depay.set_caps("application/x-rtp, media=audio, "
+                   "encoding-name=MP4A-LATM, clock-rate=44100, "
+                   "config=(string)1210, payload=96")
+    for p in pkts:
+        depay.push(Buffer(p.to_bytes()))
+    outs = depay.pull_all()
+    assert [o.to_bytes() for o in outs] == [small, big]
+    s = depay.element.srcpad.caps()[0]
+    assert s["rate"] == 44100 and s["codec_data"] == "1210"
+    depay.teardown()
