@@ -149,3 +149,97 @@ class WebRtcSink(Element):
             if spad.is_linked():
                 ret = spad.push(buf.copy())
         return ret
+
+
+_SRTP_CAPS = Caps.new("application/x-srtp")
+
+
+class _SrtpBase(Element):
+    key = Property(str, default=None, mutable=Mutability.READY,
+                   blurb="hex master key (16B) + salt (14B) = 60 hex "
+                         "chars, like srtpenc's key property")
+
+    def _ctx(self):
+        from gstpu.net.srtp import SrtpContext
+        if not self.key or len(self.key) != 60:
+            raise ValueError("webrtc send/recv needs a 60-hex-char "
+                             "master key+salt (DTLS-SRTP handshake "
+                             "is env-gated; keys are injected)")
+        raw = bytes.fromhex(self.key)
+        return SrtpContext(raw[:16], raw[16:])
+
+
+@register_element("webrtcsend", Rank.NONE)
+class WebRtcSend(_SrtpBase):
+    """RTP in -> SRTP out (reference webrtcbin2 webrtcsend's
+    srtpenc stage; AES-128-CM + HMAC-SHA1-80 per RFC 3711)."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    Caps.new("application/x-rtp")),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    _SRTP_CAPS.copy()),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.sinkpad = self.static_pad("sink")
+        self.srcpad = self.static_pad("src")
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = \
+            lambda p, e: self.srcpad.push_event(e)
+        self._context = None
+
+    def start(self) -> bool:
+        try:
+            self._context = self._ctx()
+        except ValueError as e:
+            self.post_error(str(e))
+            return False
+        return True
+
+    def _chain(self, pad, buf) -> FlowReturn:
+        return self.srcpad.push(
+            Buffer(self._context.protect(buf.to_bytes()),
+                   pts=buf.pts, duration=buf.duration))
+
+
+@register_element("webrtcrecv", Rank.NONE)
+class WebRtcRecv(_SrtpBase):
+    """SRTP in -> RTP out; authentication failures drop the packet
+    and post a message (srtpdec behavior)."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    _SRTP_CAPS.copy()),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.new("application/x-rtp")),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.sinkpad = self.static_pad("sink")
+        self.srcpad = self.static_pad("src")
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = \
+            lambda p, e: self.srcpad.push_event(e)
+        self._context = None
+        self.stats = {"auth_failures": 0}
+
+    def start(self) -> bool:
+        try:
+            self._context = self._ctx()
+        except ValueError as e:
+            self.post_error(str(e))
+            return False
+        return True
+
+    def _chain(self, pad, buf) -> FlowReturn:
+        try:
+            rtp = self._context.unprotect(buf.to_bytes())
+        except ValueError:
+            self.stats["auth_failures"] += 1
+            self.post_element_message("srtp-auth-failure")
+            return FlowReturn.OK
+        return self.srcpad.push(Buffer(rtp, pts=buf.pts,
+                                       duration=buf.duration))

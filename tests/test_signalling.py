@@ -305,3 +305,56 @@ def test_webrtcsink_full_session_flow():
     sink.handle_signalling({"type": "endSession", "sessionId": sid})
     assert sink.static_pad(f"session_{sid}") is None
     sink.set_state(State.NULL)
+
+
+# -- SRTP / webrtcsend / webrtcrecv ---------------------------------------
+
+def test_srtp_rfc3711_key_derivation_vectors():
+    from gstpu.net.srtp import derive_session_keys
+    mk = bytes.fromhex("E1F97A0D3E018BE0D64FA32C06DE4139")
+    ms = bytes.fromhex("0EC675AD498AFEEBB6960B3AABE6")
+    ck, ak, salt = derive_session_keys(mk, ms)
+    assert ck.hex().upper() == "C61E7A93744F39EE10734AFE3FF7A087"
+    assert salt.hex().upper() == "30CBBC08863D8C85D49DB34A9AE1"
+    assert ak.hex().upper() == \
+        "CEBE321F6FF7716B6FD4AB49AF256A156D38BAA4"
+
+
+def test_srtp_protect_roundtrip_and_tamper():
+    from gstpu.net.rtp.packet import RtpPacket
+    from gstpu.net.srtp import AUTH_TAG_LEN, SrtpContext
+    mk, ms = bytes(range(16)), bytes(range(14))
+    tx, rx = SrtpContext(mk, ms), SrtpContext(mk, ms)
+    for seq in (0xFFFE, 0xFFFF, 0, 1, 2):   # crosses seq rollover
+        pkt = RtpPacket(payload_type=96, seqnum=seq, timestamp=0,
+                        ssrc=7, payload=bytes(range(32))).to_bytes()
+        prot = tx.protect(pkt)
+        assert len(prot) == len(pkt) + AUTH_TAG_LEN
+        assert prot[:12] == pkt[:12]        # header in clear
+        assert prot[12:-AUTH_TAG_LEN] != pkt[12:]
+        assert rx.unprotect(prot) == pkt
+    bad = bytearray(tx.protect(pkt))
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="auth"):
+        rx.unprotect(bytes(bad))
+
+
+def test_webrtcsend_recv_pipeline():
+    from gstpu import Buffer, State, parse_launch
+    from gstpu.net.rtp.packet import RtpPacket
+    key = (bytes(range(16)) + bytes(range(14))).hex()
+    p = parse_launch(f'appsrc name=src caps="application/x-rtp" ! '
+                     f'webrtcsend key={key} ! webrtcrecv key={key} ! '
+                     f'appsink name=out')
+    src = p.get_by_name("src")
+    p.set_state(State.PLAYING)
+    pkts = [RtpPacket(payload_type=96, seqnum=i, timestamp=i * 90,
+                      ssrc=3, payload=bytes([i]) * 20).to_bytes()
+            for i in range(5)]
+    for q in pkts:
+        src.push_buffer(Buffer(q))
+    src.end_of_stream()
+    p.run()
+    out = [b.to_bytes() for b in p.get_by_name("out").pull_all()]
+    assert out == pkts
+    p.set_state(State.NULL)
