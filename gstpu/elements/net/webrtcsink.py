@@ -243,3 +243,191 @@ class WebRtcRecv(_SrtpBase):
             return FlowReturn.OK
         return self.srcpad.push(Buffer(rtp, pts=buf.pts,
                                        duration=buf.duration))
+
+
+@register_element("whipclientsink", Rank.NONE)
+class WhipClientSink(Element):
+    """WHIP publisher shell (reference net/webrtc whipclientsink /
+    whipsink): RTP in, WHIP HTTP session out.  The element drives a
+    sans-IO WhipClientSession — the application shuttles its
+    HttpRequest/HttpResponse records (no sockets here) and routes the
+    `rtp` src pad over its transport once the resource is active."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    Caps.new("application/x-rtp")),
+        PadTemplate("rtp", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.new("application/x-rtp")),
+    ]
+
+    whip_endpoint = Property(str, default=None,
+                             mutable=Mutability.READY)
+    auth_token = Property(str, default=None, mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.session = None
+        self.sinkpad = self.static_pad("sink")
+        self.rtppad = self.static_pad("rtp")
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = \
+            lambda p, e: self.rtppad.push_event(e)
+
+    def start(self) -> bool:
+        from gstpu.net.webrtc.whip import WhipClientSession
+        if not self.whip_endpoint:
+            self.post_error("whipclientsink: no whip-endpoint")
+            return False
+        self.session = WhipClientSession(self.whip_endpoint,
+                                         self.auth_token)
+        return True
+
+    def post_offer(self, sdp: str):
+        return self.session.post_offer(sdp)
+
+    def handle_response(self, resp):
+        req = self.session.handle_response(resp)
+        if self.session.state == "active":
+            self.post_element_message(
+                "whip-active", resource=self.session.resource_url)
+        return req
+
+    def _chain(self, pad, buf) -> FlowReturn:
+        if self.session is None or self.session.state != "active":
+            return FlowReturn.OK            # drop until resource up
+        return self.rtppad.push(buf)
+
+
+@register_element("whipserversrc", Rank.NONE)
+class WhipServerSrc(Element):
+    """WHIP ingest shell (reference whipserversrc): terminates the
+    WHIP HTTP endpoint sans-IO and exposes one RTP sink-side feeder
+    pad per session (`session_%s` SRC pads carry the media the app
+    receives for that resource and injects via push_rtp)."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("session_%s", PadDirection.SRC,
+                    PadPresence.SOMETIMES,
+                    Caps.new("application/x-rtp")),
+    ]
+
+    answer_sdp = Property(str, default="v=0\r\ns=gstpu\r\n",
+                          mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        from gstpu.net.webrtc.whip import WhipServer
+        self.server = WhipServer(self._answer)
+        self._pads: dict[str, Pad] = {}
+
+    def _answer(self, sid: str, offer: str) -> str:
+        pad = Pad(f"session_{sid}", PadDirection.SRC,
+                  self.PAD_TEMPLATES[0], self)
+        self.add_pad(pad)
+        pad.push_event(StreamStartEvent(f"{self.name}/{sid}"))
+        pad.push_event(CapsEvent(Caps.new("application/x-rtp")))
+        pad.push_event(SegmentEvent(Segment()))
+        self._pads[sid] = pad
+        self.post_element_message("whip-session", session=sid)
+        return self.answer_sdp
+
+    def handle_request(self, req):
+        resp = self.server.handle_request(req)
+        # DELETE tears the pad down
+        for sid in list(self._pads):
+            if sid not in self.server.sessions:
+                self.remove_pad(self._pads.pop(sid))
+        return resp
+
+    def push_rtp(self, sid: str, data: bytes,
+                 pts: int | None = None) -> FlowReturn:
+        pad = self._pads.get(sid)
+        if pad is None or not pad.is_linked():
+            return FlowReturn.OK
+        return pad.push(Buffer(data, pts=pts))
+
+
+@register_element("whepserversink", Rank.NONE)
+class WhepServerSink(WhipServerSrc):
+    """WHEP egress shell: same endpoint machinery with the media
+    direction reversed — buffers chained in fan out to every active
+    session pad (the reference whepserversink serves consumers)."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    Caps.new("application/x-rtp")),
+        PadTemplate("session_%s", PadDirection.SRC,
+                    PadPresence.SOMETIMES,
+                    Caps.new("application/x-rtp")),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        from gstpu.net.webrtc.whip import WhepServer
+        self.server = WhepServer(self._answer)
+        self.sinkpad = self.static_pad("sink")
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = lambda p, e: True
+
+    def _chain(self, pad, buf) -> FlowReturn:
+        for spad in self._pads.values():
+            if spad.is_linked():
+                spad.push(buf.copy())
+        return FlowReturn.OK
+
+
+@register_element("whepclientsrc", Rank.NONE)
+class WhepClientSrc(Element):
+    """WHEP consumer shell (reference whepclientsrc/whepsrc): drives
+    a WhepClientSession; received media is injected via push_rtp and
+    emerges on the always src pad."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.new("application/x-rtp")),
+    ]
+
+    whep_endpoint = Property(str, default=None,
+                             mutable=Mutability.READY)
+    auth_token = Property(str, default=None, mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.session = None
+        self.srcpad = self.static_pad("src")
+        self._started = False
+
+    def start(self) -> bool:
+        from gstpu.net.webrtc.whip import WhepClientSession
+        if not self.whep_endpoint:
+            self.post_error("whepclientsrc: no whep-endpoint")
+            return False
+        self.session = WhepClientSession(self.whep_endpoint,
+                                         self.auth_token)
+        return True
+
+    def post_offer(self, sdp: str):
+        return self.session.post_offer(sdp)
+
+    def handle_response(self, resp):
+        return self.session.handle_response(resp)
+
+    def push_rtp(self, data: bytes,
+                 pts: int | None = None) -> FlowReturn:
+        if not self._started:
+            self.srcpad.push_event(StreamStartEvent(self.name))
+            self.srcpad.push_event(
+                CapsEvent(Caps.new("application/x-rtp")))
+            self.srcpad.push_event(SegmentEvent(Segment()))
+            self._started = True
+        return self.srcpad.push(Buffer(data, pts=pts))
+
+
+# reference short names
+from gstpu.core.registry import _registry as _R
+for _short, _long in (("whipsink", "whipclientsink"),
+                      ("whepsrc", "whepclientsrc")):
+    if _short not in _R:
+        _cls, _rank = _R[_long]
+        register_element(_short, _rank)(
+            type(_cls.__name__ + "Alias", (_cls,), {}))

@@ -358,3 +358,117 @@ def test_webrtcsend_recv_pipeline():
     out = [b.to_bytes() for b in p.get_by_name("out").pull_all()]
     assert out == pkts
     p.set_state(State.NULL)
+
+
+def test_whip_elements_end_to_end():
+    """whipclientsink publishes through whipserversrc's endpoint:
+    HTTP records shuttle between the two elements, then RTP flows
+    once the resource is active."""
+    from gstpu import Buffer, Caps, FlowReturn, State
+    from gstpu.core.element import (Pad, PadDirection, PadPresence,
+                                    PadTemplate)
+    from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                  StreamStartEvent)
+    from gstpu.core.registry import make
+
+    srv = make("whipserversrc", answer_sdp="v=0\r\ns=ok\r\n")
+    cli = make("whipclientsink", whip_endpoint="/whip",
+               auth_token="tok")
+    cli.set_state(State.PLAYING)
+
+    # client -> server offer; server answers; client activates
+    req = cli.post_offer("v=0 publish")
+    resp = srv.handle_request(req)
+    assert resp.status == 201
+    assert cli.handle_response(resp) is None
+    assert cli.session.state == "active"
+    sid = cli.session.resource_url.rsplit("/", 1)[1]
+
+    # server side session pad exists; capture both ends
+    spad = srv.static_pad(f"session_{sid}")
+    assert spad is not None
+
+    got_cli = []
+    cap = Pad("c", PadDirection.SINK,
+              PadTemplate("sink", PadDirection.SINK,
+                          PadPresence.ALWAYS, Caps.any()))
+    cap.chain_function = lambda p, b: (got_cli.append(b),
+                                       FlowReturn.OK)[1]
+    cap.event_function = lambda p, e: True
+    cli.static_pad("rtp").link(cap)
+
+    feed = Pad("f", PadDirection.SRC,
+               PadTemplate("src", PadDirection.SRC,
+                           PadPresence.ALWAYS, Caps.any()))
+    feed.link(cli.static_pad("sink"))
+    feed.push_event(StreamStartEvent("s"))
+    feed.push_event(CapsEvent(Caps.new("application/x-rtp")))
+    feed.push_event(SegmentEvent(Segment()))
+    feed.push(Buffer(b"rtp-bytes"))
+    assert [b.to_bytes() for b in got_cli] == [b"rtp-bytes"]
+
+    # ingest side: app injects received rtp onto the session pad
+    got_srv = []
+    cap2 = Pad("c2", PadDirection.SINK,
+               PadTemplate("sink", PadDirection.SINK,
+                           PadPresence.ALWAYS, Caps.any()))
+    cap2.chain_function = lambda p, b: (got_srv.append(b),
+                                        FlowReturn.OK)[1]
+    cap2.event_function = lambda p, e: True
+    spad.link(cap2)
+    srv.push_rtp(sid, b"ingested")
+    assert [b.to_bytes() for b in got_srv] == [b"ingested"]
+
+    # DELETE tears the session pad down
+    srv.handle_request(cli.teardown_request()) \
+        if hasattr(cli, "teardown_request") else \
+        srv.handle_request(cli.session.teardown())
+    assert srv.static_pad(f"session_{sid}") is None
+    cli.set_state(State.NULL)
+
+
+def test_whep_elements_fanout():
+    from gstpu import Buffer, Caps, FlowReturn, State
+    from gstpu.core.element import (Pad, PadDirection, PadPresence,
+                                    PadTemplate)
+    from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                  StreamStartEvent)
+    from gstpu.core.registry import make
+
+    sink = make("whepserversink", answer_sdp="v=0\r\n")
+    src = make("whepsrc", whep_endpoint="/whep")
+    src.set_state(State.PLAYING)
+    resp = sink.handle_request(src.post_offer("v=0 recv"))
+    src.handle_response(resp)
+    sid = src.session.resource_url.rsplit("/", 1)[1]
+
+    got = []
+    cap = Pad("c", PadDirection.SINK,
+              PadTemplate("sink", PadDirection.SINK,
+                          PadPresence.ALWAYS, Caps.any()))
+    cap.chain_function = lambda p, b: (got.append(b), FlowReturn.OK)[1]
+    cap.event_function = lambda p, e: True
+    sink.static_pad(f"session_{sid}").link(cap)
+
+    feed = Pad("f", PadDirection.SRC,
+               PadTemplate("src", PadDirection.SRC,
+                           PadPresence.ALWAYS, Caps.any()))
+    feed.link(sink.static_pad("sink"))
+    feed.push_event(StreamStartEvent("s"))
+    feed.push_event(CapsEvent(Caps.new("application/x-rtp")))
+    feed.push_event(SegmentEvent(Segment()))
+    feed.push(Buffer(b"media"))
+    assert [b.to_bytes() for b in got] == [b"media"]
+
+    # consumer side surfaces injected media on its src pad
+    out = []
+    cap2 = Pad("c2", PadDirection.SINK,
+               PadTemplate("sink", PadDirection.SINK,
+                           PadPresence.ALWAYS, Caps.any()))
+    cap2.chain_function = lambda p, b: (out.append(b),
+                                        FlowReturn.OK)[1]
+    cap2.event_function = lambda p, e: True
+    src.static_pad("src").link(cap2)
+    src.push_rtp(got[0].to_bytes())
+    assert [b.to_bytes() for b in out] == [b"media"]
+    src.set_state(State.NULL)
