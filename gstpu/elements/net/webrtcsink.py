@@ -431,3 +431,61 @@ for _short, _long in (("whipsink", "whipclientsink"),
         _cls, _rank = _R[_long]
         register_element(_short, _rank)(
             type(_cls.__name__ + "Alias", (_cls,), {}))
+
+
+@register_element("webrtcsrc", Rank.NONE)
+class WebRtcSrc(Element):
+    """Consumer side (reference webrtcsrc): lists producers, starts a
+    session, accepts the producer's SDP offer and answers; the media
+    plane (injected via push_rtp once the app's transport delivers
+    it) surfaces on the always src pad."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.new("application/x-rtp")),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.peer_id: str | None = None
+        self.session_id: str | None = None
+        self.remote_sdp: str | None = None
+        self.srcpad = self.static_pad("src")
+        self._started = False
+
+    def signalling_connect(self, welcome_msg: dict) -> list[dict]:
+        self.peer_id = welcome_msg["peerId"]
+        return [{"type": "setPeerStatus", "roles": ["listener"]},
+                {"type": "list"}]
+
+    def handle_signalling(self, msg: dict) -> list[dict]:
+        t = msg.get("type")
+        if t == "list":
+            producers = msg.get("producers", [])
+            if not producers:
+                return []
+            return [{"type": "startSession",
+                     "peerId": producers[0]["id"]}]
+        if t == "sessionStarted":
+            self.session_id = msg.get("sessionId")
+            return []
+        if t == "peer" and "sdp" in msg:
+            self.remote_sdp = msg["sdp"]["sdp"]
+            self.post_element_message("offer-received",
+                                      session=msg.get("sessionId"))
+            return [{"type": "peer",
+                     "sessionId": msg.get("sessionId"),
+                     "sdp": {"type": "answer",
+                             "sdp": self.remote_sdp.replace(
+                                 "sendonly", "recvonly")}}]
+        return []
+
+    def push_rtp(self, data: bytes,
+                 pts: int | None = None) -> FlowReturn:
+        if not self._started:
+            self.srcpad.push_event(StreamStartEvent(self.name))
+            self.srcpad.push_event(
+                CapsEvent(Caps.new("application/x-rtp")))
+            self.srcpad.push_event(SegmentEvent(Segment()))
+            self._started = True
+        return self.srcpad.push(Buffer(data, pts=pts))

@@ -472,3 +472,76 @@ def test_whep_elements_fanout():
     src.push_rtp(got[0].to_bytes())
     assert [b.to_bytes() for b in out] == [b"media"]
     src.set_state(State.NULL)
+
+
+def test_webrtcsink_to_webrtcsrc_session():
+    """Producer and consumer elements complete a session through the
+    sans-IO server; RTP flows session pad -> consumer src pad."""
+    from gstpu import Buffer, Caps, FlowReturn, State
+    from gstpu.core.caps import parse_caps
+    from gstpu.core.element import (Pad, PadDirection, PadPresence,
+                                    PadTemplate)
+    from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                  StreamStartEvent)
+    from gstpu.core.registry import make
+    from gstpu.net.webrtc.signalling import Server
+
+    server = Server()
+    sink = make("webrtcsink")
+    src = make("webrtcsrc")
+    sink.set_state(State.PLAYING)
+    src.set_state(State.PLAYING)
+    inbox = {"prod": [], "cons": []}
+
+    prod_id, w1 = server.handle_connect()
+    for m in sink.signalling_connect(w1[0][1]):
+        server.handle_message(prod_id, m)
+    cons_id, w2 = server.handle_connect()
+
+    # prepare a media pad so the offer has an m-line
+    vpad = sink.request_pad()
+    feed = Pad("f", PadDirection.SRC,
+               PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                           Caps.any()))
+    feed.link(vpad)
+    feed.push_event(StreamStartEvent("v"))
+    feed.push_event(CapsEvent(parse_caps("audio/x-opus")))
+    feed.push_event(SegmentEvent(Segment()))
+    feed.push(Buffer(b"opus0", pts=0))
+
+    # consumer announces + lists + starts the session; shuttle until
+    # the exchange settles
+    queue = [(cons_id, m)
+             for m in src.signalling_connect(w2[0][1])]
+    while queue:
+        peer, msg = queue.pop(0)
+        for to, fwd in server.handle_message(peer, msg):
+            handler = sink if to == prod_id else src
+            who = prod_id if to == prod_id else cons_id
+            queue.extend((who, r)
+                         for r in handler.handle_signalling(fwd))
+    assert src.remote_sdp and "OPUS" in src.remote_sdp
+    sid = src.session_id or next(iter(sink._sessions))
+
+    # media: session pad -> consumer push_rtp -> src pad
+    spad = sink.static_pad(f"session_{sid}")
+    relay = Pad("r", PadDirection.SINK,
+                PadTemplate("sink", PadDirection.SINK,
+                            PadPresence.ALWAYS, Caps.any()))
+    relay.chain_function = \
+        lambda p, b: src.push_rtp(b.to_bytes(), b.pts)
+    relay.event_function = lambda p, e: True
+    spad.link(relay)
+    out = []
+    cap = Pad("c", PadDirection.SINK,
+              PadTemplate("sink", PadDirection.SINK,
+                          PadPresence.ALWAYS, Caps.any()))
+    cap.chain_function = lambda p, b: (out.append(b), FlowReturn.OK)[1]
+    cap.event_function = lambda p, e: True
+    src.static_pad("src").link(cap)
+    feed.push(Buffer(b"opus1", pts=20_000_000))
+    assert out
+    from gstpu.net.rtp.packet import RtpPacket
+    assert RtpPacket.parse(out[0].to_bytes()).payload == b"opus1"
+    sink.set_state(State.NULL)
+    src.set_state(State.NULL)
