@@ -284,3 +284,72 @@ class QuinnRoqDemux(BaseTransform):
         out = Buffer(pkt, pts=buf.pts, duration=buf.duration)
         out.offset = flow
         return out
+
+
+@register_element("ts-rtpdtmfsrc", Rank.NONE)
+class TsRtpDtmfSrc(PushSrc):
+    """RFC 4733 DTMF named-event RTP source (reference
+    generic/threadshare ts-rtpdtmfsrc): each queued tone produces a
+    run of event packets (E bit on the last, marker on the first)."""
+
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC,
+                                 PadPresence.ALWAYS,
+                                 Caps.new("application/x-rtp"))]
+
+    tones = Property(str, default="", mutable=Mutability.READY,
+                     blurb="DTMF digits to send, e.g. '1800#'")
+    pt = Property(int, default=101, minimum=96, maximum=127,
+                  mutable=Mutability.READY)
+    ssrc = Property(int, default=0x0D7F, minimum=0,
+                    mutable=Mutability.READY)
+    tone_duration_ms = Property(int, default=200, minimum=40,
+                                mutable=Mutability.READY)
+    packet_ms = Property(int, default=40, minimum=10,
+                         mutable=Mutability.READY)
+
+    _EVENTS = {**{str(d): d for d in range(10)},
+               "*": 10, "#": 11,
+               **{c: 12 + i for i, c in enumerate("ABCD")}}
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._queue: list[tuple[int, int, bool, bool]] = []
+        self._seq = 0
+        self._built = False
+
+    def negotiate(self) -> Caps:
+        return Caps.new("application/x-rtp", media="audio",
+                        payload=self.pt, **{"clock-rate": 8000,
+                                            "encoding-name":
+                                            "TELEPHONE-EVENT"})
+
+    def _build(self) -> None:
+        ts = 0
+        per = max(self.tone_duration_ms // self.packet_ms, 1)
+        for ch in self.tones:
+            ev = self._EVENTS.get(ch.upper())
+            if ev is None:
+                continue
+            for i in range(per):
+                dur = (i + 1) * self.packet_ms * 8  # 8kHz units
+                self._queue.append((ev, ts, i == 0, i == per - 1,
+                                    dur))
+            ts += self.tone_duration_ms * 8
+        self._built = True
+
+    def create(self) -> Buffer | None:
+        from gstpu.net.rtp.packet import RtpPacket
+        if not self._built:
+            self._build()
+        if not self._queue:
+            return None
+        ev, ts, first, last, dur = self._queue.pop(0)
+        payload = bytes([ev, (0x80 if last else 0) | 10,  # E | volume
+                         dur >> 8 & 0xFF, dur & 0xFF])
+        pkt = RtpPacket(payload_type=self.pt, seqnum=self._seq,
+                        timestamp=ts, ssrc=self.ssrc,
+                        payload=payload, marker=first)
+        self._seq = (self._seq + 1) & 0xFFFF
+        return Buffer(pkt.to_bytes(),
+                      pts=ts * 10**9 // 8000,
+                      duration=self.packet_ms * 10**6)

@@ -113,3 +113,57 @@ def test_progressbin_messages():
             and m.fields.get("name") == "progress"]
     assert len(msgs) >= 2
     p.set_state(State.NULL)
+
+
+def test_reqwesthttpsrc_local_server(tmp_path):
+    import http.server
+    import threading
+
+    payload = bytes(range(256)) * 40
+    (tmp_path / "media.bin").write_bytes(payload)
+
+    class H(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        p = parse_launch(
+            f"reqwesthttpsrc location=http://127.0.0.1:{port}/"
+            f"media.bin blocksize=1000 ! appsink name=out")
+        p.set_state(State.PLAYING)
+        p.run()
+        out = p.get_by_name("out")
+        data = b"".join(b.to_bytes() for b in out.pull_all())
+        assert data == payload
+        assert out.caps[0].name == "application/x-http-data"
+        p.set_state(State.NULL)
+        # 404 fails state change cleanly
+        from gstpu.core.element import StateChangeReturn
+        bad = make("reqwesthttpsrc",
+                   location=f"http://127.0.0.1:{port}/nope")
+        assert bad.set_state(State.READY) is StateChangeReturn.FAILURE
+    finally:
+        srv.shutdown()
+
+
+def test_rtpdtmfsrc_events():
+    from gstpu.net.rtp.packet import RtpPacket
+    p = parse_launch("ts-rtpdtmfsrc tones=1# tone_duration_ms=80 "
+                     "packet_ms=40 ! appsink name=out")
+    out = p.get_by_name("out")
+    p.set_state(State.PLAYING)
+    p.run()
+    pkts = [RtpPacket.parse(b.to_bytes()) for b in out.pull_all()]
+    assert len(pkts) == 4                  # 2 tones x 2 packets
+    assert pkts[0].marker and not pkts[1].marker
+    assert pkts[0].payload[0] == 1         # event '1'
+    assert pkts[2].payload[0] == 11        # event '#'
+    assert pkts[1].payload[1] & 0x80       # E bit on final packet
+    assert [q.seqnum for q in pkts] == [0, 1, 2, 3]
+    p.set_state(State.NULL)
