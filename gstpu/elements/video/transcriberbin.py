@@ -135,3 +135,41 @@ class TranscriberBin(Element):
         if self._active:
             self._afeed.push_event(ev)
         return self._asrc.push_event(ev)
+
+
+@register_element("translationbin", Rank.NONE)
+class TranslationBin(TranscriberBin):
+    """transcriberbin with a translation stage: the transcript runs
+    through a pluggable `translator` element (text/x-raw in and out)
+    before caption encoding (reference translationbin wires cloud
+    translators; any local element description works here)."""
+
+    translator = Property(str, default=None, mutable=Mutability.READY,
+                          blurb="Translator element description "
+                                "(text/x-raw in/out)")
+
+    def start(self) -> bool:
+        if not super().start():
+            return False
+        if not self._active or not self.translator:
+            return True
+        from gstpu.elements.utils_.fallbacksrc import _make_from_desc
+        try:
+            trans = _make_from_desc(self.translator)
+        except Exception as e:
+            self.post_error(f"translationbin: bad translator: {e}")
+            return False
+        trans.bus = self.bus
+        trans.set_state(State.PLAYING)
+        # splice: transcriber -> translator -> tttocea608
+        self._trans.src_pads()[0].unlink()
+        self._trans.src_pads()[0].link(trans.static_pad("sink"))
+        trans.src_pads()[0].link(self._ttto.static_pad("sink"))
+        self._translator = trans
+        return True
+
+    def stop(self) -> bool:
+        tr = getattr(self, "_translator", None)
+        if tr is not None:
+            tr.set_state(State.NULL)
+        return super().stop()

@@ -273,3 +273,62 @@ def test_onvif_overlay_and_extractor():
     assert got[0].pts == 456
     assert all(not v.metas for v in h2.pull_all())
     h2.teardown()
+
+
+def test_translationbin_splices_translator():
+    from gstpu.core.base import BaseTransform
+    from gstpu.core.registry import _registry, register_element, Rank
+    from gstpu.core.video import VideoCaptionMeta
+    from gstpu.core.element import State
+
+    if "mocktranslator" not in _registry:
+        @register_element("mocktranslator", Rank.NONE)
+        class MockTranslator(BaseTransform):
+            PAD_TEMPLATES = [
+                PadTemplate("sink", PadDirection.SINK,
+                            PadPresence.ALWAYS,
+                            Caps.new("text/x-raw", format="utf8")),
+                PadTemplate("src", PadDirection.SRC,
+                            PadPresence.ALWAYS,
+                            Caps.new("text/x-raw", format="utf8")),
+            ]
+
+            def transform(self, buf):
+                return Buffer(b"HOLA", pts=buf.pts,
+                              duration=buf.duration)
+
+    # reuse the mock transcriber registered by the earlier test
+    import tests.test_cccombiner as _self  # noqa
+    from gstpu.core.registry import make as _make
+    if "mocktranscriber" not in _registry:
+        test_transcriberbin_with_mock_transcriber()
+
+    tb = make("translationbin", transcriber="mocktranscriber",
+              translator="mocktranslator")
+    vout = _capture(tb.static_pad("src_video"))
+    tb.set_state(State.PLAYING)
+    acaps = "audio/x-raw, format=S16LE, rate=48000, channels=1"
+    vcaps = ("video/x-raw, format=RGBA, width=4, height=4, "
+             "framerate=30/1")
+    af, vf = _feeder(acaps), _feeder(vcaps)
+    af.link(tb.static_pad("sink_audio"))
+    vf.link(tb.static_pad("sink_video"))
+    _start(af, acaps)
+    _start(vf, vcaps)
+    af.push(Buffer(bytes(96), pts=0, duration=SECOND))
+    af.push_event(EosEvent())
+    import numpy as np
+    from gstpu.core.video import VideoInfo
+    vi = VideoInfo("RGBA", 4, 4)
+    vf.push(vi.make_buffer(np.zeros((4, 4, 4), np.uint8), pts=0,
+                           duration=SECOND))
+    vf.push_event(EosEvent())
+    metas = [m for m in vout[0].metas
+             if isinstance(m, VideoCaptionMeta)]
+    from gstpu.codecs.cea608 import Cea608Decoder
+    dec = Cea608Decoder()
+    text = None
+    for m in metas:
+        text = dec.push_pair(m.data) or text
+    assert text == "HOLA"                # translated, not HELLO
+    tb.set_state(State.NULL)
