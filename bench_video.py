@@ -1,0 +1,69 @@
+"""4K video chain benchmark: hsvfilter + 3D colorlut per frame.
+
+BASELINE.md's second headline: >= 60 fps at 4K per chip on the
+hsv + colorlut chain, frame-exact.  Prints ONE JSON line like
+bench.py (the driver's contract metric stays bench.py's audio chain;
+this script is supplementary evidence).
+
+Run: python bench_video.py   (real TPU via the axon tunnel)
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gstpu.ops.hsv import hsv_filter
+from gstpu.ops.lut import apply_lut_3d_mm, identity_lut
+
+W, H = 3840, 2160
+N_WARM = 3
+N_ITER = 30
+
+
+@jax.jit
+def chain(frame, table, scale, offset, hue_shift, sat_mul, sat_off,
+          val_mul, val_off):
+    out = hsv_filter(frame, hue_shift, sat_mul, sat_off, val_mul,
+                     val_off)
+    return apply_lut_3d_mm(out, table, scale, offset)
+
+
+def main():
+    lut = identity_lut(size=17)
+    table = jnp.asarray(lut.table_3d)
+    scale = jnp.asarray(lut.domain_scale)
+    offset = jnp.asarray(lut.domain_offset)
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.integers(0, 256, (H, W, 4),
+                                     dtype=np.uint8))
+    hue = jnp.float32(12.0)
+    sat_mul, sat_off = jnp.float32(1.1), jnp.float32(0.0)
+    val_mul, val_off = jnp.float32(0.9), jnp.float32(0.02)
+
+    def sync(x):
+        # tunnel-safe sync: tiny scalar readback
+        return float(jnp.sum(x[::512, ::512, 0].astype(jnp.float32)))
+
+    args = (table, scale, offset, hue, sat_mul, sat_off,
+            val_mul, val_off)
+    out = chain(frame, *args)
+    sync(out)
+    t0 = time.monotonic()
+    # independent frames: streaming throughput, not latency chaining
+    outs = [chain(frame, *args) for _ in range(N_ITER)]
+    sync(outs[-1])
+    dt = time.monotonic() - t0
+    fps = N_ITER / dt
+    print(json.dumps({
+        "metric": "4K frames/s per chip, hsvfilter + 3D colorlut "
+                  "chain (3840x2160 RGBA, device-resident)",
+        "value": round(fps, 1), "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 3)}))
+
+
+if __name__ == "__main__":
+    main()

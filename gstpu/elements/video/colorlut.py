@@ -19,7 +19,8 @@ from gstpu.core.element import PadDirection, PadPresence, PadTemplate
 from gstpu.core.props import Mutability, Property
 from gstpu.core.registry import Rank, register_element
 from gstpu.core.video import video_caps
-from gstpu.ops.lut import CubeLut, apply_lut_1d, apply_lut_3d, parse_cube
+from gstpu.ops.lut import (CubeLut, apply_lut_1d, apply_lut_3d,
+                           apply_lut_3d_mm, parse_cube)
 
 _FORMATS = ("RGBA", "RGBA64LE", "RGBA64BE")
 
@@ -68,7 +69,14 @@ class ColorLut(VideoFilter):
         if deep:
             # jax has no big-endian dtypes: normalise to native u16
             frame = frame.astype(np.uint16)
-        fn = apply_lut_3d if self._lut.is_3d else apply_lut_1d
+        if self._lut.is_3d:
+            # gathers cost ~3ns/index on TPU: use the MXU matmul
+            # reformulation there, exact gather path on CPU
+            import jax as _jax
+            fn = (apply_lut_3d_mm if _jax.default_backend() != "cpu"
+                  else apply_lut_3d)
+        else:
+            fn = apply_lut_1d
         out = np.asarray(fn(jnp.asarray(frame), self._dev_table,
                             self._dev_scale, self._dev_offset,
                             max_val=65535 if deep else 255))

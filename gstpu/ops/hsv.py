@@ -23,6 +23,10 @@ def rgb_to_hsv(rgb_u8: jax.Array):
     r, g, b = f[..., 0], f[..., 1], f[..., 2]
     value = jnp.max(f, axis=-1)
     chroma = value - jnp.min(f, axis=-1)
+    # stop fusion from recomputing the max/min reductions inside
+    # every branch of the hue selection below (see hsv_to_rgb)
+    r, g, b, value, chroma = jax.lax.optimization_barrier(
+        (r, g, b, value, chroma))
 
     safe = jnp.where(chroma == 0.0, 1.0, chroma)
     h_r = 60.0 * ((g - b) / safe)
@@ -36,6 +40,7 @@ def rgb_to_hsv(rgb_u8: jax.Array):
                                       0.0))))
     hue = jnp.where(hue < 0.0, hue + 360.0, hue)
     hue = jnp.mod(hue, 360.0)
+    hue = jax.lax.optimization_barrier(hue)
     sat = jnp.where(value == 0.0, 0.0, chroma / jnp.where(value == 0.0, 1.0,
                                                           value))
     return hue, jnp.clip(sat, 0.0, 1.0), jnp.clip(value, 0.0, 1.0)
@@ -47,6 +52,11 @@ def hsv_to_rgb(h: jax.Array, s: jax.Array, v: jax.Array) -> jax.Array:
     c = v * s
     hp = h / 60.0
     x = c * (1.0 - jnp.abs(jnp.mod(hp, 2.0) - 1.0))
+    # materialize the selector inputs: without this barrier XLA's
+    # fusion clones the entire upstream graph into every branch of
+    # the 6-deep where cascade below (x3 components), a ~36x
+    # recompute that took the 4K chain from ~150 fps to ~6 fps
+    c, hp, x, v = jax.lax.optimization_barrier((c, hp, x, v))
     zero = jnp.zeros_like(c)
 
     # cascade exactly like the reference's if/else-if chain

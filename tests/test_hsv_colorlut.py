@@ -280,3 +280,24 @@ def test_colorlut_rgba64(tmp_path):
         assert abs(int(out[0, 0, 2]) - (65535 - 32768)) <= 1
         assert (out[..., 3] == 1234).all()
         h.teardown()
+
+
+def test_lut3d_mm_matches_gather_path():
+    """The MXU reformulation agrees with the exact gather path to
+    <=1 u8 LSB (bf16 hat weights)."""
+    from gstpu.ops.lut import apply_lut_3d_mm, parse_cube
+    lut = parse_cube(CUBE_3D)
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+    a = np.asarray(apply_lut_3d(jnp.asarray(pix),
+                                jnp.asarray(lut.table_3d),
+                                jnp.asarray(lut.domain_scale),
+                                jnp.asarray(lut.domain_offset)))
+    b = np.asarray(apply_lut_3d_mm(jnp.asarray(pix),
+                                   jnp.asarray(lut.table_3d),
+                                   jnp.asarray(lut.domain_scale),
+                                   jnp.asarray(lut.domain_offset),
+                                   n_chunks=8))
+    err = np.abs(a[..., :3].astype(int) - b[..., :3].astype(int))
+    assert err.max() <= 1
+    assert (a[..., 3] == b[..., 3]).all()
