@@ -4,10 +4,11 @@ Rebuilds the reference generic/sodium elements (libsodium
 secretstream-style chunked encryption with typefind support). The
 environment has no libsodium, so the stream format uses IETF
 ChaCha20-Poly1305 (via `cryptography`) with the same structure: a
-magic + stream-nonce header, then length-prefixed AEAD chunks with a
-counter nonce — chunk tampering, truncation and reordering are all
-detected. Not wire-compatible with libsodium's XChaCha20 secretstream
-(documented divergence).
+magic + 24-byte random stream header from which a per-stream subkey
+is derived (HKDF — mirroring secretstream's header→subkey step), then
+length-prefixed AEAD chunks with a counter nonce — chunk tampering,
+truncation and reordering are all detected. Not wire-compatible with
+libsodium's XChaCha20 secretstream (documented divergence).
 """
 
 from __future__ import annotations
@@ -22,8 +23,9 @@ from gstpu.core.element import (FlowError, FlowReturn, PadDirection,
 from gstpu.core.props import Mutability, Property
 from gstpu.core.registry import Rank, register_element
 
-MAGIC = b"gstpu-sodium-stream\x00"
+MAGIC = b"gstpu-sodium-stream\x01"
 ENC_CAPS = Caps.new("application/x-sodium-encrypted-stream")
+HEADER_LEN = 24                 # random per-stream header (subkey salt)
 
 
 def _aead(key: bytes):
@@ -34,8 +36,23 @@ def _aead(key: bytes):
     return ChaCha20Poly1305(key)
 
 
-def _nonce(prefix: bytes, counter: int) -> bytes:
-    return prefix + struct.pack(">Q", counter)
+def _stream_aead(key: bytes, header: bytes):
+    """Per-stream subkey = HKDF-SHA256(key, salt=header).  Mirrors
+    libsodium secretstream's 24-byte header → subkey derivation so a
+    (key, counter) pair never repeats across streams or element
+    restarts; nonce reuse would need a 24-byte header collision
+    (birthday bound 2^96)."""
+    if len(key) != 32:
+        raise ValueError("key must be 32 bytes")
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.kdf.hkdf import HKDF
+    sub = HKDF(algorithm=hashes.SHA256(), length=32, salt=header,
+               info=MAGIC).derive(key)
+    return _aead(sub)
+
+
+def _nonce(counter: int) -> bytes:
+    return b"\x00" * 4 + struct.pack(">Q", counter)
 
 
 @register_element("sodiumencrypter", Rank.NONE)
@@ -50,7 +67,8 @@ class SodiumEncrypter(BaseTransform):
     key = Property(bytes, default=None, mutable=Mutability.READY,
                    blurb="32-byte symmetric key")
     nonce = Property(bytes, default=None, mutable=Mutability.READY,
-                     blurb="4-byte stream nonce prefix (random if unset)")
+                     blurb="24-byte stream header / subkey salt "
+                           "(random if unset)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -70,16 +88,16 @@ class SodiumEncrypter(BaseTransform):
         if not self.key:
             self.post_error("sodiumencrypter: no key set")
             return False
+        import os
+        self._prefix = self.nonce or os.urandom(HEADER_LEN)
+        if len(self._prefix) != HEADER_LEN:
+            self.post_error("sodiumencrypter: stream header must be "
+                            f"{HEADER_LEN} bytes")
+            return False
         try:
-            self._aead = _aead(self.key)
+            self._aead = _stream_aead(self.key, self._prefix)
         except ValueError as e:
             self.post_error(f"sodiumencrypter: {e}")
-            return False
-        import os
-        self._prefix = self.nonce or os.urandom(4)
-        if len(self._prefix) != 4:
-            self.post_error("sodiumencrypter: nonce prefix must be "
-                            "4 bytes")
             return False
         self._counter = 0
         self._header_sent = False
@@ -90,7 +108,7 @@ class SodiumEncrypter(BaseTransform):
         if not self._header_sent:
             chunks.append(MAGIC + self._prefix)
             self._header_sent = True
-        ct = self._aead.encrypt(_nonce(self._prefix, self._counter),
+        ct = self._aead.encrypt(_nonce(self._counter),
                                 buf.to_bytes(), MAGIC)
         self._counter += 1
         chunks.append(struct.pack(">I", len(ct)) + ct)
@@ -129,7 +147,10 @@ class SodiumDecrypter(BaseTransform):
         if not self.key:
             self.post_error("sodiumdecrypter: no key set")
             return False
-        self._aead = _aead(self.key)
+        if len(self.key) != 32:
+            self.post_error("sodiumdecrypter: key must be 32 bytes")
+            return False
+        self._aead = None
         self._counter = 0
         self._prefix = None
         self._acc = bytearray()
@@ -139,13 +160,14 @@ class SodiumDecrypter(BaseTransform):
         self._acc.extend(buf.to_bytes())
         out = []
         if self._prefix is None:
-            need = len(MAGIC) + 4
+            need = len(MAGIC) + HEADER_LEN
             if len(self._acc) < need:
                 return None
             if bytes(self._acc[:len(MAGIC)]) != MAGIC:
                 self.post_error("sodiumdecrypter: bad stream magic")
                 raise FlowError(FlowReturn.ERROR)
             self._prefix = bytes(self._acc[len(MAGIC):need])
+            self._aead = _stream_aead(self.key, self._prefix)
             del self._acc[:need]
         while len(self._acc) >= 4:
             (n,) = struct.unpack_from(">I", self._acc)
@@ -156,7 +178,7 @@ class SodiumDecrypter(BaseTransform):
             from cryptography.exceptions import InvalidTag
             try:
                 pt = self._aead.decrypt(
-                    _nonce(self._prefix, self._counter), ct, MAGIC)
+                    _nonce(self._counter), ct, MAGIC)
             except InvalidTag:
                 self.post_error("sodiumdecrypter: authentication failed "
                                 f"at chunk {self._counter}")

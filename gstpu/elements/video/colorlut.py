@@ -71,10 +71,13 @@ class ColorLut(VideoFilter):
             frame = frame.astype(np.uint16)
         if self._lut.is_3d:
             # gathers cost ~3ns/index on TPU: use the MXU matmul
-            # reformulation there, exact gather path on CPU
+            # reformulation there, exact gather path on CPU.  16-bit
+            # frames force the f32 contraction (bf16 error ~2^-9
+            # relative would be ~100 u16 LSBs).
+            import functools
             import jax as _jax
-            fn = (apply_lut_3d_mm if _jax.default_backend() != "cpu"
-                  else apply_lut_3d)
+            fn = (functools.partial(apply_lut_3d_mm, precise=deep)
+                  if _jax.default_backend() != "cpu" else apply_lut_3d)
         else:
             fn = apply_lut_1d
         out = np.asarray(fn(jnp.asarray(frame), self._dev_table,

@@ -63,18 +63,32 @@ class SrtpContext:
                 self._roc[ssrc] = roc
             self._last_seq[ssrc] = seq
             return roc << 16 | seq
-        # receiver: RFC 3711 §3.3.1 index estimation
+        return self._estimate_index(ssrc, seq)
+
+    def _estimate_index(self, ssrc: int, seq: int) -> int:
+        """Receiver-side RFC 3711 §3.3.1 index estimation — PURE:
+        does not touch _roc/_last_seq.  State is committed only after
+        the auth tag verifies (RFC 3711 §3.3.1: update s_l and ROC
+        only after authentication), so a forged packet near the
+        16-bit wrap cannot poison the ROC."""
+        roc = self._roc.get(ssrc, 0)
+        last = self._last_seq.get(ssrc)
         if last is None:
             v = roc
         elif last < 0x8000:
             v = roc - 1 if seq - last > 0x8000 else roc
         else:
             v = roc + 1 if last - seq > 0x8000 else roc
+        return max(v, 0) << 16 | seq
+
+    def _commit_recv(self, ssrc: int, seq: int, index: int) -> None:
+        roc = self._roc.get(ssrc, 0)
+        last = self._last_seq.get(ssrc)
+        v = index >> 16
         if last is None or seq > last or (last - seq) > 0x8000:
             self._last_seq[ssrc] = seq
             if v > roc:
                 self._roc[ssrc] = v
-        return max(v, 0) << 16 | seq
 
     def _keystream(self, ssrc: int, index: int, n: int) -> bytes:
         iv = ((int.from_bytes(self.salt, "big") << 16)
@@ -104,12 +118,13 @@ class SrtpContext:
         pkt, tag = srtp[:-AUTH_TAG_LEN], srtp[-AUTH_TAG_LEN:]
         ssrc = int.from_bytes(pkt[8:12], "big")
         seq = int.from_bytes(pkt[2:4], "big")
-        index = self._index(ssrc, seq, sender=False)
+        index = self._estimate_index(ssrc, seq)
         roc = index >> 16
         want = hmac.new(self.ak, pkt + roc.to_bytes(4, "big"),
                         hashlib.sha1).digest()[:AUTH_TAG_LEN]
         if not hmac.compare_digest(tag, want):
             raise ValueError("srtp auth failure")
+        self._commit_recv(ssrc, seq, index)
         hdr_len = 12 + 4 * (pkt[0] & 0x0F)
         if pkt[0] & 0x10:
             hdr_len += 4 + 4 * int.from_bytes(

@@ -170,17 +170,18 @@ def apply_lut_3d(pix: jax.Array, table: jax.Array, scale: jax.Array,
     return res
 
 
-def _lut3d_mm_tables(table: jax.Array):
-    """(n,n,n,3) [z,y,x] -> T2[(y x), (z c)] bf16 for the MXU path."""
+def _lut3d_mm_tables(table: jax.Array, dtype=jnp.bfloat16):
+    """(n,n,n,3) [z,y,x] -> T2[(y x), (z c)] for the MXU path."""
     n = table.shape[0]
     t2 = jnp.transpose(table, (1, 2, 0, 3)).reshape(n * n, n * 3)
-    return t2.astype(jnp.bfloat16)
+    return t2.astype(dtype)
 
 
-@partial(jax.jit, static_argnames=("max_val", "n_chunks"))
+@partial(jax.jit, static_argnames=("max_val", "n_chunks", "precise"))
 def apply_lut_3d_mm(pix: jax.Array, table: jax.Array, scale: jax.Array,
                     offset: jax.Array, *, max_val: int = 255,
-                    n_chunks: int = 64) -> jax.Array:
+                    n_chunks: int = 64,
+                    precise: bool = False) -> jax.Array:
     """MXU trilinear 3D LUT: hat-basis weights per axis, the y*x
     outer product contracted against the table with one shared bf16
     matmul per pixel chunk, then the z axis reduced per pixel.
@@ -191,9 +192,14 @@ def apply_lut_3d_mm(pix: jax.Array, table: jax.Array, scale: jax.Array,
     bound the error at 1 u8 LSB (measured 0.8% of pixels) — the same
     precision class as the reference's d3d12 GPU texture filtering.
     CPU tests keep the exact gather path.
+
+    precise=True keeps the contraction in f32 (XLA runs it on the MXU
+    as a multi-pass bf16 decomposition): required for 16-bit frames,
+    where bf16's ~2^-9 relative error would be ~100 u16 LSBs.
     """
     n = table.shape[0]
-    t2 = _lut3d_mm_tables(table)
+    mm_dtype = jnp.float32 if precise else jnp.bfloat16
+    t2 = _lut3d_mm_tables(table, mm_dtype)
     shape = pix.shape
     flat = pix.reshape(-1, shape[-1])
     npix = flat.shape[0]
@@ -208,7 +214,12 @@ def apply_lut_3d_mm(pix: jax.Array, table: jax.Array, scale: jax.Array,
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(xc[:, 1:2] - grid))
         wz = jnp.maximum(0.0, 1.0 - jnp.abs(xc[:, 2:3] - grid))
         v1 = (wy[:, :, None] * wx[:, None, :]).reshape(-1, n * n)
-        s = (v1.astype(jnp.bfloat16) @ t2).astype(jnp.float32)
+        # TPU f32 matmuls default to bf16 passes: the precise path
+        # must pin HIGHEST or the f32 cast buys nothing on device.
+        prec = (jax.lax.Precision.HIGHEST if precise
+                else jax.lax.Precision.DEFAULT)
+        s = jnp.matmul(v1.astype(mm_dtype), t2,
+                       precision=prec).astype(jnp.float32)
         return jnp.sum(wz[:, :, None] * s.reshape(-1, n, 3), axis=1)
 
     out = jax.lax.map(chunk,

@@ -53,6 +53,11 @@ def restore(path: str, like_state, *, sharding=None):
                 raise ValueError(
                     f"leaf {i}: checkpoint shape {arr.shape} != "
                     f"chain {like.shape}")
+            if arr.dtype != np.dtype(like.dtype):
+                raise ValueError(
+                    f"leaf {i}: checkpoint dtype {arr.dtype} != "
+                    f"chain {like.dtype} (silent cast would break "
+                    f"bit-exact resume)")
             if sharding is not None:
                 sh = (sharding if not isinstance(sharding, (list,
                                                             tuple))

@@ -75,3 +75,13 @@ def test_restore_onto_mesh(tmp_path):
                           sharding=sh)
     for leaf in jax.tree_util.tree_leaves(restored):
         assert leaf.sharding == sh
+
+
+def test_restore_rejects_dtype_mismatch(tmp_path):
+    """ADVICE r1: a checkpoint whose leaves differ in dtype must not
+    restore silently (device_put casting would break bit-exactness)."""
+    state = {"a": jnp.zeros((4,), jnp.float32)}
+    checkpoint(str(tmp_path / "ck.npz"), state)
+    like = {"a": jnp.zeros((4,), jnp.float64)}
+    with pytest.raises(ValueError, match="dtype"):
+        restore(str(tmp_path / "ck.npz"), like)

@@ -301,3 +301,26 @@ def test_lut3d_mm_matches_gather_path():
     err = np.abs(a[..., :3].astype(int) - b[..., :3].astype(int))
     assert err.max() <= 1
     assert (a[..., 3] == b[..., 3]).all()
+
+
+def test_lut3d_mm_precise_matches_gather_path_16bit():
+    """ADVICE r1: 16-bit frames must use the f32 (precise) MXU
+    contraction — parity vs the exact gather path within 1 u16 LSB."""
+    from gstpu.ops.lut import apply_lut_3d_mm, parse_cube
+    lut = parse_cube(CUBE_3D)
+    rng = np.random.default_rng(12)
+    pix = rng.integers(0, 65536, (32, 64, 4), dtype=np.uint16)
+    a = np.asarray(apply_lut_3d(jnp.asarray(pix),
+                                jnp.asarray(lut.table_3d),
+                                jnp.asarray(lut.domain_scale),
+                                jnp.asarray(lut.domain_offset),
+                                max_val=65535))
+    b = np.asarray(apply_lut_3d_mm(jnp.asarray(pix),
+                                   jnp.asarray(lut.table_3d),
+                                   jnp.asarray(lut.domain_scale),
+                                   jnp.asarray(lut.domain_offset),
+                                   max_val=65535, n_chunks=8,
+                                   precise=True))
+    err = np.abs(a[..., :3].astype(int) - b[..., :3].astype(int))
+    assert err.max() <= 1
+    assert (a[..., 3] == b[..., 3]).all()

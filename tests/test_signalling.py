@@ -339,6 +339,36 @@ def test_srtp_protect_roundtrip_and_tamper():
         rx.unprotect(bytes(bad))
 
 
+def test_srtp_forged_packet_does_not_poison_roc():
+    """ADVICE r1 (high): RFC 3711 §3.3.1 — ROC/s_l update only after
+    authentication.  A forged packet with a seqnum past the 16-bit
+    wrap boundary must not advance the receiver ROC; genuine packets
+    keep decrypting afterwards."""
+    from gstpu.net.rtp.packet import RtpPacket
+    from gstpu.net.srtp import SrtpContext
+    mk, ms = bytes(range(16)), bytes(range(14))
+    tx, rx = SrtpContext(mk, ms), SrtpContext(mk, ms)
+
+    def mkpkt(seq):
+        return RtpPacket(payload_type=96, seqnum=seq, timestamp=0,
+                         ssrc=9, payload=b"x" * 24).to_bytes()
+
+    # establish state high in the seq space
+    assert rx.unprotect(tx.protect(mkpkt(0xFFF0))) == mkpkt(0xFFF0)
+    # forged packet: small seqnum (looks like a wrap -> roc+1), junk tag
+    forged = bytearray(tx.protect(mkpkt(0xFFF1)))
+    forged[2:4] = (5).to_bytes(2, "big")    # seq 5: wrap candidate
+    with pytest.raises(ValueError, match="auth"):
+        rx.unprotect(bytes(forged))
+    # genuine in-cycle packets must still authenticate
+    for seq in (0xFFF2, 0xFFF3):
+        assert rx.unprotect(tx.protect(mkpkt(seq))) == mkpkt(seq)
+    # and a genuine wrap still advances the ROC correctly
+    for seq in (0xFFFF, 0, 1):
+        assert rx.unprotect(tx.protect(mkpkt(seq))) == mkpkt(seq)
+    assert rx._roc[9] == 1
+
+
 def test_webrtcsend_recv_pipeline():
     from gstpu import Buffer, State, parse_launch
     from gstpu.net.rtp.packet import RtpPacket

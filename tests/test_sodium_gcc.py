@@ -35,7 +35,7 @@ def test_sodium_roundtrip_pipeline():
 
 
 def test_sodium_ciphertext_differs_and_authenticated():
-    enc = make("sodiumencrypter", key=KEY, nonce=b"\x00\x01\x02\x03")
+    enc = make("sodiumencrypter", key=KEY, nonce=bytes(range(24)))
     from gstpu.core.harness import Harness
     h = Harness(enc)
     h.set_caps("application/x-test")
@@ -70,6 +70,40 @@ def test_sodium_wrong_key_fails():
     from gstpu import FlowReturn
     assert h2.push(Buffer(ct)) is FlowReturn.ERROR
     h2.teardown()
+
+
+def test_sodium_restart_never_reuses_keystream():
+    """ADVICE r1: restarting the element (or a new stream under the
+    same key) must never encrypt with a repeated (key, nonce) pair —
+    the per-stream HKDF subkey guarantees distinct keystreams, so the
+    same plaintext yields different chunk ciphertexts."""
+    from gstpu.core.harness import Harness
+    cts = []
+    for _ in range(2):
+        enc = make("sodiumencrypter", key=KEY)
+        h = Harness(enc)
+        h.set_caps("application/x-test")
+        h.push(Buffer(b"identical plaintext"))
+        data = b"".join(b.to_bytes() for b in h.pull_all())
+        h.teardown()
+        hdr = len(b"gstpu-sodium-stream\x01") + 24
+        cts.append(data[hdr:])
+    assert cts[0] != cts[1]
+
+
+def test_sodium_explicit_header_is_deterministic():
+    from gstpu.core.harness import Harness
+
+    def run():
+        enc = make("sodiumencrypter", key=KEY, nonce=bytes(24))
+        h = Harness(enc)
+        h.set_caps("application/x-test")
+        h.push(Buffer(b"payload"))
+        out = b"".join(b.to_bytes() for b in h.pull_all())
+        h.teardown()
+        return out
+
+    assert run() == run()
 
 
 # -- GCC ----------------------------------------------------------------
