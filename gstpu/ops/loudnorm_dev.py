@@ -486,7 +486,7 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
-def make_steps(params: LoudnormParams):
+def make_steps(params: LoudnormParams, with_meter: bool = False):
     """Returns (first_step, inner_step):
 
     first_step(state, src (B, GAIN_LOOKAHEAD*C)) -> (state, out
@@ -495,30 +495,54 @@ def make_steps(params: LoudnormParams):
       — the steady-state 100 ms frame (process_inner_frame).
 
     Both are jit-compiled and batched; src is interleaved f64.
+
+    with_meter=True fuses a downstream `ebur128level` into the step:
+    the output measurement chain runs unconditionally (it IS the
+    meter — one shared K-weighting pass, the fusion the L2' runtime
+    promises) and inner_step returns (state, out, meters) with
+    meters = dict(momentary, shortterm (B,) LUFS of the output).
     """
     C = params.channels
     measure, window_energy = _make_measure(params)
 
-    def meas_in(st, src):
-        z1, z2, e = measure(st["z_in1"], st["z_in2"], src)
-        B, nsub = e.shape[0], e.shape[1]
-        ring, blocks, bcount = st["ring_in"], st["blocks"], st["bcount"]
-        nsub_in = st["nsub_in"]
-        for k in range(nsub):                    # 1 (inner) or 30
-            ring = jnp.concatenate([ring[:, 1:, :], e[:, k:k + 1, :]],
-                                   axis=1)
-            nsub_in = nsub_in + 1
-            eb = window_energy(ring, 4)
-            blocks, bcount = jax.lax.cond(
-                nsub_in >= 4,
-                lambda b, c, v: _gating_append(b, c, v),
-                lambda b, c, v: (b, c), blocks, bcount, eb)
+    def meas_in_frame(ms, src):
+        """One 100 ms frame into the input measurement state subset
+        ms = (z1, z2, ring, nsub, blocks, bcount, speak)."""
+        z1, z2, ring, nsub, blocks, bcount, speak = ms
+        z1, z2, e = measure(z1, z2, src)
+        ring = jnp.concatenate([ring[:, 1:, :], e[:, 0:1, :]], axis=1)
+        nsub = nsub + 1
+        eb = window_energy(ring, 4)
+        blocks, bcount = jax.lax.cond(
+            nsub >= 4,
+            lambda b, c, v: _gating_append(b, c, v),
+            lambda b, c, v: (b, c), blocks, bcount, eb)
         speak = jnp.maximum(
-            st["speak"],
+            speak,
             jnp.max(jnp.abs(src.reshape(src.shape[0], -1, C)), axis=1))
-        return dict(st, z_in1=z1, z_in2=z2, ring_in=ring,
-                    nsub_in=nsub_in, blocks=blocks, bcount=bcount,
-                    speak=speak)
+        return (z1, z2, ring, nsub, blocks, bcount, speak)
+
+    def meas_in(st, src):
+        ms = (st["z_in1"], st["z_in2"], st["ring_in"], st["nsub_in"],
+              st["blocks"], st["bcount"], st["speak"])
+        ms = meas_in_frame(ms, src)
+        return dict(st, z_in1=ms[0], z_in2=ms[1], ring_in=ms[2],
+                    nsub_in=ms[3], blocks=ms[4], bcount=ms[5],
+                    speak=ms[6])
+
+    def meas_in_30(st, src):
+        """First frame: 3 s of input as a scan over 30 100 ms chunks
+        (bounds the biquad working set to one frame)."""
+        B = src.shape[0]
+        xs = jnp.transpose(
+            src.reshape(B, 30, FRAME * C), (1, 0, 2))
+        ms = (st["z_in1"], st["z_in2"], st["ring_in"], st["nsub_in"],
+              st["blocks"], st["bcount"], st["speak"])
+        ms, _ = jax.lax.scan(
+            lambda c, xk: (meas_in_frame(c, xk), None), ms, xs)
+        return dict(st, z_in1=ms[0], z_in2=ms[1], ring_in=ms[2],
+                    nsub_in=ms[3], blocks=ms[4], bcount=ms[5],
+                    speak=ms[6])
 
     def meas_out(st, out):
         z1, z2, e = measure(st["z_out1"], st["z_out2"], out)
@@ -562,7 +586,7 @@ def make_steps(params: LoudnormParams):
     @jax.jit
     def first_step(st, src):
         """process_first_frame (imp.rs:368-442)."""
-        st = meas_in(st, src)
+        st = meas_in_30(st, src)
         shortterm = _loudness(window_energy(st["ring_in"], 30))
         above = shortterm >= -70.0
         env_short = jnp.where(above,
@@ -593,10 +617,19 @@ def make_steps(params: LoudnormParams):
         st = meas_in(st, src)
         st = fill_inner(st, src)
         st, out = run_limiter(st, FRAME)
-        need_out = jnp.any(~st["above"])
-        st2 = jax.lax.cond(need_out, lambda s: meas_out(s, out),
-                           lambda s: s, st)
+        if with_meter:
+            # fused ebur128level: the output chain is the meter
+            st2 = meas_out(st, out)
+            meters = dict(
+                momentary=_loudness(window_energy(st2["ring_out"], 4)),
+                shortterm=_loudness(window_energy(st2["ring_out"], 30)))
+        else:
+            need_out = jnp.any(~st["above"])
+            st2 = jax.lax.cond(need_out, lambda s: meas_out(s, out),
+                               lambda s: s, st)
         st2 = gain_update(st2)
+        if with_meter:
+            return st2, out, meters
         return st2, out
 
     return first_step, inner_step

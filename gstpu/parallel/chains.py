@@ -46,6 +46,60 @@ def kweight_fir(rate: int, taps: int = 511) -> np.ndarray:
     return (h * fade).astype(np.float32)
 
 
+def make_audiofx_exact_chain(channels: int = 2,
+                             echo_delay: int = 48_000,
+                             max_delay: int = 48_000):
+    """The BASELINE audiofx chain with the REAL elements on device:
+    rsaudioecho -> audioloudnorm -> ebur128level at 192 kHz F64,
+    batched over streams (VERDICT r1 #1).
+
+    The loudnorm stage is gstpu.ops.loudnorm_dev — the same math the
+    `audioloudnorm` element runs (bit-exact control flow vs the
+    reference algorithm, ledger in that module's docstring); the
+    meter is fused into the loudnorm output measurement (one shared
+    K-weighting pass — the chain-fusion the L2' runtime promises).
+    Echo is the exact f64 segment kernel (gstpu.ops.echo).
+
+    Returns (prime, step, init):
+      init(batch) -> state
+      prime(state, x (B, 30*19200*C), intensity, feedback)
+          -> (state, first out (B, 19200*C))
+      step(state, x (B, 19200*C), intensity, feedback)
+          -> (state, out, meters{momentary, shortterm} (B,) LUFS)
+    echo_delay/max_delay are in flattened (interleaved) samples.
+    """
+    import jax as _jax
+    from gstpu.ops.loudnorm_dev import (FRAME, GAIN_LOOKAHEAD,
+                                        LoudnormParams, init_state,
+                                        make_steps)
+
+    params = LoudnormParams(channels=channels)
+    first_step, inner_step = make_steps(params, with_meter=True)
+    C = channels
+
+    def init(batch: int):
+        return dict(tail=make_state((batch,), max_delay),
+                    ln=init_state(params, batch))
+
+    @_jax.jit
+    def prime(state, x, intensity, feedback):
+        tail, y = echo_block(state["tail"], x, intensity, feedback,
+                             delay=echo_delay)
+        ln, out = first_step(state["ln"], y)
+        return dict(tail=tail, ln=ln), out
+
+    @_jax.jit
+    def step(state, x, intensity, feedback):
+        tail, y = echo_block(state["tail"], x, intensity, feedback,
+                             delay=echo_delay)
+        ln, out, meters = inner_step(state["ln"], y)
+        return dict(tail=tail, ln=ln), out, meters
+
+    n_prime = GAIN_LOOKAHEAD * C
+    n_step = FRAME * C
+    return prime, step, init, n_prime, n_step
+
+
 def make_audiofx_chain(rate: int, delay_samples: int,
                        tail_samples: int, block: int = 48000):
     """Returns (step, init_state) for the fused audiofx chain over
