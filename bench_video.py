@@ -24,12 +24,35 @@ N_WARM = 3
 N_ITER = 30
 
 
+def _lut_fn():
+    """Pallas VMEM kernel (60 fps path) with the XLA MXU formulation
+    as fallback for environments where Mosaic compile is unavailable."""
+    try:
+        from gstpu.ops.lut_pallas import apply_lut_3d_pallas
+        import numpy as _np
+        probe = jnp.asarray(_np.zeros((8, 128, 4), _np.uint8))
+        lut = identity_lut(size=3)
+        apply_lut_3d_pallas(probe, jnp.asarray(lut.table_3d),
+                            jnp.asarray(lut.domain_scale),
+                            jnp.asarray(lut.domain_offset)
+                            ).block_until_ready()
+        return apply_lut_3d_pallas, "pallas"
+    except Exception as e:                       # pragma: no cover
+        import sys
+        print(f"pallas LUT unavailable ({type(e).__name__}); "
+              f"falling back to XLA mm path", file=sys.stderr)
+        return apply_lut_3d_mm, "xla-mm"
+
+
+_LUT, _LUT_KIND = _lut_fn()
+
+
 @jax.jit
 def chain(frame, table, scale, offset, hue_shift, sat_mul, sat_off,
           val_mul, val_off):
     out = hsv_filter(frame, hue_shift, sat_mul, sat_off, val_mul,
                      val_off)
-    return apply_lut_3d_mm(out, table, scale, offset)
+    return _LUT(out, table, scale, offset)
 
 
 def main():
@@ -59,7 +82,7 @@ def main():
     dt = time.monotonic() - t0
     fps = N_ITER / dt
     print(json.dumps({
-        "metric": "4K frames/s per chip, hsvfilter + 3D colorlut "
+        "metric": f"4K frames/s per chip, hsvfilter + 3D colorlut ({_LUT_KIND}) "
                   "chain (3840x2160 RGBA, device-resident)",
         "value": round(fps, 1), "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3)}))

@@ -70,14 +70,21 @@ class ColorLut(VideoFilter):
             # jax has no big-endian dtypes: normalise to native u16
             frame = frame.astype(np.uint16)
         if self._lut.is_3d:
-            # gathers cost ~3ns/index on TPU: use the MXU matmul
-            # reformulation there, exact gather path on CPU.  16-bit
-            # frames force the f32 contraction (bf16 error ~2^-9
-            # relative would be ~100 u16 LSBs).
+            # TPU 8-bit: Pallas VMEM kernel (the 60 fps/4K path;
+            # probe-compiled once with automatic fallback).  16-bit
+            # frames use the f32 MXU contraction (bf16 error ~2^-9
+            # relative would be ~100 u16 LSBs).  CPU: exact gathers.
             import functools
             import jax as _jax
-            fn = (functools.partial(apply_lut_3d_mm, precise=deep)
-                  if _jax.default_backend() != "cpu" else apply_lut_3d)
+            if _jax.default_backend() == "cpu":
+                fn = apply_lut_3d
+            elif deep:
+                fn = functools.partial(apply_lut_3d_mm, precise=True)
+            else:
+                from gstpu.ops.lut_pallas import (apply_lut_3d_pallas,
+                                                  pallas_available)
+                fn = (apply_lut_3d_pallas if pallas_available()
+                      else apply_lut_3d_mm)
         else:
             fn = apply_lut_1d
         out = np.asarray(fn(jnp.asarray(frame), self._dev_table,

@@ -324,3 +324,26 @@ def test_lut3d_mm_precise_matches_gather_path_16bit():
     err = np.abs(a[..., :3].astype(int) - b[..., :3].astype(int))
     assert err.max() <= 1
     assert (a[..., 3] == b[..., 3]).all()
+
+
+def test_lut3d_pallas_kernel_matches_gather_path():
+    """The Pallas VMEM LUT kernel (60fps/4K path) agrees with the
+    exact gather path to <=1 u8 LSB (interpret mode on CPU; the same
+    kernel runs compiled on TPU — see bench_video.py)."""
+    from gstpu.ops.lut_pallas import apply_lut_3d_pallas
+    from gstpu.ops.lut import parse_cube
+    lut = parse_cube(CUBE_3D)
+    rng = np.random.default_rng(21)
+    pix = rng.integers(0, 256, (16, 128, 4), dtype=np.uint8)
+    a = np.asarray(apply_lut_3d(jnp.asarray(pix),
+                                jnp.asarray(lut.table_3d),
+                                jnp.asarray(lut.domain_scale),
+                                jnp.asarray(lut.domain_offset)))
+    b = np.asarray(apply_lut_3d_pallas(jnp.asarray(pix),
+                                       jnp.asarray(lut.table_3d),
+                                       jnp.asarray(lut.domain_scale),
+                                       jnp.asarray(lut.domain_offset),
+                                       interpret=True))
+    err = np.abs(a[..., :3].astype(int) - b[..., :3].astype(int))
+    assert err.max() <= 1
+    assert (a[..., 3] == b[..., 3]).all()
