@@ -53,11 +53,32 @@ class AudioEcho(AudioFilter):
                          mutable=Mutability.PLAYING)
     feedback = Property(float, default=0.0, minimum=0.0, maximum=1.0,
                         mutable=Mutability.PLAYING)
+    context = Property(str, default=None, mutable=Mutability.READY,
+                       blurb="DeviceContext name: elements sharing it "
+                             "execute as ONE batched device dispatch "
+                             "(threadshare context analogue)")
+    context_block = Property(int, default=19_200, minimum=64,
+                             mutable=Mutability.READY,
+                             blurb="Batch block size in flattened "
+                                   "samples (context members agree)")
 
     def __init__(self, name=None):
         super().__init__(name)
         self._tail = None
         self._delay_samples = 0
+        self._size = 0
+        self._ctx = None
+
+    def start(self) -> bool:
+        # join the batching window BEFORE data flows (threadshare's
+        # Context::acquire in the READY state change): membership is
+        # complete before the first batch can fire
+        if self.context:
+            from gstpu.runtime.device_batch import DeviceContext
+            self._ctx = DeviceContext.acquire(self.context,
+                                              self.context_block)
+            self._ctx.add_member(self)
+        return True
 
     def setup(self, info: AudioInfo) -> bool:
         # delay/size in flattened interleaved samples, floor division —
@@ -65,18 +86,55 @@ class AudioEcho(AudioFilter):
         size = max((self.max_delay * info.rate * info.channels) // SECOND, 1)
         d = max((self.delay * info.rate * info.channels) // SECOND, 1)
         self._delay_samples = min(d, size)
-        self._tail = echo_ops.make_state((), size)
+        self._size = size
+        if self._ctx is not None:
+            self._ctx.finalize_member(self)
+            self._tail = None
+        else:
+            self._tail = echo_ops.make_state((), size)
         return True
 
-    def transform_ip(self, buf: Buffer) -> None:
+    # -- DeviceContext contract (runtime/device_batch.py) ---------------
+    def device_batch_spec(self) -> dict:
+        d, size = self._delay_samples, self._size
+
+        def step(states, x, intensity, feedback):
+            return echo_ops.echo_block(states, x, intensity, feedback,
+                                       delay=d)
+
+        return dict(key=("rsaudioecho", d, size),
+                    step=step,
+                    init_state=lambda: echo_ops.make_state((), size),
+                    uniforms=lambda: (self.intensity, self.feedback))
+
+    def make_batch_buffer(self, flat: np.ndarray, pts, dur) -> Buffer:
+        return Buffer(flat.reshape(-1, self.audio_info.channels),
+                      pts=pts, duration=dur)
+
+    def transform_ip(self, buf: Buffer):
         info = self.audio_info
         x = info.view(buf).reshape(-1)  # flattened interleaved
+        if self._ctx is not None:
+            self._ctx.submit(self, x, buf.pts,
+                             info.rate * info.channels)
+            return []                   # outputs flow from the batch
         xj = jnp.asarray(x)
         self._tail, out = echo_ops.echo_block(
             self._tail, xj,
             jnp.float64(self.intensity), jnp.float64(self.feedback),
             delay=self._delay_samples)
         buf.data = np.asarray(out).reshape(-1, info.channels)
+
+    def drain(self) -> list[Buffer]:
+        if self._ctx is not None:
+            return self._ctx.flush_member(self)
+        return []
+
+    def stop(self) -> bool:
+        if self._ctx is not None:
+            self._ctx.remove_member(self)
+            self._ctx = None
+        return super().stop()
 
     def flush(self) -> None:
         if self._tail is not None:
