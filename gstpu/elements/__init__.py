@@ -28,6 +28,7 @@ _MODULES = [
     "gstpu.elements.audio.hrtf",
     "gstpu.elements.audio.rnnoise",
     "gstpu.elements.video.hsv",
+    "gstpu.elements.video.av1",
     "gstpu.elements.video.colorlut",
     "gstpu.elements.video.videofx",
     "gstpu.elements.video.convert",

@@ -1,0 +1,237 @@
+"""rav1enc / dav1ddec / ffv1dec: the native codec tier.
+
+Rebuilds the reference's heavy codec elements with the SAME
+architecture — each wraps a native engine through the codec shim
+(native/gstpu_codec.cpp):
+
+* rav1enc  — AV1 encoder around the rav1e engine
+  (video/rav1e/src/rav1enc/imp.rs:91-200 property surface: speed
+  preset, quantizer, bitrate, key-frame interval, tiles, low latency)
+* dav1ddec — AV1 decoder around libdav1d
+  (video/dav1d/src/dav1ddec/imp.rs)
+* ffv1dec  — FFV1 lossless decoder (video/ffv1/src/ffv1dec/imp.rs)
+
+The TPU-native AV1 intra transform path (device DCT/pred/quant) lives
+in gstpu.ops.av1tpu / the av1enctpu element; these elements are the
+conformant production engines and the conformance oracle for it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gstpu.core.base import BaseTransform, VideoDecoder
+from gstpu.core.buffer import Buffer, BufferFlags
+from gstpu.core.caps import Caps
+from gstpu.core.element import PadDirection, PadPresence, PadTemplate
+from gstpu.core.props import Mutability, Property
+from gstpu.core.registry import Rank, register_element
+from gstpu.core.video import VideoInfo, video_caps
+
+SECOND = 1_000_000_000
+
+
+def _planes_to_i420(info: VideoInfo, buf: Buffer) -> bytes:
+    return buf.to_bytes()          # gstpu I420 buffers are packed
+
+
+@register_element("rav1enc", Rank.PRIMARY)
+class Rav1Enc(BaseTransform):
+    """AV1 encoder (reference video/rav1e rav1enc)."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    video_caps(formats=("I420",))),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.new("video/x-av1")),
+    ]
+
+    # property surface per rav1enc/imp.rs:91-200
+    speed_preset = Property(int, default=6, minimum=0, maximum=10,
+                            mutable=Mutability.READY,
+                            blurb="rav1e speed preset (10 fastest)")
+    quantizer = Property(int, default=100, minimum=0, maximum=255,
+                         mutable=Mutability.READY)
+    bitrate = Property(int, default=0, minimum=0,
+                       mutable=Mutability.READY,
+                       blurb="Target bitrate (bps); 0 = quantizer mode")
+    max_key_frame_interval = Property(int, default=240, minimum=1,
+                                      mutable=Mutability.READY)
+    low_latency = Property(bool, default=False,
+                           mutable=Mutability.READY)
+    tile_cols = Property(int, default=0, minimum=0, maximum=64,
+                         mutable=Mutability.READY)
+    tile_rows = Property(int, default=0, minimum=0, maximum=64,
+                         mutable=Mutability.READY)
+    error_resilient = Property(bool, default=False,
+                               mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._enc = None
+        self._info = None
+        self._frame_n = 0
+
+    def transform_caps(self, direction, caps, filter):
+        if direction is PadDirection.SINK:
+            out = Caps.new("video/x-av1")
+            for s in caps:
+                for k in ("width", "height", "framerate"):
+                    if k in s:
+                        out[0][k] = s[k]
+        else:
+            out = self.sinkpad.pad_template_caps().copy()
+        if filter is not None:
+            out = filter.intersect(out)
+        return out
+
+    def set_caps(self, incaps, outcaps) -> bool:
+        from gstpu.native_codec import NativeEncoder
+        self._info = VideoInfo.from_caps(incaps)
+        fr = self._info.framerate
+        fps = ((fr.numerator, fr.denominator)
+               if fr and fr.numerator else (30, 1))
+        params = [f"low_latency={'true' if self.low_latency else 'false'}",
+                  f"error_resilient={'true' if self.error_resilient else 'false'}"]
+        opts = {
+            "speed": self.speed_preset,
+            "g": self.max_key_frame_interval,
+            "rav1e-params": ":".join(params),
+        }
+        if self.bitrate > 0:
+            opts["b"] = self.bitrate
+        else:
+            opts["qp"] = self.quantizer
+        if self.tile_cols:
+            opts["tile-columns"] = self.tile_cols
+        if self.tile_rows:
+            opts["tile-rows"] = self.tile_rows
+        try:
+            self._enc = NativeEncoder("librav1e", self._info.width,
+                                      self._info.height, fps, opts)
+        except RuntimeError as e:
+            self.post_error(f"rav1enc: {e}")
+            return False
+        self._frame_n = 0
+        return True
+
+    def _emit(self, pkts) -> list[Buffer]:
+        info = self._info
+        out = []
+        for data, pts_n, key in pkts:
+            pts = (pts_n * info.frame_duration
+                   if info.frame_duration else None)
+            b = Buffer(data, pts=pts, duration=info.frame_duration)
+            if not key:
+                b.set_flag(BufferFlags.DELTA_UNIT)
+            out.append(b)
+        return out
+
+    def transform(self, buf: Buffer) -> list[Buffer] | None:
+        pkts = self._enc.send(_planes_to_i420(self._info, buf),
+                              self._frame_n)
+        self._frame_n += 1
+        return self._emit(pkts) or None
+
+    def drain(self) -> list[Buffer]:
+        if self._enc is None:
+            return []
+        return self._emit(self._enc.finish())
+
+    def stop(self) -> bool:
+        if self._enc is not None:
+            self._enc.close()
+            self._enc = None
+        return True
+
+
+class _AvDecoderBase(VideoDecoder):
+    """Shared packet->I420 decode loop."""
+
+    CODEC = ""
+    NEEDS_DIMS = False
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._dec = None
+        self._in_info: VideoInfo | None = None
+
+    def set_format(self, caps) -> bool:
+        from gstpu.native_codec import NativeDecoder
+        s = caps[0]
+        w = s.get("width", 0) or 0
+        h = s.get("height", 0) or 0
+        if self.NEEDS_DIMS and not (w and h):
+            self.post_error(f"{self.CODEC}dec: caps need width/height")
+            return False
+        try:
+            self._dec = NativeDecoder(self.CODEC, width=w, height=h)
+        except RuntimeError as e:
+            self.post_error(f"{self.CODEC} decoder: {e}")
+            return False
+        self._fr = s.get("framerate")
+        self._pkt_n = 0
+        return True
+
+    def _emit_frames(self, frames) -> None:
+        for data, w, h, fmt, pts_n in frames:
+            if fmt != 0:
+                self.post_error(f"{self.CODEC} decoder: unsupported "
+                                f"output format {fmt}")
+                continue
+            if self.video_output_info is None or \
+                    self.video_output_info.width != w or \
+                    self.video_output_info.height != h:
+                self.set_video_output_format(
+                    VideoInfo("I420", w, h,
+                              framerate=self._fr or VideoInfo("I420", w, h).framerate))
+            dur = self.video_output_info.frame_duration
+            pts = pts_n * dur if dur else None
+            self.finish_video_frame(data, pts=pts)
+
+    def handle_frame(self, buf: Buffer) -> None:
+        if self._dec is None:
+            return
+        self._emit_frames(self._dec.send(buf.to_bytes(), self._pkt_n))
+        self._pkt_n += 1
+
+    def drain(self) -> list[Buffer]:
+        if self._dec is None:
+            return []
+        self._pending_out = []
+        self._emit_frames(self._dec.finish())
+        out, self._pending_out = self._pending_out, []
+        return out
+
+    def stop(self) -> bool:
+        if self._dec is not None:
+            self._dec.close()
+            self._dec = None
+        return True
+
+
+@register_element("dav1ddec", Rank.PRIMARY)
+class Dav1dDec(_AvDecoderBase):
+    """AV1 decoder around libdav1d (reference video/dav1d)."""
+
+    CODEC = "libdav1d"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    Caps.new("video/x-av1")),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    video_caps(formats=("I420",))),
+    ]
+
+
+@register_element("ffv1dec", Rank.PRIMARY)
+class Ffv1Dec(_AvDecoderBase):
+    """FFV1 lossless decoder (reference video/ffv1 ffv1dec)."""
+
+    CODEC = "ffv1"
+    NEEDS_DIMS = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    Caps.new("video/x-ffv1")),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    video_caps(formats=("I420",))),
+    ]

@@ -1,0 +1,188 @@
+"""ctypes bindings for the native codec shim (native/gstpu_codec.cpp).
+
+NativeEncoder/NativeDecoder wrap libavcodec engines through a stable
+mini-ABI — the same architecture as the reference's codec elements
+(dav1ddec wraps libdav1d, rav1enc wraps rav1e, ffv1dec the ffv1
+decoder; video/{dav1d,rav1e,ffv1}).  Frames cross the boundary as
+tightly packed I420 bytes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native", "libgstpu_codec.so")
+
+
+def load() -> ctypes.CDLL | None:
+    """Load (building on demand) the codec shim; None if unavailable
+    (no toolchain / no libavcodec)."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not os.path.exists(_PATH):
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(_PATH),
+                            "libgstpu_codec.so"], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        L = ctypes.CDLL(_PATH)
+    except OSError:
+        return None
+    L.gc_encoder_open.restype = ctypes.c_void_p
+    L.gc_encoder_open.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 5 \
+        + [ctypes.c_char_p]
+    L.gc_encoder_send.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                  ctypes.c_int64]
+    L.gc_encoder_finish.argtypes = [ctypes.c_void_p]
+    L.gc_encoder_packet.restype = ctypes.c_long
+    L.gc_encoder_packet.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int)]
+    L.gc_encoder_close.argtypes = [ctypes.c_void_p]
+    L.gc_decoder_open.restype = ctypes.c_void_p
+    L.gc_decoder_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_long, ctypes.c_int,
+                                  ctypes.c_int]
+    L.gc_decoder_send.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                  ctypes.c_long, ctypes.c_int64]
+    L.gc_decoder_finish.argtypes = [ctypes.c_void_p]
+    L.gc_decoder_frame.restype = ctypes.c_long
+    L.gc_decoder_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64)]
+    L.gc_decoder_close.argtypes = [ctypes.c_void_p]
+    _LIB = L
+    return L
+
+
+class NativeEncoder:
+    def __init__(self, codec: str, width: int, height: int,
+                 fps=(30, 1), opts: dict | None = None):
+        L = load()
+        if L is None:
+            raise RuntimeError("native codec shim unavailable")
+        optstr = "\n".join(f"{k}={v}" for k, v in (opts or {}).items())
+        self._L = L
+        self._h = L.gc_encoder_open(codec.encode(), width, height, 0,
+                                    fps[0], fps[1], optstr.encode())
+        if not self._h:
+            raise RuntimeError(f"encoder {codec!r} failed to open "
+                               f"(opts {opts!r})")
+
+    def send(self, i420: np.ndarray | bytes, pts: int) -> list:
+        data = i420.tobytes() if isinstance(i420, np.ndarray) else i420
+        self._L.gc_encoder_send(self._h, data, pts)
+        return self._pull()
+
+    def finish(self) -> list:
+        self._L.gc_encoder_finish(self._h)
+        return self._pull()
+
+    def _pull(self):
+        out = []
+        while True:
+            n = self._L.gc_encoder_packet(self._h, None, 0, None, None)
+            if n <= 0:
+                break
+            buf = ctypes.create_string_buffer(n)
+            pts = ctypes.c_int64()
+            key = ctypes.c_int()
+            self._L.gc_encoder_packet(self._h, buf, n,
+                                      ctypes.byref(pts),
+                                      ctypes.byref(key))
+            out.append((buf.raw, pts.value, bool(key.value)))
+        return out
+
+    def close(self):
+        if self._h:
+            self._L.gc_encoder_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeDecoder:
+    def __init__(self, codec: str, extradata: bytes = b"",
+                 width: int = 0, height: int = 0):
+        L = load()
+        if L is None:
+            raise RuntimeError("native codec shim unavailable")
+        self._L = L
+        self._h = L.gc_decoder_open(codec.encode(), extradata or None,
+                                    len(extradata), width, height)
+        if not self._h:
+            raise RuntimeError(f"decoder {codec!r} failed to open")
+
+    def send(self, packet: bytes, pts: int = 0) -> list:
+        self._L.gc_decoder_send(self._h, packet, len(packet), pts)
+        return self._pull()
+
+    def finish(self) -> list:
+        self._L.gc_decoder_finish(self._h)
+        return self._pull()
+
+    def _pull(self):
+        out = []
+        while True:
+            w = ctypes.c_int()
+            h = ctypes.c_int()
+            f = ctypes.c_int()
+            pts = ctypes.c_int64()
+            n = self._L.gc_decoder_frame(self._h, None, 0,
+                                         ctypes.byref(w),
+                                         ctypes.byref(h),
+                                         ctypes.byref(f), None)
+            if n <= 0:
+                break
+            buf = ctypes.create_string_buffer(n)
+            n2 = self._L.gc_decoder_frame(self._h, buf, n,
+                                          ctypes.byref(w),
+                                          ctypes.byref(h),
+                                          ctypes.byref(f),
+                                          ctypes.byref(pts))
+            if n2 <= 0:
+                break
+            out.append((np.frombuffer(buf.raw, np.uint8), w.value,
+                        h.value, f.value, pts.value))
+        return out
+
+    def close(self):
+        if self._h:
+            self._L.gc_decoder_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def available(codec: str, encoder: bool = True) -> bool:
+    L = load()
+    if L is None:
+        return False
+    try:
+        if encoder:
+            e = NativeEncoder(codec, 64, 64)
+            e.close()
+        else:
+            d = NativeDecoder(codec)
+            d.close()
+        return True
+    except RuntimeError:
+        return False
