@@ -52,6 +52,10 @@ class AudioRNNoise(BaseTransform):
         blurb="Frames with VAD below this are muted")
     model_location = Property(str, default=None, mutable=Mutability.READY,
                               blurb="Optional .npz RNNoise weight file")
+    engine = Property(str, default="auto", mutable=Mutability.READY,
+                      blurb="'auto' (GRU on device when weights are "
+                            "set, else spectral gate), 'device', "
+                            "'host', 'spectral'")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -62,9 +66,21 @@ class AudioRNNoise(BaseTransform):
     def set_caps(self, incaps: Caps, outcaps: Caps) -> bool:
         self._info = AudioInfo.from_caps(incaps)
         self._denoisers = []
+        eng = self.engine
+        if eng == "auto":
+            eng = "device" if self.model_location else "spectral"
+        if eng != "spectral" and not self.model_location:
+            self.post_error("audiornnoise: GRU engine needs "
+                            "model-location (.npz weights)")
+            return False
         for _ in range(self._info.channels):
-            model = (GruModel.load(self.model_location)
-                     if self.model_location else None)
+            if eng == "spectral":
+                model = None
+            elif eng == "host":
+                model = GruModel.load(self.model_location)
+            else:
+                from gstpu.ops.rnnoise import JaxGruModel
+                model = JaxGruModel.load(self.model_location)
             self._denoisers.append(DenoiseState(model))
         self._adapter = SampleAdapter(self._info.rate)
         return True

@@ -185,17 +185,139 @@ class GruModel:
         return gains, vad
 
 
-def features_from_bands(eb: np.ndarray, prev1: np.ndarray,
-                        prev2: np.ndarray) -> np.ndarray:
-    """42-dim feature vector: log band energies (BFCC-ish), first and
-    second temporal derivatives, simplified spectral stats."""
-    logs = np.log10(eb + 1e-2)
-    d1 = logs - prev1
-    d2 = logs - 2 * prev1 + prev2
-    extra = np.array([float(np.mean(logs)), float(np.std(logs))] + [0.0] * 18)
-    feat = np.concatenate([logs, d1[:6], d2[:6], extra[:8]])
-    assert feat.shape[0] == 42, feat.shape
-    return feat
+_DCT22 = None
+
+
+def _dct_matrix(n: int = NB_BANDS) -> np.ndarray:
+    """Orthonormal DCT-II (rnnoise's dct() over band energies)."""
+    global _DCT22
+    if _DCT22 is None or _DCT22.shape[0] != n:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi * k * (i + 0.5) / n) * np.sqrt(2.0 / n)
+        m[0] *= 1.0 / np.sqrt(2.0)
+        _DCT22 = m
+    return _DCT22
+
+
+CEPS_MEM = 8
+PITCH_MIN = 60            # ~800 Hz
+PITCH_MAX = 768           # ~62 Hz (rnnoise PITCH_MAX_PERIOD)
+
+
+class FeatureExtractor:
+    """The RNNoise 42-feature frontend layout
+    (audio/audiofx/src/audiornnoise via the nnnoiseless crate):
+
+      [0..21]  BFCC — DCT-II of log10 band energies (cepstrum)
+      [22..27] first temporal derivative of BFCC 0..5
+      [28..33] second temporal derivative of BFCC 0..5
+      [34..39] DCT of the per-band pitch correlation, first 6
+      [40]     pitch period (normalized)
+      [41]     spectral variability over the cepstral history
+
+    Deviation note: the pitch estimator here is a plain normalized
+    autocorrelation search over [PITCH_MIN, PITCH_MAX) instead of the
+    reference's two-pass downsampled search with comb rejection —
+    published rnnoise weights therefore need the matching frontend;
+    the architecture (shapes, feature semantics) is exact and any
+    weight set trained against THIS frontend is plug-in.
+    """
+
+    def __init__(self):
+        self.ceps_hist = np.zeros((CEPS_MEM, NB_BANDS))
+        self.hist_pos = 0
+        self.pitch_buf = np.zeros(PITCH_MAX + WINDOW_SIZE)
+        self.window = vorbis_window()
+
+    def _pitch(self, frame: np.ndarray) -> tuple[int, float]:
+        buf = self.pitch_buf
+        buf[:-FRAME_SIZE] = buf[FRAME_SIZE:]
+        buf[-FRAME_SIZE:] = frame
+        x = buf[-WINDOW_SIZE:]
+        xe = float(np.dot(x, x)) + 1e-6
+
+        def score(t):
+            y = buf[-WINDOW_SIZE - t:-t]
+            c = float(np.dot(x, y))
+            ye = float(np.dot(y, y)) + 1e-6
+            return c / np.sqrt(xe * ye)
+
+        best_t, best_c = PITCH_MIN, 0.0
+        for t in range(PITCH_MIN, PITCH_MAX, 4):
+            s = score(t)
+            if s > best_c:
+                best_c, best_t = s, t
+        # submultiple check: a periodic signal correlates equally at
+        # k*T; prefer the shortest lag that explains the signal
+        for k in (4, 3, 2):
+            t2 = best_t // k
+            if t2 >= PITCH_MIN:
+                s2 = score(t2)
+                if s2 > 0.85 * best_c:
+                    best_c, best_t = s2, t2
+                    break
+        return best_t, best_c
+
+    def features(self, spec: np.ndarray, eb: np.ndarray,
+                 frame: np.ndarray) -> np.ndarray:
+        logs = np.log10(eb + 1e-2)
+        ceps = _dct_matrix() @ logs
+        hist = self.ceps_hist
+        prev1 = hist[(self.hist_pos - 1) % CEPS_MEM]
+        prev2 = hist[(self.hist_pos - 2) % CEPS_MEM]
+        d1 = ceps[:6] - prev1[:6]
+        d2 = ceps[:6] - 2 * prev1[:6] + prev2[:6]
+        hist[self.hist_pos % CEPS_MEM] = ceps
+        self.hist_pos += 1
+
+        # pitch correlation per band: correlate the spectrum with the
+        # pitch-delayed window's spectrum
+        period, corr = self._pitch(frame)
+        delayed = self.pitch_buf[-WINDOW_SIZE - period:-period]
+        pspec = np.fft.rfft(delayed * self.window)
+        num = band_energies_cross(spec, pspec)
+        den = np.sqrt(band_energies(spec)
+                      * band_energies(pspec)) + 1e-6
+        band_corr = np.clip(num / den, -1.0, 1.0)
+        pitch_dct = (_dct_matrix() @ band_corr)[:6]
+
+        # spectral variability: mean over history of the min distance
+        # to other history entries (rnnoise spec_variability)
+        n = min(self.hist_pos, CEPS_MEM)
+        var = 0.0
+        if n > 1:
+            h = hist[:n]
+            d = ((h[:, None, :] - h[None, :, :]) ** 2).sum(-1)
+            d += np.eye(n) * 1e9
+            var = float(np.mean(d.min(axis=1)))
+
+        feat = np.concatenate([
+            ceps, d1, d2, pitch_dct,
+            [0.01 * (period - 300), var / 100.0]])
+        assert feat.shape[0] == 42, feat.shape
+        return feat
+
+    def reset(self):
+        self.ceps_hist[:] = 0
+        self.hist_pos = 0
+        self.pitch_buf[:] = 0
+
+
+def band_energies_cross(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Cross band energies Re(a * conj(b)) (compute_band_corr)."""
+    e = np.zeros(a.shape[:-1] + (NB_BANDS,))
+    p = (a * np.conj(b)).real
+    for band in range(NB_BANDS - 1):
+        lo, hi = BAND_EDGES[band], BAND_EDGES[band + 1]
+        size = hi - lo
+        frac = np.arange(size) / size
+        seg = p[..., lo:hi]
+        e[..., band] += np.sum(seg * (1 - frac), axis=-1)
+        e[..., band + 1] += np.sum(seg * frac, axis=-1)
+    e[..., 0] *= 2
+    e[..., -1] *= 2
+    return e
 
 
 class DenoiseState:
@@ -207,8 +329,7 @@ class DenoiseState:
         self.model = model if model is not None else SpectralGate()
         self.analysis_mem = np.zeros(FRAME_SIZE)   # previous input half
         self.synthesis_mem = np.zeros(FRAME_SIZE)  # overlap-add tail
-        self.prev_logs1 = np.zeros(NB_BANDS)
-        self.prev_logs2 = np.zeros(NB_BANDS)
+        self.feat = FeatureExtractor()
 
     def process_frame(self, x: np.ndarray) -> tuple[np.ndarray, float]:
         """x: (480,) float in [-1, 1]; returns (denoised, vad)."""
@@ -217,14 +338,11 @@ class DenoiseState:
         spec = np.fft.rfft(buf * self.window)
         eb = band_energies(spec)
 
-        if isinstance(self.model, GruModel):
-            feats = features_from_bands(eb, self.prev_logs1,
-                                        self.prev_logs2)
-            self.prev_logs2 = self.prev_logs1
-            self.prev_logs1 = np.log10(eb + 1e-2)
-            gains, vad = self.model.frame_gains(feats)
-        else:
+        if isinstance(self.model, SpectralGate):
             gains, vad = self.model.frame_gains(eb)
+        else:
+            feats = self.feat.features(spec, eb, x)
+            gains, vad = self.model.frame_gains(feats)
 
         g = interp_band_gain(gains)
         out_spec = spec * g
@@ -236,5 +354,85 @@ class DenoiseState:
     def reset(self):
         self.analysis_mem[:] = 0
         self.synthesis_mem[:] = 0
+        self.feat.reset()
         if hasattr(self.model, "reset"):
             self.model.reset()
+
+
+# ---------------------------------------------------------------------------
+# device (jax) GRU engine
+# ---------------------------------------------------------------------------
+
+class JaxGruModel:
+    """The same RNNoise network as GruModel, as a jitted JAX step —
+    the device engine (batched over streams for the DeviceContext
+    path; B=1 when used per element instance).  Architecture-parity
+    with the numpy oracle is tested to fp tolerance in
+    tests/test_rnnoise.py (the two differ only in matmul reduction
+    order)."""
+
+    def __init__(self, weights: dict, dtype="float32"):
+        import jax
+        import jax.numpy as jnp
+        w = {k: jnp.asarray(np.asarray(v), dtype)
+             for k, v in weights.items()}
+        n_vad = w["vad_gru_U"].shape[1]
+        n_noise = w["noise_gru_U"].shape[1]
+        n_den = w["denoise_gru_U"].shape[1]
+        self._sizes = (n_vad, n_noise, n_den)
+        self._dtype = dtype
+
+        def gru_step(name, h, x, act):
+            W, U, b = w[f"{name}_W"], w[f"{name}_U"], w[f"{name}_b"]
+            n = U.shape[1]
+            zrh = x @ W.T + b
+            rec = h @ U.T
+            z = jax.nn.sigmoid(zrh[..., :n] + rec[..., :n])
+            r = jax.nn.sigmoid(zrh[..., n:2 * n] + rec[..., n:2 * n])
+            hh = zrh[..., 2 * n:] + r * rec[..., 2 * n:]
+            hh = jnp.tanh(hh) if act == "tanh" else jnp.maximum(hh, 0)
+            return z * h + (1 - z) * hh
+
+        @jax.jit
+        def step(hs, feats):
+            """hs: (h_vad (B,24), h_noise (B,48), h_den (B,96));
+            feats: (B, 42) -> (hs, gains (B,22), vad (B,))."""
+            h_vad, h_noise, h_den = hs
+            d = jnp.tanh(feats @ w["input_dense_W"].T
+                         + w["input_dense_b"])
+            h_vad = gru_step("vad_gru", h_vad, d, "relu")
+            vad = jax.nn.sigmoid(h_vad @ w["vad_output_W"].T
+                                 + w["vad_output_b"])[..., 0]
+            noise_in = jnp.concatenate([d, h_vad, feats], axis=-1)
+            h_noise = gru_step("noise_gru", h_noise, noise_in, "relu")
+            dn_in = jnp.concatenate([h_vad, h_noise, feats], axis=-1)
+            h_den = gru_step("denoise_gru", h_den, dn_in, "relu")
+            gains = jax.nn.sigmoid(h_den @ w["denoise_output_W"].T
+                                   + w["denoise_output_b"])
+            return (h_vad, h_noise, h_den), gains, vad
+
+        self._step = step
+        self.reset()
+
+    @classmethod
+    def load(cls, path: str, dtype="float32") -> "JaxGruModel":
+        return cls(dict(np.load(path)), dtype)
+
+    def reset(self, batch: int = 1):
+        import jax.numpy as jnp
+        n_vad, n_noise, n_den = self._sizes
+        self._h = (jnp.zeros((batch, n_vad), self._dtype),
+                   jnp.zeros((batch, n_noise), self._dtype),
+                   jnp.zeros((batch, n_den), self._dtype))
+
+    def frame_gains(self, features: np.ndarray):
+        """Streaming single-stream API (GruModel-compatible)."""
+        import jax.numpy as jnp
+        self._h, gains, vad = self._step(
+            self._h, jnp.asarray(features, self._dtype)[None])
+        return np.asarray(gains[0], np.float64), float(vad[0])
+
+    def batch_step(self, feats_b):
+        """(B, 42) batched step for the DeviceContext path."""
+        self._h, gains, vad = self._step(self._h, feats_b)
+        return gains, vad
