@@ -68,7 +68,9 @@ class AudioRNNoise(BaseTransform):
         self._denoisers = []
         eng = self.engine
         if eng == "auto":
-            eng = "device" if self.model_location else "spectral"
+            # host GRU: per-frame streaming dispatch; the device (JAX)
+            # engine pays an RPC per 10 ms frame unless batched
+            eng = "host" if self.model_location else "spectral"
         if eng != "spectral" and not self.model_location:
             self.post_error("audiornnoise: GRU engine needs "
                             "model-location (.npz weights)")

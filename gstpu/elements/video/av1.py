@@ -91,13 +91,18 @@ class Rav1Enc(BaseTransform):
         fr = self._info.framerate
         fps = ((fr.numerator, fr.denominator)
                if fr and fr.numerator else (30, 1))
-        params = [f"low_latency={'true' if self.low_latency else 'false'}",
-                  f"error_resilient={'true' if self.error_resilient else 'false'}"]
+        params = []
+        if self.low_latency:
+            params.append("low_latency=true")
+        if self.error_resilient:
+            params.append("error_resilient=true")
         opts = {
             "speed": self.speed_preset,
             "g": self.max_key_frame_interval,
-            "rav1e-params": ":".join(params),
+            "threads": 8,
         }
+        if params:
+            opts["rav1e-params"] = ":".join(params)
         if self.bitrate > 0:
             opts["b"] = self.bitrate
         else:
