@@ -108,15 +108,34 @@ class Pipeline(Bin):
             self._collect_tasks()
         if target <= State.READY:
             self._ctx = None
+            for ctx, t in getattr(self, "_shared_tasks", []):
+                t.stop()
+                ctx.remove_task(t)
+            self._shared_tasks = []
         return r
 
     def _collect_tasks(self) -> None:
         ctx = Context(f"pipeline-{self.name}")
+        self._shared_tasks = []
         for el in self.iterate_elements():
             for t in el.iterate_tasks():
                 t.prepare()
                 t.start()
-                ctx.add_task(t)
+                cname = getattr(t, "context_name", None)
+                if cname:
+                    # threadshare model: the element's task runs on a
+                    # SHARED named context thread (one thread per
+                    # context, epoll-driven), not the pipeline loop
+                    shared = Context.acquire(
+                        cname, getattr(t, "context_wait", 0.0),
+                        threaded=True)
+                    shared.add_task(t)
+                    sock = getattr(t, "watch_sock", None)
+                    if sock is not None:
+                        shared.watch_fd(t, sock)
+                    self._shared_tasks.append((shared, t))
+                else:
+                    ctx.add_task(t)
         self._ctx = ctx
 
     # -- dataflow driving --------------------------------------------

@@ -26,15 +26,36 @@ class UdpSrc(PushSrc):
                     mutable=Mutability.READY)
     caps = Property(Caps, default=None, mutable=Mutability.READY)
     buffer_size = Property(int, default=65536, minimum=1)
+    context = Property(str, default=None, mutable=Mutability.READY,
+                       blurb="Shared scheduling context: elements with "
+                             "the same name run epoll-driven on ONE "
+                             "context thread (ts-udpsrc semantics, "
+                             "threadshare runtime/mod.rs)")
+    context_wait = Property(int, default=0, minimum=0, maximum=1000,
+                            mutable=Mutability.READY,
+                            blurb="Context throttle period (ms)")
 
     def __init__(self, name=None):
         super().__init__(name)
         self._sock: socket.socket | None = None
         self.is_live = True
 
+    def iterate_tasks(self):
+        tasks = super().iterate_tasks()
+        if self.context and tasks and self._sock is not None:
+            t = tasks[0]
+            t.context_name = self.context
+            t.context_wait = self.context_wait / 1000.0
+            t.watch_sock = self._sock
+        return tasks
+
     def start(self) -> bool:
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        if self.port != 0:
+            # REUSEADDR on an ephemeral bind lets the kernel hand the
+            # SAME port to two sockets (datagrams then reach only one)
+            self._sock.setsockopt(socket.SOL_SOCKET,
+                                  socket.SO_REUSEADDR, 1)
         self._sock.bind((self.address, self.port))
         self._sock.setblocking(False)
         return True
