@@ -27,6 +27,7 @@ _MODULES = [
     "gstpu.elements.audio.loudnorm",
     "gstpu.elements.audio.hrtf",
     "gstpu.elements.audio.rnnoise",
+    "gstpu.elements.audio.demucs",
     "gstpu.elements.video.hsv",
     "gstpu.elements.video.av1",
     "gstpu.elements.video.colorlut",

@@ -101,20 +101,40 @@ class Cea608Overlay(VideoFilter):
 
 @register_element("cea708overlay", Rank.NONE)
 class Cea708Overlay(Cea608Overlay):
-    """Burns CEA-708 service text into frames (reference
-    cea708overlay): cc_data/CDP captions arrive as VideoCaptionMeta;
-    DTVCC service blocks for `service` decode through the minimal
-    Service text extractor (codecs/cea708.py service_block_text) and
-    render like the 608 overlay; embedded 608 pairs also work."""
+    """Burns CEA-708 DTVCC captions into frames (reference
+    cea708overlay + cea708utils.rs): cc_data/CDP captions arrive as
+    VideoCaptionMeta; the selected service runs through the FULL
+    window/pen state machine (gstpu.codecs.dtvcc.Service708) and
+    every visible window renders at its anchor-point geometry —
+    multi-window captions, roll-up scrolling, pen positioning.
+    Embedded 608 pairs also render (bottom-center)."""
 
     from gstpu.core.props import Mutability, Property
     service = Property(int, default=1, minimum=1, maximum=63,
                        mutable=Mutability.PLAYING)
 
+    def __init__(self, name=None):
+        super().__init__(name)
+        from gstpu.codecs.dtvcc import DtvccDecoder
+        self._dtvcc = DtvccDecoder()
+
+    def _anchor_xy(self, win, ow, oh, W, H):
+        """CEA-708 anchor geometry: anchor_h/v position (0..209 /
+        0..74 for 16:9 absolute), anchor_point picks which corner of
+        the window sits there."""
+        ax = int(win.anchor_h / 210.0 * W)
+        ay = int(win.anchor_v / 75.0 * H)
+        if win.relative:
+            ax = int(win.anchor_h / 100.0 * W)
+            ay = int(win.anchor_v / 100.0 * H)
+        col = win.anchor_point % 3        # 0 left 1 center 2 right
+        row = win.anchor_point // 3       # 0 top 1 middle 2 bottom
+        x0 = ax - (ow // 2 if col == 1 else ow if col == 2 else 0)
+        y0 = ay - (oh // 2 if row == 1 else oh if row == 2 else 0)
+        return (max(0, min(x0, W - ow)), max(0, min(y0, H - oh)))
+
     def transform_ip(self, buf: Buffer) -> None:
-        from gstpu.codecs.cea708 import (ccdata_split, parse_cdp,
-                                         parse_dtvcc,
-                                         service_block_text)
+        from gstpu.codecs.cea708 import ccdata_split, parse_cdp
         from gstpu.core.video import VideoCaptionMeta
         for m in buf.metas:
             if not isinstance(m, VideoCaptionMeta):
@@ -124,21 +144,34 @@ class Cea708Overlay(Cea608Overlay):
                 cc = parse_cdp(cc).cc_data
             elif m.caption_type != "cea708-raw":
                 continue
-            pairs, pkts = ccdata_split(cc)
+            pairs, _pkts = ccdata_split(cc)
             for _f, pair in pairs:
                 text = self._dec.push_pair(pair)
                 if text is not None:
                     self._text = text or None
                     self._strip = self._render(text) if text else None
-            for pkt in pkts:
-                _seq, blocks = parse_dtvcc(pkt)
-                for svc, data in blocks:
-                    if svc != self.service:
-                        continue
-                    text = service_block_text(data).strip()
-                    if text:
-                        self._strip = self._render(text)
-        # composite via the 608 overlay's blending path
+            self._dtvcc.feed_cc_data(cc)
+
+        info = self.video_info
+        wins = self._dtvcc.visible_windows(self.service)
+        if wins:
+            frame = info.view(buf).copy()
+            for win, text in wins:
+                ov = self._render(text)
+                h = min(ov.shape[0], info.height)
+                w = min(ov.shape[1], info.width)
+                x0, y0 = self._anchor_xy(win, w, h, info.width,
+                                         info.height)
+                region = frame[y0:y0 + h, x0:x0 + w, :3] \
+                    .astype(np.float32)
+                src = ov[:h, :w]
+                alpha = src[..., 3:4].astype(np.float32) / 255.0
+                frame[y0:y0 + h, x0:x0 + w, :3] = (
+                    src[..., :3] * alpha + region * (1 - alpha)
+                ).round().astype(np.uint8)
+            buf.data = frame
+            return
+        # fall back to embedded-608 bottom-center rendering
         metas, buf.metas = buf.metas, []
         try:
             super().transform_ip(buf)
