@@ -111,7 +111,13 @@ class Service708:
     def _put(self, ch: str) -> None:
         w = self.win
         if not w.defined:
-            return
+            # decoder tolerance: text before any DefineWindow lands in
+            # a default visible bottom window (sloppy streams do this)
+            w.defined = True
+            w.visible = True
+            w.rows, w.cols = 2, 32
+            w.anchor_point, w.anchor_v, w.anchor_h = 8, 74, 105
+            w.resize()
         if w.pen.col >= w.cols:
             if w.wordwrap or True:
                 # implicit CR at row end (printable overflow)
