@@ -137,6 +137,11 @@ class Buffer:
                 return m
         return None
 
+    def iter_meta(self, cls: type):
+        for m in self.metas:
+            if isinstance(m, cls):
+                yield m
+
     def copy(self, deep: bool = False) -> "Buffer":
         data = self.data
         if deep and isinstance(data, np.ndarray):

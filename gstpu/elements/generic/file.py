@@ -89,6 +89,17 @@ class FileSink(BaseSink):
         self._f.write(buf.to_bytes())
         return FlowReturn.OK
 
+    def _event(self, pad, ev):
+        # a bytes-format segment repositions the write offset, which is
+        # how fmp4mux's header-update-mode=rewrite overwrites the moov
+        # at EOS (GStreamer filesink semantics)
+        from gstpu.core.event import SegmentEvent
+        if isinstance(ev, SegmentEvent) and ev.segment.fmt == "bytes" \
+                and self._f is not None:
+            self._f.seek(ev.segment.start)
+            return True
+        return super()._event(pad, ev)
+
     def on_eos(self) -> None:
         if self._f:
             self._f.flush()

@@ -13,21 +13,32 @@ from dataclasses import dataclass, field
 from fractions import Fraction
 
 from gstpu.core.base import Aggregator, AggregatorPad
-from gstpu.core.buffer import Buffer, BufferFlags, BufferList, Meta
+from gstpu.core.buffer import (Buffer, BufferFlags, BufferList, Meta,
+                               ReferenceTimestampMeta)
 from gstpu.core.caps import Caps, Structure
 from gstpu.core.element import (FlowReturn, PadDirection, PadPresence,
                                 PadTemplate)
+from gstpu.core.event import Segment, SegmentEvent
 from gstpu.core.props import Mutability, Property
 from gstpu.core.registry import Rank, register_element
 from gstpu.mux import boxes
-from gstpu.mux.boxes import Mp4Sample, StreamConfig
+from gstpu.mux.boxes import (AuxData, ElstInfo, Mp4Sample, StreamConfig,
+                             TaiClockInfo)
 
 SECOND = 1_000_000_000
 
+# GStreamer reference-timestamp caps for TAI (ISO/IEC 23001-17;
+# reference mp4mux/imp.rs TAI1958_CAPS)
+TAI1958 = "timestamp/x-tai1958"
+
 AUDIO_CODECS = ("audio/x-opus", "audio/x-flac", "audio/mpeg",
-                "audio/x-raw")
+                "audio/x-ac3", "audio/x-eac3", "audio/x-raw")
 VIDEO_CODECS = ("video/x-h264", "video/x-h265", "video/x-av1",
-                "video/x-vp9")
+                "video/x-vp9", "video/x-raw")
+
+# codecs whose sample entry is derived from the first frame's
+# bitstream (dac3/dec3) — header generation waits for one buffer
+FIRST_FRAME_CODECS = ("audio/x-ac3", "audio/x-eac3")
 
 
 class FMP4KeyframeMeta(Meta):
@@ -78,11 +89,19 @@ class FMP4MuxBase(Aggregator):
                                  blurb="Target fragment duration (ns)")
     movie_timescale = Property(int, default=1000, minimum=1,
                                mutable=Mutability.READY)
+    header_update_mode = Property(
+        str, default="none", mutable=Mutability.READY,
+        blurb="none|rewrite: rewrite moov with final duration at EOS "
+              "(reference fmp4mux header-update-mode)")
+    write_mehd = Property(bool, default=False, mutable=Mutability.READY,
+                          blurb="Write mehd (total duration) in mvex "
+                                "(reference fmp4mux write-mehd)")
 
     def __init__(self, name=None):
         super().__init__(name)
         self._streams: dict[str, _Stream] = {}
         self._header_sent = False
+        self._header_size = 0
         self._seqno = 0
         self._frag_start_ns: int | None = None
 
@@ -104,11 +123,13 @@ class FMP4MuxBase(Aggregator):
             return StreamConfig(track_id, timescale, True, s.name,
                                 width=int(s.get("width", 0)),
                                 height=int(s.get("height", 0)),
-                                codec_data=codec_data)
+                                codec_data=codec_data,
+                                raw_format=str(s.get("format", "")))
         rate = int(s.get("rate", 48000))
         return StreamConfig(track_id, rate, False, s.name,
                             channels=int(s.get("channels", 2)),
-                            sample_rate=rate, codec_data=codec_data)
+                            sample_rate=rate, codec_data=codec_data,
+                            raw_format=str(s.get("format", "")))
 
     def _setup_streams(self) -> bool:
         pads = self.agg_sink_pads()
@@ -130,31 +151,60 @@ class FMP4MuxBase(Aggregator):
         return Caps.new("video/quicktime", variant="iso-fragmented")
 
     # -- aggregation ----------------------------------------------------
+    def _build_header(self, final: bool = False) -> bytes:
+        mehd_dur = None
+        if self.write_mehd:
+            # placeholder 0 in the initial header so a rewrite at EOS
+            # keeps the moov size stable (reference fmp4mux writes mehd
+            # up front in update modes)
+            mehd_dur = 0
+            if final:
+                mehd_dur = max((st.total_duration_ts
+                                * self.movie_timescale
+                                // st.cfg.timescale
+                                for st in self._streams.values()),
+                               default=0)
+        durations = None
+        if final:
+            durations = {st.cfg.track_id: st.total_duration_ts
+                         for st in self._streams.values()}
+        return (boxes.ftyp(self.MAJOR_BRAND, 0, self.COMPAT_BRANDS)
+                + boxes.moov([st.cfg for st in self._streams.values()],
+                             self.movie_timescale, fragmented=True,
+                             durations=durations,
+                             mehd_duration_mvts=mehd_dur))
+
     def aggregate(self, timeout: bool) -> FlowReturn:
         if not self._streams:
             if not self._setup_streams():
                 return FlowReturn.OK  # wait for caps on all pads
-        if not self._header_sent:
-            hdr = (boxes.ftyp(self.MAJOR_BRAND, 0, self.COMPAT_BRANDS)
-                   + boxes.moov([st.cfg
-                                 for st in self._streams.values()],
-                                self.movie_timescale, fragmented=True))
-            b = Buffer(hdr, flags=BufferFlags.HEADER)
-            ret = self.srcpad.push(b)
-            if not ret.is_ok:
-                return ret
-            self._header_sent = True
 
-        # move queued pad buffers into per-stream pending lists
+        # move queued pad buffers into per-stream pending lists (before
+        # the header: dac3/dec3 sample entries need the first frame)
         for st in self._streams.values():
             while True:
                 buf = st.pad.pop_buffer()
                 if buf is None:
                     break
+                if not st.cfg.first_frame:
+                    st.cfg.first_frame = buf.to_bytes()
                 dur = buf.duration if buf.duration is not None else 0
                 st.pending.append((buf, dur))
                 if self._frag_start_ns is None and buf.pts is not None:
                     self._frag_start_ns = buf.pts
+
+        if not self._header_sent:
+            if any(st.cfg.caps_name in FIRST_FRAME_CODECS
+                   and not st.cfg.first_frame
+                   for st in self._streams.values()):
+                return FlowReturn.OK  # wait for the config frame
+            hdr = self._build_header()
+            self._header_size = len(hdr)
+            b = Buffer(hdr, flags=BufferFlags.HEADER)
+            ret = self.srcpad.push(b)
+            if not ret.is_ok:
+                return ret
+            self._header_sent = True
 
         if self._fragment_ready():
             return self._drain_fragment()
@@ -237,8 +287,23 @@ class FMP4MuxBase(Aggregator):
                 buf = st.pad.pop_buffer()
                 if buf is None:
                     break
+                if not st.cfg.first_frame:
+                    st.cfg.first_frame = buf.to_bytes()
                 st.pending.append((buf, buf.duration or 0))
         self._drain_fragment(final=True)
+        if self.header_update_mode == "rewrite" and self._header_sent:
+            # seek the sink back to byte 0 and overwrite the moov with
+            # final durations (reference fmp4mux update_header at EOS,
+            # fmp4mux/imp.rs:4050; delivered via a bytes segment like
+            # GStreamer's header-update rewrite)
+            hdr = self._build_header(final=True)
+            if len(hdr) != self._header_size:
+                self.post_error("fmp4mux: rewritten header size changed "
+                                f"({len(hdr)} != {self._header_size})")
+                return
+            self.srcpad.push_event(
+                SegmentEvent(Segment(fmt="bytes", start=0)))
+            self.srcpad.push(Buffer(hdr, flags=BufferFlags.HEADER))
 
 
 @register_element("isofmp4mux", Rank.PRIMARY)
@@ -291,6 +356,12 @@ class IsoMp4Mux(Aggregator):
 
     movie_timescale = Property(int, default=1000, minimum=1,
                                mutable=Mutability.READY)
+    with_precision_timestamps = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Write ISO/IEC 23001-17 TAI timestamps: taic in the "
+              "sample entry + per-sample stai aux info (saiz/saio), "
+              "sourced from TAI ReferenceTimestampMeta "
+              "(reference mp4mux with-precision-timestamps)")
     SINGLE_STREAM = False
 
     def __init__(self, name=None):
@@ -312,28 +383,79 @@ class IsoMp4Mux(Aggregator):
                 buf = st.pad.pop_buffer()
                 if buf is None:
                     break
+                if not st.cfg.first_frame:
+                    st.cfg.first_frame = buf.to_bytes()
                 st.pending.append((buf, buf.duration or 0))
         return FlowReturn.OK
+
+    def _tai_packet(self, buf: Buffer, last_tai: int) -> tuple[bytes, int]:
+        """TAITimestampPacket for one sample; falls back to a
+        generation-failure packet when the buffer carries no TAI meta
+        (reference mp4mux/imp.rs:1297-1410)."""
+        for m in buf.iter_meta(ReferenceTimestampMeta):
+            if m.reference == TAI1958 and m.timestamp is not None:
+                return (boxes.tai_timestamp_packet(m.timestamp,
+                                                   synced=True),
+                        m.timestamp)
+        ts = last_tai + 1
+        return (boxes.tai_timestamp_packet(ts, generation_failure=True),
+                ts)
+
+    def _elst_infos(self, st: _Stream, min_earliest: int) -> list[ElstInfo]:
+        """Edit list: initial gap vs the earliest stream + b-frame
+        start shift (reference mp4mux/imp.rs get_elst_infos)."""
+        if not st.pending:
+            return []
+        first_buf = st.pending[0][0]
+        earliest = first_buf.pts or 0
+        end = earliest + sum(d for _, d in st.pending)
+        start_dts = first_buf.dts if first_buf.dts is not None else earliest
+        infos = [ElstInfo(earliest - start_dts, end - earliest)]
+        if earliest > min_earliest:
+            infos.insert(0, ElstInfo(None, earliest - min_earliest))
+        return infos
 
     def drain(self) -> None:
         if not self._streams and not self._setup_streams():
             return
         self.aggregate(timeout=False)
         ftyp = boxes.ftyp("isom", 512, ["isom", "iso2", "mp41"])
-        # mdat layout: one chunk per sample, sequential
+        # mdat layout: one chunk per sample, sequential; per-track TAI
+        # aux blobs appended after the sample data
         offsets: dict[int, list[int]] = {}
         samples: dict[int, list[Mp4Sample]] = {}
         durations: dict[int, int] = {}
+        aux: dict[int, AuxData] = {}
         payload = b""
         base = len(ftyp) + 8
+        min_earliest = min(((st.pending[0][0].pts or 0)
+                            for st in self._streams.values()
+                            if st.pending), default=0)
         for st in self._streams.values():
+            if self.with_precision_timestamps:
+                st.cfg.tai_clock_info = TaiClockInfo()
+            st.cfg.elst_infos = self._elst_infos(st, min_earliest)
             offs, smps = [], []
+            tai_packets = b""
+            last_tai = 0
             for buf, dur in st.pending:
                 offs.append(base + len(payload))
                 payload += buf.to_bytes()
+                comp = 0
+                if buf.pts is not None and buf.dts is not None:
+                    comp = st.caps_duration_to_ts(buf.pts - buf.dts)
                 smps.append(Mp4Sample(buf.to_bytes(),
                                       st.caps_duration_to_ts(dur),
-                                      buf.is_keyframe()))
+                                      buf.is_keyframe(),
+                                      composition_offset=comp))
+                if self.with_precision_timestamps:
+                    pkt, last_tai = self._tai_packet(buf, last_tai)
+                    tai_packets += pkt
+            if self.with_precision_timestamps and smps:
+                aux[st.cfg.track_id] = AuxData(
+                    "stai", 0, [9] * len(smps),
+                    [base + len(payload)])
+                payload += tai_packets
             offsets[st.cfg.track_id] = offs
             samples[st.cfg.track_id] = smps
             durations[st.cfg.track_id] = sum(s.duration for s in smps)
@@ -341,7 +463,7 @@ class IsoMp4Mux(Aggregator):
                + boxes.moov([st.cfg for st in self._streams.values()],
                             self.movie_timescale, fragmented=False,
                             durations=durations, samples=samples,
-                            chunk_offsets=offsets))
+                            chunk_offsets=offsets, aux=aux))
         self.srcpad.push(Buffer(out, flags=BufferFlags.HEADER))
 
 

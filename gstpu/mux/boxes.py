@@ -6,6 +6,18 @@ moov (trak/mdia/stbl sample tables, mvex/trex), moof (mfhd/traf/
 tfhd/tfdt/trun), mdat, codec sample entries (avc1/hvc1/av01/opus/
 fLaC/mp4a/raw audio). The parser is used by the round-trip tests
 (reference mux/isobmff/tests pattern: mux then parse back).
+
+Depth features matching the reference crate:
+- edit lists (edts/elst, boxes.rs write_elst)
+- TAI precision timestamps: taic clock-info box + per-sample
+  TAITimestampPacket aux info via saiz/saio
+  (precision_timestamps.rs, aux_info.rs, ISO/IEC 23001-17 §8.1)
+- AC-3/E-AC-3 sample entries with dac3/dec3 derived from the first
+  frame's bitstream (ac3.rs, eac3.rs)
+- PCM sample entries ipcm/fpcm with pcmC + chnl (ISO/IEC 23003-5)
+- uncompressed video 'uncv' with uncC/cmpd (uncompressed.rs,
+  ISO/IEC 23001-17)
+- ctts/cslg composition-offset tables, mehd, stss
 """
 
 from __future__ import annotations
@@ -58,6 +70,71 @@ def styp(major: str, minor: int, compatible: list[str]) -> bytes:
 # ---------------------------------------------------------------------------
 
 @dataclass
+class ElstInfo:
+    """One edit-list entry (reference isobmff/mod.rs ElstInfo).
+
+    start_ns: media time the edit maps to (None = empty edit / gap);
+    duration_ns: presentation duration of the edit.
+    """
+
+    start_ns: int | None
+    duration_ns: int
+
+
+TAIC_TIME_UNCERTAINTY_UNKNOWN = 0xFFFF_FFFF_FFFF_FFFF
+TAIC_CLOCK_DRIFT_RATE_UNKNOWN = 0x7FFF_FFFF
+
+
+@dataclass
+class TaiClockInfo:
+    """ISO/IEC 23001-17 TAI clock description
+    (reference precision_timestamps.rs TaiClockInfo)."""
+
+    time_uncertainty: int = TAIC_TIME_UNCERTAINTY_UNKNOWN
+    clock_resolution: int = 1000  # microseconds expressed in ns units
+    clock_drift_rate: int = TAIC_CLOCK_DRIFT_RATE_UNKNOWN
+    clock_type: int = 0  # 0 unknown, 1 can't sync, 2 can sync
+
+
+def taic(info: TaiClockInfo) -> bytes:
+    return full_box("taic", 0, 0, u64(info.time_uncertainty),
+                    u32(info.clock_resolution),
+                    struct.pack(">i", info.clock_drift_rate),
+                    u8((info.clock_type & 0x3) << 6))
+
+
+def tai_timestamp_packet(tai_ns: int, synced: bool = False,
+                         generation_failure: bool = False,
+                         modified: bool = False) -> bytes:
+    """TAITimestampPacket, ISO/IEC 23001-17 Amd 1 §8.1.2 (9 bytes)."""
+    flags = ((0x80 if synced else 0) | (0x40 if generation_failure else 0)
+             | (0x20 if modified else 0))
+    return u64(tai_ns) + u8(flags)
+
+
+def saiz(entry_lengths: list[int], aux_type: str | None = None,
+         aux_param: int = 0) -> bytes:
+    """SampleAuxiliaryInformationSizesBox (aux_info.rs write_full_saiz)."""
+    head = (aux_type.encode("ascii") + u32(aux_param)) if aux_type else b""
+    if entry_lengths and all(n == entry_lengths[0] for n in entry_lengths):
+        body = u8(entry_lengths[0]) + u32(len(entry_lengths))
+    else:
+        body = (u8(0) + u32(len(entry_lengths))
+                + bytes(entry_lengths))
+    return full_box("saiz", 0, 1 if aux_type else 0, head, body)
+
+
+def saio(chunk_offsets: list[int], aux_type: str | None = None,
+         aux_param: int = 0) -> bytes:
+    """SampleAuxiliaryInformationOffsetsBox (aux_info.rs)."""
+    version = 1 if chunk_offsets and max(chunk_offsets) > 0xFFFFFFFF else 0
+    head = (aux_type.encode("ascii") + u32(aux_param)) if aux_type else b""
+    offs = b"".join((u64(o) if version else u32(o)) for o in chunk_offsets)
+    return full_box("saio", version, 1 if aux_type else 0, head,
+                    u32(len(chunk_offsets)), offs)
+
+
+@dataclass
 class StreamConfig:
     """Everything the muxer needs to describe one track."""
 
@@ -78,6 +155,16 @@ class StreamConfig:
     # nmhd media header — reference mux/fmp4 onvif variant)
     is_meta: bool = False
     meta_namespace: str = ""
+    # raw formats: video/x-raw format string ("RGBA", "I420", ...) or
+    # audio/x-raw format string ("S16LE", "F32LE", ...)
+    raw_format: str = ""
+    # first frame of the stream, for bitstream-derived config boxes
+    # (AC-3 dac3 / E-AC-3 dec3, reference boxes.rs create_dac3/create_dec3)
+    first_frame: bytes = b""
+    # ISO/IEC 23001-17 TAI clock info -> taic box in the sample entry
+    tai_clock_info: TaiClockInfo | None = None
+    # edit list entries -> edts/elst
+    elst_infos: list[ElstInfo] = field(default_factory=list)
 
 
 def _sample_entry_audio(fourcc: str, cfg: StreamConfig,
@@ -103,9 +190,159 @@ def _sample_entry_video(fourcc: str, cfg: StreamConfig,
     return box(fourcc, body, extra)
 
 
+# -- AC-3 / E-AC-3 config boxes (reference ac3.rs / eac3.rs) ---------------
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self._d, self._pos = data, 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            byte = self._d[self._pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self._pos & 7))) & 1)
+            self._pos += 1
+        return out
+
+
+def dac3(frame: bytes) -> bytes:
+    """AC3SpecificBox payload from the first AC-3 syncframe
+    (reference boxes.rs create_dac3 + ac3.rs Header)."""
+    r = _BitReader(frame)
+    if r.read(16) != 0x0B77:
+        raise ValueError("AC-3: bad syncword")
+    r.read(16)                      # crc1
+    fscod = r.read(2)
+    frmsizecod = r.read(6)
+    bsid = r.read(5)
+    bsmod = r.read(3)
+    acmod = r.read(3)
+    if (acmod & 0x1) and acmod != 0x1:
+        r.read(2)                   # cmixlev
+    if acmod & 0x4:
+        r.read(2)                   # surmixlev
+    if acmod == 0x2:
+        r.read(2)                   # dsurmod
+    lfeon = r.read(1)
+    bits = ((fscod << 22) | (bsid << 17) | (bsmod << 14) | (acmod << 11)
+            | (lfeon << 10) | ((frmsizecod >> 1) << 5))
+    return struct.pack(">I", bits)[1:]  # 24 bits
+
+
+_EAC3_RATES = {0: 48000, 1: 44100, 2: 32000}
+_EAC3_BLOCKS = {0: 1, 1: 2, 2: 3, 3: 6}
+
+
+def dec3(frame: bytes) -> bytes:
+    """EC3SpecificBox payload from the first E-AC-3 frame
+    (reference boxes.rs create_dec3 + eac3.rs; single independent
+    substream, no dependent substreams)."""
+    r = _BitReader(frame)
+    if r.read(16) != 0x0B77:
+        raise ValueError("E-AC-3: bad syncword")
+    r.read(2)                       # strmtyp
+    r.read(3)                       # substreamid
+    frmsiz = r.read(11)
+    fscod = r.read(2)
+    if fscod == 3:
+        r.read(2)                   # fscod2
+        numblkscod = 3
+        rate = 24000
+    else:
+        numblkscod = r.read(2)
+        rate = _EAC3_RATES[fscod]
+    acmod = r.read(3)
+    lfeon = r.read(1)
+    bsid = r.read(5)
+    frame_bytes = (frmsiz + 1) * 2
+    blocks = _EAC3_BLOCKS[numblkscod]
+    data_rate = frame_bytes * 8 * rate // (256 * blocks) // 1000  # kbit/s
+    out = u16((data_rate << 3) | 0)  # data_rate(13) + num_ind_sub-1(3)
+    sub = ((fscod << 22) | (bsid << 17) | (0 << 16) | (0 << 15)
+           | (0 << 12) | (acmod << 9) | (lfeon << 8) | (0 << 4) | 0)
+    # fscod(2) bsid(5) reserved(1) asvc(1) bsmod(3) acmod(3) lfeon(1)
+    # reserved(3) num_dep_sub(4) reserved(1) — 24 bits
+    return out + struct.pack(">I", sub)[1:]
+
+
+def pcmc(audio_format: str) -> bytes:
+    """pcmC box, ISO/IEC 23003-5 (reference boxes.rs create_pcmc)."""
+    little = audio_format.endswith("LE")
+    width = int("".join(ch for ch in audio_format if ch.isdigit()))
+    return full_box("pcmC", 0, 0, u8(1 if little else 0), u8(width))
+
+
+def chnl(channels: int) -> bytes:
+    """ChannelLayout box (ISO 14496-12 12.2.4, reference write_chnl)."""
+    defined_layout = {1: 1, 2: 2}.get(channels, 0)
+    if defined_layout:
+        return full_box("chnl", 0, 0, u8(1), u8(defined_layout), u64(0))
+    # explicit speaker positions 0..n-1
+    return full_box("chnl", 0, 0, u8(1), u8(0),
+                    bytes(range(channels)))
+
+
+# -- uncompressed video (ISO/IEC 23001-17, reference uncompressed.rs) ------
+
+# component types, 23001-17 Table 1
+_MONO, _LUMA, _CB, _CR, _RED, _GREEN, _BLUE, _ALPHA = 0, 1, 2, 3, 4, 5, 6, 7
+
+# fmt -> (profile fourcc, components in memory order [(type, depth)],
+#         sampling_type, interleave_type, pixel_size_bytes)
+# sampling: 0=none 1=4:2:2 2=4:2:0; interleave: 0=planar 1=pixel
+# 2=semi-planar (mixed) 5=multi-Y packed
+_UNCV_FORMATS = {
+    "RGBA":      ("rgba", [(_RED, 8), (_GREEN, 8), (_BLUE, 8), (_ALPHA, 8)], 0, 1, 4),
+    "ABGR":      ("abgr", [(_ALPHA, 8), (_BLUE, 8), (_GREEN, 8), (_RED, 8)], 0, 1, 4),
+    "BGRA":      (None,   [(_BLUE, 8), (_GREEN, 8), (_RED, 8), (_ALPHA, 8)], 0, 1, 4),
+    "ARGB":      (None,   [(_ALPHA, 8), (_RED, 8), (_GREEN, 8), (_BLUE, 8)], 0, 1, 4),
+    "RGB":       ("rgb3", [(_RED, 8), (_GREEN, 8), (_BLUE, 8)], 0, 1, 3),
+    "BGR":       (None,   [(_BLUE, 8), (_GREEN, 8), (_RED, 8)], 0, 1, 3),
+    "GRAY8":     (None,   [(_MONO, 8)], 0, 0, 0),
+    "GRAY16_LE": (None,   [(_MONO, 16)], 0, 0, 0),
+    "I420":      ("i420", [(_LUMA, 8), (_CB, 8), (_CR, 8)], 2, 0, 0),
+    "YV12":      ("yv20", [(_LUMA, 8), (_CR, 8), (_CB, 8)], 2, 0, 0),
+    "NV12":      ("nv12", [(_LUMA, 8), (_CB, 8), (_CR, 8)], 2, 2, 0),
+    "NV21":      ("nv21", [(_LUMA, 8), (_CR, 8), (_CB, 8)], 2, 2, 0),
+    "Y444":      (None,   [(_LUMA, 8), (_CB, 8), (_CR, 8)], 0, 0, 0),
+    "Y42B":      ("yu22", [(_LUMA, 8), (_CB, 8), (_CR, 8)], 1, 0, 0),
+    "YUY2":      ("yuv2", [(_LUMA, 8), (_CB, 8), (_LUMA, 8), (_CR, 8)], 1, 5, 0),
+    "UYVY":      ("2vuy", [(_CB, 8), (_LUMA, 8), (_CR, 8), (_LUMA, 8)], 1, 5, 0),
+}
+
+# formats where the v1 header-only uncC fully describes the layout
+# (reference write_uncompressed_sample_entries: Rgba | Abgr | Rgb)
+_UNCV_V1 = {"RGBA", "ABGR", "RGB"}
+
+
+def uncompressed_boxes(fmt: str) -> bytes:
+    """cmpd + uncC for a video/x-raw format (uncompressed.rs
+    write_uncompressed_sample_entries)."""
+    if fmt not in _UNCV_FORMATS:
+        raise ValueError(f"uncv: unsupported raw format {fmt}")
+    profile, comps, sampling, interleave, pixel_size = _UNCV_FORMATS[fmt]
+    prof = (profile or "\x00\x00\x00\x00").encode("latin1")
+    if fmt in _UNCV_V1:
+        return full_box("uncC", 1, 0, prof)
+    cmpd = box("cmpd", u32(len(comps)),
+               b"".join(u16(t) for t, _ in comps))
+    entries = b"".join(u16(i) + u8(d - 1) + u8(0) + u8(0)
+                       for i, (_, d) in enumerate(comps))
+    uncc = full_box("uncC", 0, 0, prof, u32(len(comps)), entries,
+                    u8(sampling), u8(interleave),
+                    u8(0),            # block_size
+                    u8(0),            # flag bits
+                    u32(pixel_size),
+                    u32(0),           # row_align_size
+                    u32(0),           # tile_align_size
+                    u32(0), u32(0))   # tile cols/rows minus one
+    return cmpd + uncc
+
+
 def sample_entry(cfg: StreamConfig) -> bytes:
     """Codec-specific sample entry (reference boxes.rs codec builders)."""
     n = cfg.caps_name
+    tai = taic(cfg.tai_clock_info) if cfg.tai_clock_info else b""
     if cfg.is_meta:
         # metx: XML metadata sample entry (ISO 14496-12 12.3.3)
         return box("metx", b"\x00" * 6 + u16(1),
@@ -114,30 +351,42 @@ def sample_entry(cfg: StreamConfig) -> bytes:
                    b"\x00")                       # schema_location
     if n == "video/x-h264":
         return _sample_entry_video("avc1", cfg,
-                                   box("avcC", cfg.codec_data))
+                                   box("avcC", cfg.codec_data) + tai)
     if n == "video/x-h265":
         return _sample_entry_video("hvc1", cfg,
-                                   box("hvcC", cfg.codec_data))
+                                   box("hvcC", cfg.codec_data) + tai)
     if n == "video/x-av1":
         return _sample_entry_video("av01", cfg,
-                                   box("av1C", cfg.codec_data))
+                                   box("av1C", cfg.codec_data) + tai)
     if n == "video/x-vp9":
         return _sample_entry_video("vp09", cfg,
-                                   box("vpcC", cfg.codec_data))
+                                   box("vpcC", cfg.codec_data) + tai)
+    if n == "video/x-raw":
+        return _sample_entry_video(
+            "uncv", cfg, uncompressed_boxes(cfg.raw_format or "RGBA") + tai)
     if n == "audio/x-opus":
         # dOps: version 0, channel count, pre-skip, input rate, gain
         dops = (u8(0) + u8(cfg.channels) + u16(312)
                 + u32(cfg.sample_rate) + u16(0) + u8(0))
-        return _sample_entry_audio("Opus", cfg, box("dOps", dops))
+        return _sample_entry_audio("Opus", cfg, box("dOps", dops) + tai)
     if n == "audio/x-flac":
         return _sample_entry_audio("fLaC", cfg,
                                    full_box("dfLa", 0, 0,
-                                            cfg.codec_data))
+                                            cfg.codec_data) + tai)
     if n == "audio/mpeg":  # AAC
         esds = full_box("esds", 0, 0, cfg.codec_data)
-        return _sample_entry_audio("mp4a", cfg, esds)
+        return _sample_entry_audio("mp4a", cfg, esds + tai)
+    if n == "audio/x-ac3":
+        return _sample_entry_audio("ac-3", cfg,
+                                   box("dac3", dac3(cfg.first_frame)) + tai)
+    if n == "audio/x-eac3":
+        return _sample_entry_audio("ec-3", cfg,
+                                   box("dec3", dec3(cfg.first_frame)) + tai)
     if n == "audio/x-raw":
-        return _sample_entry_audio("sowt", cfg)
+        fmt = cfg.raw_format or "S16LE"
+        fourcc = "fpcm" if fmt.startswith("F") else "ipcm"
+        return _sample_entry_audio(
+            fourcc, cfg, chnl(cfg.channels) + pcmc(fmt) + tai)
     raise ValueError(f"unsupported codec for mp4: {n}")
 
 
@@ -175,8 +424,34 @@ def _dinf() -> bytes:
     return box("dinf", dref)
 
 
+def _ctts_cslg(samples: list["Mp4Sample"]) -> list[bytes]:
+    """ctts (v1, signed) + cslg composition-offset boxes
+    (reference boxes.rs write_ctts/write_cslg)."""
+    runs: list[list[int]] = []
+    for s in samples:
+        if runs and runs[-1][1] == s.composition_offset:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, s.composition_offset])
+    ctts = full_box("ctts", 1, 0, u32(len(runs)),
+                    b"".join(u32(c) + i32(o) for c, o in runs))
+    least = min(s.composition_offset for s in samples)
+    greatest = max(s.composition_offset for s in samples)
+    dts = 0
+    start = end = None
+    for s in samples:
+        cts = dts + s.composition_offset
+        start = cts if start is None else min(start, cts)
+        end = cts + s.duration if end is None else max(end, cts + s.duration)
+        dts += s.duration
+    cslg = full_box("cslg", 0, 0, i32(max(0, -least)), i32(least),
+                    i32(greatest), i32(start), i32(end))
+    return [ctts, cslg]
+
+
 def _stbl(cfg: StreamConfig, samples: list["Mp4Sample"] | None = None,
-          chunk_offsets: list[int] | None = None) -> bytes:
+          chunk_offsets: list[int] | None = None,
+          aux: "AuxData | None" = None) -> bytes:
     stsd = full_box("stsd", 0, 0, u32(1), sample_entry(cfg))
     if not samples:
         # empty tables (fragmented)
@@ -201,12 +476,49 @@ def _stbl(cfg: StreamConfig, samples: list["Mp4Sample"] | None = None,
                     b"".join(u32(len(s.data)) for s in samples))
     stco = full_box("stco", 0, 0, u32(len(chunk_offsets)),
                     b"".join(u32(o) for o in chunk_offsets))
-    boxes = [stsd, stts, stsc, stsz, stco]
+    boxes = [stsd, stts]
+    if any(s.composition_offset for s in samples):
+        boxes.extend(_ctts_cslg(samples))
+    boxes.extend([stsc, stsz, stco])
     sync = [i + 1 for i, s in enumerate(samples) if s.keyframe]
     if cfg.is_video and len(sync) != len(samples):
         boxes.append(full_box("stss", 0, 0, u32(len(sync)),
                               b"".join(u32(i) for i in sync)))
+    if aux is not None:
+        boxes.append(saiz(aux.entry_lengths, aux.aux_type, aux.aux_param))
+        boxes.append(saio(aux.chunk_offsets, aux.aux_type, aux.aux_param))
     return box("stbl", *boxes)
+
+
+@dataclass
+class AuxData:
+    """Per-track sample auxiliary information location
+    (reference mod.rs AuxiliaryInformation + AuxiliaryInformationData)."""
+
+    aux_type: str | None
+    aux_param: int
+    entry_lengths: list[int]
+    chunk_offsets: list[int]
+
+
+def elst(cfg: StreamConfig, movie_timescale: int) -> bytes:
+    """edts/elst from the stream's ElstInfos
+    (reference boxes.rs write_elst: v1, durations in movie timescale,
+    media times in track timescale, -1 for empty edits)."""
+    entries = b""
+    count = 0
+    for info in cfg.elst_infos:
+        dur = info.duration_ns * movie_timescale // SECOND
+        if dur == 0:
+            continue
+        if info.start_ns is None:
+            media_time = -1
+        else:
+            media_time = info.start_ns * cfg.timescale // SECOND
+        entries += (u64(dur) + struct.pack(">q", media_time)
+                    + u16(1) + u16(0))
+        count += 1
+    return box("edts", full_box("elst", 1, 0, u32(count), entries))
 
 
 def _minf(cfg: StreamConfig, stbl: bytes) -> bytes:
@@ -222,12 +534,17 @@ def _minf(cfg: StreamConfig, stbl: bytes) -> bytes:
 def trak(cfg: StreamConfig, duration: int = 0,
          movie_timescale: int = 1000,
          samples: list["Mp4Sample"] | None = None,
-         chunk_offsets: list[int] | None = None) -> bytes:
+         chunk_offsets: list[int] | None = None,
+         aux: "AuxData | None" = None) -> bytes:
     dur_mvts = duration * movie_timescale // cfg.timescale \
         if duration else 0
     mdia = box("mdia", _mdhd(cfg, duration), _hdlr(cfg),
-               _minf(cfg, _stbl(cfg, samples, chunk_offsets)))
-    return box("trak", _tkhd(cfg, dur_mvts), mdia)
+               _minf(cfg, _stbl(cfg, samples, chunk_offsets, aux)))
+    parts = [_tkhd(cfg, dur_mvts)]
+    if cfg.elst_infos:
+        parts.append(elst(cfg, movie_timescale))
+    parts.append(mdia)
+    return box("trak", *parts)
 
 
 def mvhd(movie_timescale: int, duration: int, next_track: int) -> bytes:
@@ -242,10 +559,18 @@ def trex(track_id: int) -> bytes:
                     u32(0))
 
 
+def mehd(duration_mvts: int) -> bytes:
+    """MovieExtendsHeader: total fragmented-movie duration
+    (reference fmp4mux write-mehd property)."""
+    return full_box("mehd", 1, 0, u64(duration_mvts))
+
+
 def moov(configs: list[StreamConfig], movie_timescale: int = 1000,
          fragmented: bool = True, durations: dict[int, int] | None = None,
          samples: dict[int, list["Mp4Sample"]] | None = None,
-         chunk_offsets: dict[int, list[int]] | None = None) -> bytes:
+         chunk_offsets: dict[int, list[int]] | None = None,
+         aux: dict[int, "AuxData"] | None = None,
+         mehd_duration_mvts: int | None = None) -> bytes:
     durations = durations or {}
     total = max((durations.get(c.track_id, 0) * movie_timescale
                  // c.timescale for c in configs), default=0)
@@ -255,9 +580,13 @@ def moov(configs: list[StreamConfig], movie_timescale: int = 1000,
         parts.append(trak(c, durations.get(c.track_id, 0),
                           movie_timescale,
                           (samples or {}).get(c.track_id),
-                          (chunk_offsets or {}).get(c.track_id)))
+                          (chunk_offsets or {}).get(c.track_id),
+                          (aux or {}).get(c.track_id)))
     if fragmented:
-        parts.append(box("mvex", *[trex(c.track_id) for c in configs]))
+        mvex = [trex(c.track_id) for c in configs]
+        if mehd_duration_mvts is not None:
+            mvex.insert(0, mehd(mehd_duration_mvts))
+        parts.append(box("mvex", *mvex))
     return box("moov", *parts)
 
 

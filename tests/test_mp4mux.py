@@ -246,3 +246,272 @@ def test_onvifmp4mux_metadata_track():
     # the xml sample is in the mdat
     mdat = next(b for b in tree if b.fourcc == "mdat")
     assert xml in mdat.data
+
+
+# ---------------------------------------------------------------------------
+# isobmff depth features (reference boxes.rs/ac3.rs/uncompressed.rs/
+# precision_timestamps.rs/aux_info.rs parity)
+# ---------------------------------------------------------------------------
+
+def _descend(node, path):
+    for four in path:
+        node = next(c for c in parse_boxes(node.data) if c.fourcc == four)
+    return node
+
+
+def _make_ac3_frame():
+    """Synthetic AC-3 syncframe header: fscod=0 (48k), frmsizecod=20,
+    bsid=8, bsmod=0, acmod=2 (stereo), dsurmod=0, lfeon=0."""
+    return bytes([0x0B, 0x77, 0x00, 0x00, 0x14, 0x40, 0x40]) + bytes(32)
+
+
+def test_ac3_dac3_sample_entry():
+    mux = make("isomp4mux")
+    d = MuxDriver(mux, ["audio/x-ac3, rate=48000, channels=2"])
+    frame = _make_ac3_frame()
+    d.push(0, frame, pts=0, dur=32_000_000)
+    d.push(0, frame, pts=32_000_000, dur=32_000_000)
+    d.eos()
+    tree = parse_boxes(d.bytes())
+    moov = next(b for b in tree if b.fourcc == "moov")
+    stsd = _descend(moov, ["trak", "mdia", "minf", "stbl", "stsd"])
+    assert b"ac-3" in stsd.data
+    i = stsd.data.index(b"dac3")
+    payload = stsd.data[i + 4:i + 7]
+    bits = int.from_bytes(payload, "big")
+    assert (bits >> 22) & 0x3 == 0          # fscod
+    assert (bits >> 17) & 0x1F == 8         # bsid
+    assert (bits >> 14) & 0x7 == 0          # bsmod
+    assert (bits >> 11) & 0x7 == 2          # acmod
+    assert (bits >> 10) & 0x1 == 0          # lfeon
+    assert (bits >> 5) & 0x1F == 10         # bit_rate_code = frmsizecod>>1
+
+
+def test_eac3_dec3_sample_entry():
+    # strmtyp=0 substreamid=0 frmsiz=191 fscod=0 numblkscod=3 acmod=2
+    # lfeon=0 bsid=16
+    bits = (0 << 54) | (0 << 51) | (191 << 40) | (0 << 38) | (3 << 36) \
+        | (2 << 33) | (0 << 32) | (16 << 27)
+    frame = bytes([0x0B, 0x77]) + bits.to_bytes(7, "big") + bytes(32)
+    mux = make("isomp4mux")
+    d = MuxDriver(mux, ["audio/x-eac3, rate=48000, channels=2"])
+    d.push(0, frame, pts=0, dur=32_000_000)
+    d.eos()
+    moov = next(b for b in parse_boxes(d.bytes()) if b.fourcc == "moov")
+    stsd = _descend(moov, ["trak", "mdia", "minf", "stbl", "stsd"])
+    assert b"ec-3" in stsd.data
+    i = stsd.data.index(b"dec3")
+    data_rate = struct.unpack_from(">H", stsd.data, i + 4)[0] >> 3
+    assert data_rate == 96  # 384 bytes * 8 bits * 48000 / (256*6) / 1000
+
+
+def test_raw_audio_ipcm_pcmc_chnl():
+    mux = make("isomp4mux")
+    d = MuxDriver(mux, ["audio/x-raw, format=S16LE, rate=48000, "
+                        "channels=2"])
+    d.push(0, bytes(192), pts=0, dur=1_000_000)
+    d.eos()
+    moov = next(b for b in parse_boxes(d.bytes()) if b.fourcc == "moov")
+    stsd = _descend(moov, ["trak", "mdia", "minf", "stbl", "stsd"])
+    assert b"ipcm" in stsd.data
+    i = stsd.data.index(b"pcmC")
+    # fullbox(4) + format_flags(1)=little endian + sample size(1)=16
+    assert stsd.data[i + 8] == 1
+    assert stsd.data[i + 9] == 16
+    assert b"chnl" in stsd.data
+
+
+def test_raw_audio_fpcm():
+    mux = make("isomp4mux")
+    d = MuxDriver(mux, ["audio/x-raw, format=F32LE, rate=48000, "
+                        "channels=1"])
+    d.push(0, bytes(192), pts=0, dur=1_000_000)
+    d.eos()
+    moov = next(b for b in parse_boxes(d.bytes()) if b.fourcc == "moov")
+    stsd = _descend(moov, ["trak", "mdia", "minf", "stbl", "stsd"])
+    assert b"fpcm" in stsd.data
+    i = stsd.data.index(b"pcmC")
+    assert stsd.data[i + 9] == 32
+
+
+def test_uncompressed_video_rgba_v1():
+    mux = make("isomp4mux")
+    d = MuxDriver(mux, ["video/x-raw, format=RGBA, width=4, height=4"])
+    d.push(0, bytes(64), pts=0, dur=33_000_000)
+    d.eos()
+    moov = next(b for b in parse_boxes(d.bytes()) if b.fourcc == "moov")
+    stsd = _descend(moov, ["trak", "mdia", "minf", "stbl", "stsd"])
+    assert b"uncv" in stsd.data
+    i = stsd.data.index(b"uncC")
+    # v1 header-only uncC: version 1, profile 'rgba'
+    assert stsd.data[i + 4] == 1
+    assert stsd.data[i + 8:i + 12] == b"rgba"
+    assert b"cmpd" not in stsd.data
+
+
+def test_uncompressed_video_i420_v0():
+    mux = make("isomp4mux")
+    d = MuxDriver(mux, ["video/x-raw, format=I420, width=4, height=4"])
+    d.push(0, bytes(24), pts=0, dur=33_000_000)
+    d.eos()
+    moov = next(b for b in parse_boxes(d.bytes()) if b.fourcc == "moov")
+    stsd = _descend(moov, ["trak", "mdia", "minf", "stbl", "stsd"])
+    assert b"uncv" in stsd.data and b"cmpd" in stsd.data
+    i = stsd.data.index(b"cmpd")
+    ncomp, = struct.unpack_from(">I", stsd.data, i + 4)
+    assert ncomp == 3
+    comps = struct.unpack_from(">3H", stsd.data, i + 8)
+    assert comps == (1, 2, 3)  # Luma, Cb, Cr
+    j = stsd.data.index(b"uncC")
+    assert stsd.data[j + 4] == 0  # version 0
+    body = stsd.data[j + 8:]
+    # profile 'i420', 3 components, then sampling=2 (4:2:0) planar=0
+    assert body[:4] == b"i420"
+    n, = struct.unpack_from(">I", body, 4)
+    assert n == 3
+    # entries are 5 bytes: u16 index + depth-1 + format + align
+    off = 8 + 3 * 5
+    assert body[off] == 2      # sampling_type 4:2:0
+    assert body[off + 1] == 0  # interleave component (planar)
+
+
+def test_precision_timestamps_taic_stai():
+    from gstpu.core.buffer import ReferenceTimestampMeta
+    mux = make("isomp4mux", with_precision_timestamps=True)
+    d = MuxDriver(mux, [OPUS_CAPS])
+    tais = [1_000_000_000_000, 1_000_000_020_000, 1_000_000_040_000]
+    for i, tai in enumerate(tais):
+        b = Buffer(bytes([i]) * 8, pts=i * 20_000_000, duration=20_000_000)
+        b.add_meta(ReferenceTimestampMeta("timestamp/x-tai1958", tai))
+        d.feeders[0].push(b)
+    d.eos()
+    data = d.bytes()
+    moov = next(b for b in parse_boxes(data) if b.fourcc == "moov")
+    stbl = _descend(moov, ["trak", "mdia", "minf", "stbl"])
+    # taic in the sample entry
+    assert b"taic" in stbl.data
+    children = parse_boxes(stbl.data)
+    saiz = next(c for c in children if c.fourcc == "saiz")
+    # flags=1 -> aux_info_type 'stai'
+    assert saiz.data[4:8] == b"stai"
+    default_size, count = struct.unpack_from(">BI", saiz.data, 12)
+    assert default_size == 9 and count == 3
+    saio = next(c for c in children if c.fourcc == "saio")
+    assert saio.data[4:8] == b"stai"
+    n_off, off = struct.unpack_from(">II", saio.data, 12)
+    assert n_off == 1
+    # aux packets live in the file at `off`: 9-byte TAITimestampPackets
+    for k, tai in enumerate(tais):
+        ts, flags = struct.unpack_from(">QB", data, off + 9 * k)
+        assert ts == tai
+        assert flags & 0x80  # synchronized
+
+
+def test_precision_timestamps_fallback_packet():
+    mux = make("isomp4mux", with_precision_timestamps=True)
+    d = MuxDriver(mux, [OPUS_CAPS])
+    d.push(0, b"x" * 8, pts=0, dur=20_000_000)  # no TAI meta
+    d.eos()
+    data = d.bytes()
+    moov = next(b for b in parse_boxes(data) if b.fourcc == "moov")
+    stbl = _descend(moov, ["trak", "mdia", "minf", "stbl"])
+    saio = next(c for c in parse_boxes(stbl.data) if c.fourcc == "saio")
+    _, off = struct.unpack_from(">II", saio.data, 12)
+    ts, flags = struct.unpack_from(">QB", data, off)
+    assert flags & 0x40  # generation failure
+    assert ts == 1       # last_tai + 1
+
+
+def test_edit_list_gap_and_shift():
+    mux = make("isomp4mux")
+    d = MuxDriver(mux, [OPUS_CAPS, OPUS_CAPS])
+    # stream 0 starts at 0, stream 1 starts 100ms later -> gap edit
+    for i in range(5):
+        d.push(0, b"a", pts=i * 20_000_000, dur=20_000_000)
+    for i in range(5):
+        d.push(1, b"b", pts=100_000_000 + i * 20_000_000,
+               dur=20_000_000)
+    d.eos()
+    moov = next(b for b in parse_boxes(d.bytes()) if b.fourcc == "moov")
+    traks = moov.find_all("trak")
+    assert len(traks) == 2
+    elst1 = _descend(traks[1], ["edts", "elst"])
+    nentries, = struct.unpack_from(">I", elst1.data, 4)
+    assert nentries == 2
+    # entry 0: empty edit (media_time == -1), duration 100ms in movie ts
+    dur0, mt0 = struct.unpack_from(">Qq", elst1.data, 8)
+    assert mt0 == -1
+    assert dur0 == 100  # 100ms in movie timescale 1000
+    # entry 1: the actual media, starting at media time 0 (no dts
+    # shift), presentation duration 100ms -> 100 movie-ts units
+    dur1, mt1 = struct.unpack_from(">Qq", elst1.data, 8 + 20)
+    assert mt1 == 0
+    assert dur1 == 100
+
+
+def test_ctts_cslg_composition_offsets():
+    mux = make("isomp4mux")
+    d = MuxDriver(mux, [H264_CAPS])
+    # IPB-ish pattern: dts always 33ms apart, pts reordered
+    frames = [(0, 0), (33, 99), (66, 66), (99, 132)]  # (dts, pts) ms
+    for k, (dts, pts) in enumerate(frames):
+        b = Buffer(bytes([k]) * 10, pts=pts * 1_000_000,
+                   dts=dts * 1_000_000, duration=33_000_000)
+        if k:
+            b.set_flag(BufferFlags.DELTA_UNIT)
+        d.feeders[0].push(b)
+    d.eos()
+    moov = next(b for b in parse_boxes(d.bytes()) if b.fourcc == "moov")
+    stbl = _descend(moov, ["trak", "mdia", "minf", "stbl"])
+    children = parse_boxes(stbl.data)
+    ctts = next(c for c in children if c.fourcc == "ctts")
+    assert ctts.data[0] == 1  # version 1 (signed offsets)
+    n, = struct.unpack_from(">I", ctts.data, 4)
+    offs = []
+    for k in range(n):
+        cnt, off = struct.unpack_from(">Ii", ctts.data, 8 + 8 * k)
+        offs.extend([off] * cnt)
+    expect = [(p - dt) * 1_000_000 * 90000 // SECOND for dt, p in frames]
+    assert offs == expect
+    assert any(c.fourcc == "cslg" for c in children)
+
+
+def test_fmp4_header_rewrite_with_mehd(tmp_path):
+    from gstpu.core.element import State as _S
+    from gstpu.core.registry import make as _make
+    path = str(tmp_path / "out.mp4")
+    mux = make("isofmp4mux", fragment_duration=40_000_000,
+               header_update_mode="rewrite", write_mehd=True)
+    sink = _make("filesink", location=path)
+    mux.static_pad("src").link(sink.static_pad("sink"))
+    sink.set_state(_S.PLAYING)
+    d = MuxDriver.__new__(MuxDriver)
+    d.mux = mux
+    d.out = []
+    mux.set_state(_S.PLAYING)
+    pad = mux.request_pad()
+    feeder = Pad("feed0", PadDirection.SRC,
+                 PadTemplate("src", PadDirection.SRC,
+                             PadPresence.ALWAYS, Caps.any()))
+    feeder.link(pad)
+    feeder.push_event(StreamStartEvent("s0"))
+    feeder.push_event(CapsEvent(parse_caps(OPUS_CAPS)))
+    feeder.push_event(SegmentEvent(Segment()))
+    for i in range(10):
+        feeder.push(Buffer(b"x" * 10, pts=i * 20_000_000,
+                           duration=20_000_000))
+    feeder.push_event(EosEvent())
+    sink.set_state(_S.NULL)
+    data = open(path, "rb").read()
+    tree = parse_boxes(data)
+    moov = next(b for b in tree if b.fourcc == "moov")
+    # rewritten mvhd has the real duration (200ms in movie ts 1000)
+    mvhd = next(c for c in parse_boxes(moov.data) if c.fourcc == "mvhd")
+    dur, = struct.unpack_from(">I", mvhd.data, 16)
+    assert dur == 200
+    mvex = moov.find("mvex")
+    mehd = next(c for c in parse_boxes(mvex.data) if c.fourcc == "mehd")
+    mehd_dur, = struct.unpack_from(">Q", mehd.data, 4)
+    assert mehd_dur == 200
+    # fragments still intact after the rewrite
+    assert any(b.fourcc == "moof" for b in tree)
