@@ -5,9 +5,9 @@ Rebuilds the decoding the reference gets from the lewton crate
 (audio/lewton lewtondec), implemented from the Vorbis I
 specification.  numpy does the IMDCT (precomputed cosine matrices —
 on TPU these become MXU matmuls); the bitstream side is host Python.
-The floor1 inverse-dB table is generated from its geometric form
-rather than copied, so output is conformant to ~0.01 dB rather than
-bit-exact vs libvorbis.
+The floor1 inverse-dB table is the exact 256-constant table from
+the Vorbis I specification (section 7.2.1), so floor curves match
+libvorbis/lewton bit-for-bit.
 """
 
 from __future__ import annotations
@@ -180,9 +180,43 @@ class Codebook:
 
 _RANGES = {1: 256, 2: 128, 3: 86, 4: 64}
 
-# floor1 inverse dB table, generated geometric (see module docstring)
-_INV_DB = np.array([1.0649863e-07 * math.exp(0.06293094 * i)
-                    for i in range(256)], np.float32)
+# floor1 inverse dB table: the 256 float constants from the Vorbis I
+# specification (FLOOR1_fromdB_LOOKUP, spec section 7.2.1 "floor1
+# inverse dB table"); stored as exact IEEE-754 bit patterns so decode
+# is bit-identical to libvorbis/lewton.
+_INV_DB = np.frombuffer(bytes.fromhex(
+    "3eb4e4330991f3338bb201343c200a34231a133460a91c34a7d726344baf3134"
+    "503b3d347087493423a05634b8926434556d7334889f8134fc0b8a3493049334"
+    "69929c3432bfa6343f95b134931fbd34e469c934ad80d6343671e434a649f334"
+    "888c0135c0f7093506ef1235767b1c35c0a62635377b3135da033d355e4c4935"
+    "3b615635b94f6435fc2573358a79813586e389357cd9923585649c35528ea635"
+    "3361b13525e8bc35dc2ec935ce41d635412ee4355702f3358f6601364fcf0936"
+    "f5c31236984d1c36e87526363247313674cc3c365e11493665225636ce0c6436"
+    "b8de7236975381361cbb893672ae9236af369c36815da636352db136c7b0bc36"
+    "e4f3c8360103d63660ebe3361ebbf236a2400137eba60937f1981237c91f1c37"
+    "1e4526373d1331371e953c376fd64837a2e35537f7c9633789977237af2d8137"
+    "be92893774839237e6089c37be2ca63747f9b0377979bc37feb8c83747c4d537"
+    "92a8e337f873f237c01a0138937e0938f96d123806f21b386214263856df3038"
+    "d85d3c38929b4838f2a45538338763386e507238d30781386b6a893882589238"
+    "2adb9b3809fca53868c5b0383b42bc38297ec838a085d538d965e338e82cf238"
+    "e9f40039465609390e43123951c41b39b5e325397fab3039a2263c39c5604839"
+    "53665539834463396809723901e28039244289399d2d92397bad9b3963cba539"
+    "9991b0390d0bbc396643c8390b47d5393223e339ede5f1391dcf003a052e093a"
+    "3018123aa9961b3a15b3253ab777303a7cef3b3a0a26483ac727553ae601633a"
+    "78c2713a3bbc803ae919893ac602923adb7f9b3acb9aa53ad85db03aefd3bb3a"
+    "b308c83a8808d53a9fe0e23a079ff13a5ca9003bd005093b5eed113b0f691b3b"
+    "8482253bfd43303b67b83b3b61eb473b4de9543b5dbf623b9c7b713b7f96803b"
+    "baf1883bf9d7913b47529b3b416aa53b272ab03be29cbb3b12cec73b17cad43b"
+    "209ee23b3558f13ba683003ca7dd083c98c2113c823b1b3c0152253c5410303c"
+    "61813b3cc8b0473ce5aa543ce87c623cd434713ccf70803c96c9883c3aad913c"
+    "c0249b3cc539a53c85f6af3ce565bb3c8293c73cb98bd43cb45be23c7911f13c"
+    "fb5d003d89b5083ddf97113d020e1b3d8d21253db9dc2f3d6d4a3b3d4076473d"
+    "916c543d853a623d22ee703d2a4b803d7fa1883d8882913d48f79a3d5809a53d"
+    "f2c2af3df82ebb3d0359c73d6d4dd43d5c19e23dd1caf03d5b38003e778d083e"
+    "336d113e90e01a3e27f1243e2ea92f3e87133b3eca3b473e4d2e543e37f8613e"
+    "84a7703e8f25803e7379883ee257913edcc99a3ef9d8a43e6d8faf3e1bf8ba3e"
+    "951ec73e330fd43e17d7e13e3d84f03ec612003f7265083f9342113f2bb31a3f"
+    "cec0243fb1752f3fb2dc3a3f6501473f1df0533ffbb5613ffb60703f0000803f"), "<f4")
 
 
 @dataclass

@@ -60,6 +60,13 @@ def test_vorbis_decode_matches_libvorbis_oracle():
         rms = float(np.sqrt(((a - b) ** 2).mean()))
         assert corr > 0.9999, corr
         assert rms < 0.005, rms
+        # with the spec-literal FLOOR1_fromdB_LOOKUP table the decode
+        # is bit-exact up to the oracle's own 16-bit quantization:
+        # at most 1 LSB difference, on <0.2% of samples
+        q = np.clip(np.round(b * 32768), -32768, 32767) / 32768.0
+        diff_lsb = np.abs(a - q) * 32768
+        assert float(diff_lsb.max()) <= 1.0 + 1e-6
+        assert float((diff_lsb > 0.5).mean()) < 2e-3
 
 
 def test_lewtondec_pipeline():
