@@ -606,6 +606,102 @@ class RtpMpaDepay(RtpBaseDepay2):
             self._frag = []
 
 
+@register_element("rtpmparobustdepay2", Rank.SECONDARY)
+class RtpMpaRobustDepay(RtpBaseDepay2):
+    """MPEG Audio Robust (ADU) depayloader, RFC 5219.
+
+    Rebuilds reference net/rtp/src/mparobust/depay/imp.rs: parses ADU
+    descriptors (1/2-byte, C/T bits), reassembles fragmented ADUs,
+    deinterleaves (RFC 5219 §7), and converts ADUs back to MP3 frames
+    with dummy-ADU insertion on loss (Appendix A.2)."""
+
+    PAD_TEMPLATES = [
+        _tmpl("sink", PadDirection.SINK,
+              rtp_caps("MPA-ROBUST", clock_rate=90000, media="audio")),
+        _tmpl("src", PadDirection.SRC,
+              Caps([Structure("audio/mpeg", mpegversion=1, parsed=True)])),
+    ]
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        from gstpu.net.rtp.mparobust import AduQueue, DeinterleavingBuffer
+        self._deint = DeinterleavingBuffer()
+        self._queue = AduQueue()
+        self._acc: bytearray | None = None   # fragmented-ADU accumulator
+        self._acc_size = 0
+        self._needs_discont = True
+        self._next_pts: int | None = None
+
+    def depay_src_caps(self, incaps):
+        return Caps.new("audio/mpeg", mpegversion=1, parsed=True)
+
+    def _emit(self, frames) -> None:
+        for f in frames:
+            pts = self._next_pts
+            if pts is not None:
+                self._next_pts = pts + f.duration_ns
+            self.queue_buffer(f.data, pts=pts, duration=f.duration_ns)
+
+    def handle_packet(self, pkt, buf) -> None:
+        from gstpu.net.rtp.mparobust import Adu
+        if self._next_pts is None:
+            self._next_pts = self.pts_for(pkt)
+        data = pkt.payload
+        ready = []
+        idx = 0
+        while data:
+            cont = bool(data[0] & 0x80)
+            if data[0] & 0x40:                  # 2-byte, 14-bit size
+                if len(data) < 3:
+                    self._needs_discont = True
+                    return
+                total, off = ((data[0] & 0x3F) << 8) | data[1], 2
+            else:                                # 1-byte, 6-bit size
+                if len(data) < 2:
+                    self._needs_discont = True
+                    return
+                total, off = data[0] & 0x3F, 1
+            if cont:
+                # continuation fragment: must be packet-initial
+                if idx != 0 or self._acc is None:
+                    self._needs_discont = True
+                    self._acc = None
+                    return
+                self._acc += data[off:]
+                data = b""
+                if len(self._acc) < self._acc_size:
+                    return                      # more fragments pending
+                raw, self._acc = bytes(self._acc[:self._acc_size]), None
+            elif total > len(data) - off:
+                # first fragment of an oversized ADU
+                self._acc = bytearray(data[off:])
+                self._acc_size = total
+                return
+            else:
+                raw = data[off:off + total]
+                data = data[off + total:]
+            adu = Adu.parse(raw)
+            if adu is None:
+                self._needs_discont = True
+                return
+            if self._needs_discont:
+                adu.is_discont = True
+                self._needs_discont = False
+            ready.extend(self._deint.push(adu))
+            idx += 1
+        if ready:
+            self._emit(self._queue.push_adus(ready))
+
+    def drain(self):
+        self._pending = []
+        left = self._deint.drain()
+        if left:
+            self._emit(self._queue.push_adus(left))
+        self._emit(self._queue.drain())
+        out, self._pending = self._pending, []
+        return out
+
+
 # -- MPEG-4 generic (RFC 3640, AAC-hbr) -----------------------------------
 
 _MP4G_MEDIA = Caps([Structure("audio/mpeg", mpegversion=4,
