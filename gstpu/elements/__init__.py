@@ -33,6 +33,7 @@ _MODULES = [
     "gstpu.elements.video.colorlut",
     "gstpu.elements.video.videofx",
     "gstpu.elements.video.convert",
+    "gstpu.elements.video.scale",
     "gstpu.elements.video.image",
     "gstpu.elements.video.closedcaption",
     "gstpu.elements.video.scc",

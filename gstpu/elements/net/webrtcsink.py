@@ -14,7 +14,7 @@ that boundary is the documented env gate in PARITY.md.
 from __future__ import annotations
 
 from gstpu.core.buffer import Buffer
-from gstpu.core.caps import Caps
+from gstpu.core.caps import Caps, Structure
 from gstpu.core.element import (Element, FlowReturn, Pad, PadDirection,
                                 PadPresence, PadTemplate, State)
 from gstpu.core.event import (CapsEvent, Event, Segment, SegmentEvent,
@@ -25,22 +25,178 @@ from gstpu.core.registry import Rank, make, register_element
 _PAYLOADERS = {
     "video/x-vp8": ("rtpvp8pay2", "VP8"),
     "video/x-vp9": ("rtpvp9pay2", "VP9"),
+    "video/x-av1": ("rtpav1pay2", "AV1"),
     "audio/x-opus": ("rtpopuspay2", "OPUS"),
     "audio/x-alaw": ("rtppcmapay2", "PCMA"),
     "audio/x-mulaw": ("rtppcmupay2", "PCMU"),
 }
 
+# codec preference tables for raw inputs (reference webrtcsink's codec
+# registry, net/webrtc/src/webrtcsink/imp.rs lookup: encoder factory +
+# payloader per codec, tried in order during discovery)
+_RAW_VIDEO_CODECS = [
+    ("video/x-av1", "rav1enc", "rtpav1pay2", "AV1"),
+    ("video/x-vp8", "vp8enc", "rtpvp8pay2", "VP8"),
+    ("video/x-vp9", "vp9enc", "rtpvp9pay2", "VP9"),
+]
+_RAW_AUDIO_CODECS = [
+    ("audio/x-opus", "opusenc", "rtpopuspay2", "OPUS"),
+    ("audio/x-alaw", "alawenc", "rtppcmapay2", "PCMA"),
+    ("audio/x-mulaw", "mulawenc", "rtppcmupay2", "PCMU"),
+]
+
+# discovery results survive across instances, like the reference's
+# static codec cache
+_DISCOVERY_CACHE: dict[str, bool] = {}
+
+# reference webrtcsink constants (imp.rs)
+_DO_FEC_THRESHOLD = 2_000_000
+_MITIGATION_THRESHOLD = 500_000  # below this, downscale video
+
+
+def _run_discovery(enc_factory: str, is_video: bool) -> bool:
+    """Prove a codec is producible by actually encoding one tiny
+    buffer through the encoder factory (reference webrtcsink's
+    run_discovery_pipeline: a real discovery pipeline per codec, not
+    a registry lookup)."""
+    cached = _DISCOVERY_CACHE.get(enc_factory)
+    if cached is not None:
+        return cached
+    from gstpu.core.registry import list_factories
+    ok = False
+    if enc_factory in list_factories():
+        try:
+            from gstpu import parse_launch
+            from gstpu.core.element import State as _S
+            if is_video:
+                src = ("videotestsrc num-buffers=1 ! capsfilter "
+                       "caps=\"video/x-raw, format=I420, width=64, "
+                       "height=64\"")
+            else:
+                src = ("audiotestsrc num-buffers=1 ! audioconvert ! "
+                       "capsfilter caps=\"audio/x-raw, format=S16LE, "
+                       "rate=8000, channels=1\"")
+            p = parse_launch(f"{src} ! {enc_factory} "
+                             f"{'speed-preset=10' if enc_factory == 'rav1enc' else ''}"
+                             f" ! appsink name=out")
+            out = p.get_by_name("out")
+            p.set_state(_S.PLAYING)
+            p.run()
+            ok = len(out.pull_all()) > 0
+            p.set_state(_S.NULL)
+        except Exception:
+            ok = False
+    _DISCOVERY_CACHE[enc_factory] = ok
+    return ok
+
+
+def discover_codecs(is_video: bool) -> list[tuple[str, str, str, str]]:
+    """Usable (caps, encoder, payloader, encoding-name) entries in
+    preference order."""
+    table = _RAW_VIDEO_CODECS if is_video else _RAW_AUDIO_CODECS
+    return [row for row in table if _run_discovery(row[1], is_video)]
+
+
+class _EncoderChain:
+    """Raw-input encoding chain for one webrtcsink stream: feed ->
+    [videoscale -> capsfilter ->] encoder -> payloader -> fanout.
+
+    Mirrors the reference's VideoEncoder wrapper (webrtcsink/
+    imp.rs:322-366): unified set_bitrate across encoder factories +
+    downscale mitigation through a capsfilter behind videoscale."""
+
+    def __init__(self, sink: "WebRtcSink", pad_name: str,
+                 raw_caps: Caps, codec_row: tuple):
+        caps_name, enc_factory, pay_factory, encoding = codec_row
+        self.encoding = encoding
+        self.is_video = caps_name.startswith("video/")
+        self.stream_name = pad_name
+        self._raw_caps = raw_caps.copy()
+        self.mitigation_mode = "none"
+        self.bitrate = 0
+        self.enc = make(enc_factory)
+        if enc_factory == "rav1enc":
+            # live streaming defaults (reference configures rav1e for
+            # low latency in the webrtc path)
+            self.enc.low_latency = True
+            self.enc.speed_preset = 10
+        self.pay = make(pay_factory)
+        self.pay._gstpu_encoding = encoding
+        elements = [self.enc, self.pay]
+        self.scale = self.filter = None
+        if self.is_video:
+            self.scale = make("videoscale")
+            self.filter = make("capsfilter")
+            elements = [self.scale, self.filter] + elements
+        self.feed = Pad("f", PadDirection.SRC,
+                        PadTemplate("src", PadDirection.SRC,
+                                    PadPresence.ALWAYS, Caps.any()))
+        self.feed.link(elements[0].static_pad("sink"))
+        for a, b in zip(elements, elements[1:]):
+            a.static_pad("src").link(b.static_pad("sink"))
+        cap = Pad("c", PadDirection.SINK,
+                  PadTemplate("sink", PadDirection.SINK,
+                              PadPresence.ALWAYS, Caps.any()))
+        cap.chain_function = sink._fanout
+        cap.event_function = lambda p, e: True
+        elements[-1].static_pad("src").link(cap)
+        for el in elements:
+            el.set_state(State.PLAYING)
+        self.feed.push_event(StreamStartEvent(pad_name))
+        self.feed.push_event(CapsEvent(self._raw_caps.copy()))
+        self.feed.push_event(SegmentEvent(Segment()))
+
+    def push(self, buf: Buffer) -> FlowReturn:
+        return self.feed.push(buf)
+
+    def set_bitrate(self, bps: int) -> None:
+        """Unified bitrate API (reference VideoEncoder::set_bitrate,
+        webrtcsink/imp.rs:1368-1405) + downscale mitigation."""
+        if bps == self.bitrate:
+            return
+        self.bitrate = bps
+        if hasattr(self.enc, "reconfigure_bitrate"):
+            for b in self.enc.reconfigure_bitrate(bps):
+                self.enc.static_pad("src").push(b)
+        elif hasattr(type(self.enc), "bitrate"):
+            self.enc.bitrate = bps
+        if self.is_video:
+            self._update_mitigation(bps)
+
+    def _update_mitigation(self, bps: int) -> None:
+        mode = "downscaled" if bps < _MITIGATION_THRESHOLD else "none"
+        if mode == self.mitigation_mode:
+            return
+        self.mitigation_mode = mode
+        s = self._raw_caps[0]
+        w, h = int(s.get("width", 0)), int(s.get("height", 0))
+        if not (w and h):
+            return
+        if mode == "downscaled":
+            # halve the resolution, even dimensions for I420
+            w, h = max(2, (w // 2) & ~1), max(2, (h // 2) & ~1)
+        self.filter.caps = Caps.new("video/x-raw", width=w, height=h)
+        # renegotiate the chain through the new constraint
+        self.feed.push_event(CapsEvent(self._raw_caps.copy()))
+
 
 @register_element("webrtcsink", Rank.NONE)
 class WebRtcSink(Element):
     """Producer side: media sink pads -> per-consumer RTP src pads +
-    the signalling session lifecycle."""
+    the signalling session lifecycle.
+
+    Raw inputs are encoded in-element after codec discovery
+    (reference webrtcsink's discovery pipelines), and a GCC-driven
+    congestion controller distributes the estimated bitrate across
+    the stream encoders (reference webrtcsink/imp.rs:4218-4292)."""
 
     PAD_TEMPLATES = [
         PadTemplate("sink_%u", PadDirection.SINK, PadPresence.REQUEST,
-                    # encoded media the payloaders accept
+                    # encoded media the payloaders accept, or raw
                     Caps([s for n in _PAYLOADERS
-                          for s in Caps.new(n)])),
+                          for s in Caps.new(n)]
+                         + [Structure("video/x-raw"),
+                            Structure("audio/x-raw")])),
         PadTemplate("session_%s", PadDirection.SRC,
                     PadPresence.SOMETIMES,
                     Caps.new("application/x-rtp")),
@@ -48,13 +204,68 @@ class WebRtcSink(Element):
 
     display_name = Property(str, default="gstpu-webrtcsink",
                             mutable=Mutability.READY)
+    congestion_control = Property(str, default="gcc",
+                                  mutable=Mutability.READY,
+                                  blurb="gcc|disabled")
+    min_bitrate = Property(int, default=1000, minimum=0,
+                           mutable=Mutability.READY)
+    max_bitrate = Property(int, default=8_192_000, minimum=0,
+                           mutable=Mutability.READY)
+    start_bitrate = Property(int, default=2_048_000, minimum=0,
+                             mutable=Mutability.READY)
+    do_fec = Property(bool, default=True, mutable=Mutability.READY)
 
     def __init__(self, name=None):
         super().__init__(name)
         self.peer_id: str | None = None
         self._payloaders: dict[str, Element] = {}   # sink pad -> pay
+        self._encoders: dict[str, _EncoderChain] = {}
         self._sessions: dict[str, Pad] = {}         # session -> src
         self._outbox: list[dict] = []
+        self._gcc = None
+
+    # -- congestion control ----------------------------------------------
+    def process_feedback(self, packets) -> int | None:
+        """Feed TWCC-style packet feedback (gstpu.net.rtp.gcc
+        PacketFeedback list); returns the new estimate and applies it
+        to the encoders (reference: rtpgccbwe estimated-bitrate ->
+        set_bitrate, webrtcsink/imp.rs:4218)."""
+        if self.congestion_control != "gcc":
+            return None
+        if self._gcc is None:
+            from gstpu.net.rtp.gcc import GccEstimator
+            self._gcc = GccEstimator(
+                start_bitrate=self.start_bitrate,
+                min_bitrate=self.min_bitrate,
+                max_bitrate=self.max_bitrate)
+        est = self._gcc.process_feedback(packets)
+        self.apply_bitrate(est)
+        return est
+
+    def apply_bitrate(self, bitrate: int) -> None:
+        """Distribute a session bitrate across the stream encoders
+        with the reference's FEC headroom formula."""
+        encoders = [e for e in self._encoders.values() if e.is_video]
+        if not encoders:
+            return
+        if self.do_fec and bitrate > _DO_FEC_THRESHOLD:
+            denom = (self.max_bitrate * len(encoders)
+                     - _DO_FEC_THRESHOLD)
+            fec_ratio = (bitrate - _DO_FEC_THRESHOLD) / denom \
+                if denom > 0 else 0.0
+        else:
+            fec_ratio = 0.0
+        fec_pct = fec_ratio * 50.0
+        total = bitrate / (1.0 + fec_pct / 100.0)
+        per_encoder = int(total / len(encoders))
+        for enc in encoders:
+            enc.set_bitrate(per_encoder)
+        self.post_element_message(
+            "webrtcsink-encoder-bitrates",
+            bitrate=bitrate, per_encoder=per_encoder,
+            fec_percentage=min(100, int(fec_pct)),
+            mitigation={e.stream_name: e.mitigation_mode
+                        for e in encoders})
 
     # -- signalling (sans-IO: the app shuttles dicts) --------------------
     def signalling_connect(self, welcome_msg: dict) -> list[dict]:
@@ -91,6 +302,17 @@ class WebRtcSink(Element):
         return []
 
     def _offer_sdp(self) -> str:
+        # materialize payloaders/encoder chains for every sink pad
+        # that has caps, so the offer carries their m-lines (the
+        # reference runs codec discovery before negotiation)
+        for pad in list(self.pads.values()):
+            if pad.direction is PadDirection.SINK \
+                    and pad.caps() is not None \
+                    and pad.name not in self._payloaders:
+                if pad.caps()[0].name in ("video/x-raw", "audio/x-raw"):
+                    self._encoder_for(pad)
+                else:
+                    self._payloader_for(pad)
         lines = ["v=0", f"o=- 0 0 IN IP4 127.0.0.1",
                  f"s={self.display_name}", "t=0 0"]
         for pad_name, pay in self._payloaders.items():
@@ -136,7 +358,29 @@ class WebRtcSink(Element):
             self._payloaders[pad.name] = pay
         return pay
 
+    def _encoder_for(self, pad: Pad) -> "_EncoderChain | None":
+        chain = self._encoders.get(pad.name)
+        if chain is None:
+            caps = pad.caps()
+            is_video = caps[0].name == "video/x-raw"
+            usable = discover_codecs(is_video)
+            if not usable:
+                self.post_error(f"webrtcsink: no usable "
+                                f"{'video' if is_video else 'audio'} "
+                                f"codec (discovery failed)")
+                return None
+            chain = _EncoderChain(self, pad.name, caps, usable[0])
+            self._encoders[pad.name] = chain
+            self._payloaders[pad.name] = chain.pay
+        return chain
+
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        caps_name = pad.caps()[0].name
+        if caps_name in ("video/x-raw", "audio/x-raw"):
+            chain = self._encoder_for(pad)
+            if chain is None:
+                return FlowReturn.ERROR
+            return chain.push(buf)
         pay = self._payloader_for(pad)
         return pay._gstpu_feed.push(buf)
 

@@ -53,7 +53,7 @@ class Rav1Enc(BaseTransform):
     quantizer = Property(int, default=100, minimum=0, maximum=255,
                          mutable=Mutability.READY)
     bitrate = Property(int, default=0, minimum=0,
-                       mutable=Mutability.READY,
+                       mutable=Mutability.PLAYING,
                        blurb="Target bitrate (bps); 0 = quantizer mode")
     max_key_frame_interval = Property(int, default=240, minimum=1,
                                       mutable=Mutability.READY)
@@ -93,7 +93,11 @@ class Rav1Enc(BaseTransform):
                if fr and fr.numerator else (30, 1))
         params = []
         if self.low_latency:
+            # rav1e still queues its rdo lookahead even with
+            # low_latency; cap it so packets stream out frame-by-frame
+            # (needed by the webrtcsink live path)
             params.append("low_latency=true")
+            params.append("rdo_lookahead_frames=1")
         if self.error_resilient:
             params.append("error_resilient=true")
         opts = {
@@ -130,6 +134,22 @@ class Rav1Enc(BaseTransform):
             if not key:
                 b.set_flag(BufferFlags.DELTA_UNIT)
             out.append(b)
+        return out
+
+    def reconfigure_bitrate(self, bps: int) -> list[Buffer]:
+        """Live bitrate change (webrtcsink congestion control; the
+        reference sets rav1enc's bitrate property at runtime,
+        webrtcsink/imp.rs:1400-1402). Drains the engine and restarts
+        it at the new rate — the next frame opens a fresh keyframe +
+        sequence header, which is a valid AV1 stream continuation."""
+        self.bitrate = bps
+        if self._enc is None or self._info is None:
+            return []
+        out = self._emit(self._enc.finish())
+        self._enc.close()
+        self._enc = None
+        if not self.set_caps(self._info.to_caps(), None):
+            return out
         return out
 
     def transform(self, buf: Buffer) -> list[Buffer] | None:
