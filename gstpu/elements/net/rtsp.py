@@ -161,7 +161,102 @@ class RtspSrc(PushSrc):
         self._media: dict | None = None
         self._rtp_sock = None
         self._rtcp_sock = None
+        self._rtcp_peer = None          # (host, port) in UDP mode
+        self._session = None            # gstpu.net.rtp Session (RTCP)
+        self._control: str | None = None
+        self._seek_base_ns = 0
         self.is_live = True
+
+    # -- RTCP (reference net/rtsp: interleaved RTCP channels, SR sync,
+    # RR receiver reports) ------------------------------------------------
+    def _now(self) -> int:
+        import time as _t
+        return _t.monotonic_ns()
+
+    def _handle_rtcp(self, data: bytes) -> None:
+        from gstpu.net.rtp.session import Session
+        if self._session is None:
+            self._session = Session(cname="gstpu-rtspsrc2@localhost")
+        now = self._now()
+        events = self._session.handle_rtcp_recv(data, now)
+        for ev in events:
+            if ev[0] == "sr":
+                mapping = self._session.ntp_rtp_mapping(ev[1])
+                if mapping is not None:
+                    self.post_element_message(
+                        "rtspsrc2-sr", ssrc=ev[1], ntp_ns=mapping[0],
+                        rtp_ts=mapping[1])
+                # answer sender reports promptly with a receiver
+                # report so the server sees our reception stats
+                self._send_rr(now)
+
+    def _send_rr(self, now: int) -> None:
+        if self._session is None:
+            return
+        self._session._next_rtcp_time = now  # report due immediately
+        out = self._session.poll_rtcp_send(now)
+        if not out:
+            return
+        try:
+            if self._rtcp_sock is not None and self._rtcp_peer:
+                self._rtcp_sock.sendto(out, self._rtcp_peer)
+            elif self._conn is not None:
+                frame = b"$\x01" + len(out).to_bytes(2, "big") + out
+                self._conn.sock.sendall(frame)
+        except OSError:
+            pass
+
+    def _track_rtp(self, payload: bytes) -> None:
+        from gstpu.net.rtp.packet import RtpPacket, RtpParseError
+        from gstpu.net.rtp.session import Session
+        if self._session is None:
+            self._session = Session(cname="gstpu-rtspsrc2@localhost")
+            if self._media:
+                self._session.set_pt_clock_rate(
+                    self._media.get("payload", 96),
+                    self._media.get("clock-rate", 90000))
+        try:
+            pkt = RtpPacket.parse(payload)
+        except RtpParseError:
+            return
+        self._session.handle_recv(pkt, self._now())
+
+    # -- seek (PAUSE + PLAY with Range, RFC 2326 §10.5/12.29) -------------
+    def seek(self, position_ns: int) -> bool:
+        """Reposition the stream: PAUSE then PLAY with
+        `Range: npt=<pos>-`; flushes downstream and opens a new
+        segment at the target position."""
+        if self._conn is None:
+            return False
+        from gstpu.core.event import (FlushStartEvent, FlushStopEvent,
+                                      Segment, SegmentEvent)
+        try:
+            status, _, _ = self._conn.request("PAUSE")
+            if status not in (200, 405):   # 405: server never pauses
+                return False
+            npt = position_ns / 1_000_000_000
+            status, _, _ = self._conn.request(
+                "PLAY", headers={"Range": f"npt={npt:.3f}-"})
+            if status != 200:
+                return False
+        except (OSError, ConnectionError) as e:
+            self.post_error(f"rtspsrc2: seek failed: {e}")
+            return False
+        self.srcpad.push_event(FlushStartEvent())
+        self.srcpad.push_event(FlushStopEvent())
+        seg = Segment()
+        seg.start = position_ns
+        seg.time = position_ns
+        seg.position = position_ns
+        self.srcpad.push_event(SegmentEvent(seg))
+        self._seek_base_ns = position_ns
+        return True
+
+    def _src_event(self, pad, ev) -> bool:
+        from gstpu.core.event import SeekEvent
+        if isinstance(ev, SeekEvent):
+            return self.seek(ev.start)
+        return True
 
     def start(self) -> bool:
         if not self.location:
@@ -199,15 +294,25 @@ class RtspSrc(PushSrc):
                              f"{rtp_port}-{rtcp_port}")
             else:
                 transport = "RTP/AVP/TCP;unicast;interleaved=0-1"
-            status, _, _ = c.request(
+            status, hdrs, _ = c.request(
                 "SETUP", url=control,
                 headers={"Transport": transport})
             if status != 200:
                 raise ConnectionError(f"SETUP -> {status}")
+            # server_port from the Transport response -> RTCP peer
+            t = hdrs.get("transport", "")
+            for part in t.split(";"):
+                if part.strip().startswith("server_port="):
+                    ports = part.split("=", 1)[1].split("-")
+                    if len(ports) == 2:
+                        host = urlparse(self.location).hostname
+                        self._rtcp_peer = (host, int(ports[1]))
             status, _, _ = c.request("PLAY")
             if status != 200:
                 raise ConnectionError(f"PLAY -> {status}")
             self._conn = c
+            self._control = control
+            self.srcpad.event_function = self._src_event
             return True
         except (OSError, ConnectionError) as e:
             self.post_error(f"rtspsrc2: {e}")
@@ -239,10 +344,17 @@ class RtspSrc(PushSrc):
 
     def create(self) -> Buffer | None:
         if self._rtp_sock is not None:
+            if self._rtcp_sock is not None:
+                try:
+                    rtcp, _ = self._rtcp_sock.recvfrom(65536)
+                    self._handle_rtcp(rtcp)
+                except BlockingIOError:
+                    pass
             try:
                 payload, _addr = self._rtp_sock.recvfrom(65536)
             except BlockingIOError:
                 raise FlowError(FlowReturn.FLUSHING, "no datagram yet")
+            self._track_rtp(payload)
             buf = Buffer(payload)
             if self.clock is not None:
                 buf.pts = self.running_time()
@@ -254,8 +366,10 @@ class RtspSrc(PushSrc):
         if frame is None:
             raise FlowError(FlowReturn.FLUSHING, "no frame yet")
         ch, payload = frame
-        if ch != 0:   # RTCP channel: consumed, not forwarded (yet)
+        if ch != 0:   # RTCP channel
+            self._handle_rtcp(payload)
             raise FlowError(FlowReturn.FLUSHING, "rtcp frame")
+        self._track_rtp(payload)
         buf = Buffer(payload)
         if self.clock is not None:
             buf.pts = self.running_time()

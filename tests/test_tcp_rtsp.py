@@ -211,3 +211,173 @@ def test_rtspsrc2_udp_transport():
             for b in list(sink.samples)[:5]]
     assert [q.seqnum for q in pkts] == list(range(5))
     assert sink.caps[0]["encoding-name"] == "L16"
+
+
+# ---------------------------------------------------------------------------
+# RTCP + seek (reference net/rtsp: interleaved RTCP channels, SR sync,
+# RR receiver reports; PLAY-with-Range repositioning)
+# ---------------------------------------------------------------------------
+
+class RtcpSeekRtspServer(MiniRtspServer):
+    """Interleaved server that sends an RTCP SR before the RTP, reads
+    back a receiver report on channel 1, and honors PAUSE + PLAY with
+    a Range header by jumping the sequence numbers."""
+
+    def __init__(self, n_packets=5):
+        self.got_rr = threading.Event()
+        self.rr_packets = []
+        self.got_range = threading.Event()
+        self.range_value = None
+        super().__init__(n_packets)
+
+    def _serve_control(self, conn, buf):
+        playing = False
+        while not playing:
+            while b"\r\n\r\n" not in buf:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    return None, buf
+                buf += chunk
+            req, buf = buf.split(b"\r\n\r\n", 1)
+            lines = req.decode().split("\r\n")
+            method = lines[0].split()[0]
+            cseq = next(line.split(":")[1].strip() for line in lines
+                        if line.lower().startswith("cseq"))
+            extra = ""
+            body = b""
+            if method == "DESCRIBE":
+                body = SDP.encode()
+                extra = ("Content-Type: application/sdp\r\n"
+                         f"Content-Length: {len(body)}\r\n")
+            elif method == "SETUP":
+                extra = ("Session: 77\r\nTransport: RTP/AVP/TCP;"
+                         "unicast;interleaved=0-1\r\n")
+            elif method == "PAUSE":
+                extra = "Session: 77\r\n"
+            elif method == "PLAY":
+                extra = "Session: 77\r\n"
+                rng = [line for line in lines
+                       if line.lower().startswith("range")]
+                if rng:
+                    self.range_value = rng[0].split(":", 1)[1].strip()
+                    self.got_range.set()
+                playing = True
+            conn.sendall((f"RTSP/1.0 200 OK\r\nCSeq: {cseq}\r\n"
+                          f"{extra}\r\n").encode() + body)
+        return True, buf
+
+    def _run(self):
+        from gstpu.net.rtp.packet import SenderReport, parse_rtcp
+        conn, _ = self._srv.accept()
+        conn.settimeout(10)
+        ok, buf = self._serve_control(conn, b"")
+        if not ok:
+            return
+        # RTCP SR on channel 1 (NTP epoch-ish value, RTP ts 800)
+        sr = SenderReport(0xABCD, (3_900_000_000 << 32), 800, 10,
+                          2000).to_bytes()
+        conn.sendall(b"$\x01" + len(sr).to_bytes(2, "big") + sr)
+        for i in range(self.n_packets):
+            pkt = RtpPacket(payload_type=96, seqnum=i, timestamp=i * 160,
+                            ssrc=0xABCD, payload=bytes([i]) * 20)
+            data = pkt.to_bytes()
+            conn.sendall(b"$\x00" + len(data).to_bytes(2, "big") + data)
+        # second SR: the client already has reception stats, so its
+        # prompt RR answer will carry a report block
+        conn.sendall(b"$\x01" + len(sr).to_bytes(2, "big") + sr)
+        # read frames from the client until an RTCP RR arrives
+        deadline = time.monotonic() + 8
+        while not self.got_rr.is_set() and time.monotonic() < deadline:
+            try:
+                while len(buf) < 4 or (buf[0:1] == b"$"
+                                       and len(buf) <
+                                       4 + int.from_bytes(buf[2:4], "big")):
+                    chunk = conn.recv(4096)
+                    if not chunk:
+                        return
+                    buf += chunk
+            except socket.timeout:
+                break
+            if buf[0:1] == b"$":
+                n = int.from_bytes(buf[2:4], "big")
+                ch, payload, buf = buf[1], buf[4:4 + n], buf[4 + n:]
+                if ch == 1:
+                    pkts = parse_rtcp(payload)
+                    # ignore the RR answering the pre-RTP SR (it has
+                    # no reception stats yet); wait for a real one
+                    if any(getattr(x, "reports", None)
+                           and x.reports[0].ext_highest_seq >= 4
+                           for x in pkts):
+                        self.rr_packets = pkts
+                        self.got_rr.set()
+            else:
+                # interleaved RTSP request (e.g. PAUSE during seek)
+                if b"\r\n\r\n" not in buf:
+                    continue
+                ok, buf = self._serve_control(conn, buf)
+                if not ok:
+                    return
+                # after a re-PLAY: stream post-seek packets
+                for i in range(3):
+                    pkt = RtpPacket(payload_type=96, seqnum=100 + i,
+                                    timestamp=40000 + i * 160,
+                                    ssrc=0xABCD,
+                                    payload=bytes([100 + i]) * 20)
+                    d = pkt.to_bytes()
+                    conn.sendall(b"$\x00" + len(d).to_bytes(2, "big")
+                                 + d)
+        time.sleep(0.3)
+        conn.close()
+
+
+def test_rtspsrc2_rtcp_sr_and_rr():
+    from gstpu.net.rtp.packet import ReceiverReport
+    srv = RtcpSeekRtspServer(n_packets=5)
+    p = parse_launch(f"rtspsrc2 location=rtsp://127.0.0.1:{srv.port}/s"
+                     " name=src ! appsink name=sink")
+    sink = p.get_by_name("sink")
+    src = p.get_by_name("src")
+    p.set_state(State.PLAYING)
+    deadline = time.monotonic() + 10
+    while (len(sink.samples) < 5 or not srv.got_rr.is_set()) \
+            and time.monotonic() < deadline:
+        p.iterate()
+        time.sleep(0.002)
+    p.set_state(State.NULL)
+    srv.stop()
+    assert len(sink.samples) >= 5
+    # the SR produced an NTP<->RTP mapping in the session
+    assert src._session is not None
+    assert src._session.ntp_rtp_mapping(0xABCD) is not None
+    # and the server received our receiver report about its stream
+    assert srv.got_rr.is_set()
+    rr = next(x for x in srv.rr_packets
+              if isinstance(x, ReceiverReport))
+    assert rr.reports and rr.reports[0].ssrc == 0xABCD
+    assert rr.reports[0].ext_highest_seq >= 4
+
+
+def test_rtspsrc2_seek_sends_range():
+    srv = RtcpSeekRtspServer(n_packets=3)
+    p = parse_launch(f"rtspsrc2 location=rtsp://127.0.0.1:{srv.port}/s"
+                     " name=src ! appsink name=sink")
+    sink = p.get_by_name("sink")
+    src = p.get_by_name("src")
+    p.set_state(State.PLAYING)
+    deadline = time.monotonic() + 10
+    while len(sink.samples) < 3 and time.monotonic() < deadline:
+        p.iterate()
+        time.sleep(0.002)
+    assert len(sink.samples) >= 3
+    assert src.seek(5_000_000_000)
+    assert srv.got_range.wait(5)
+    assert srv.range_value == "npt=5.000-"
+    # post-seek packets arrive with the jumped seqnums
+    deadline = time.monotonic() + 10
+    while len(sink.samples) < 6 and time.monotonic() < deadline:
+        p.iterate()
+        time.sleep(0.002)
+    p.set_state(State.NULL)
+    srv.stop()
+    pkts = [RtpPacket.parse(b.to_bytes()) for b in sink.pull_all()]
+    assert any(q.seqnum >= 100 for q in pkts)
