@@ -244,6 +244,76 @@ class ChromeTracer(Tracer):
                        "displayTimeUnit": "ns"}, f)
 
 
+class FmtTracer(Tracer):
+    """Human-readable span logging (reference fmttracing: the
+    tracing-subscriber fmt layer printing pad push spans). Writes to
+    the `gstpu.trace` logger so GSTPU_DEBUG-style config applies."""
+
+    HOOKS = {"pad-push-pre": "pre", "pad-push-post": "post"}
+
+    def __init__(self, level: str = "DEBUG"):
+        super().__init__(level=level)
+        import logging
+        self._log = logging.getLogger("gstpu.trace")
+        self._level = getattr(logging, str(level).upper(), 10)
+        self._t0: dict[int, int] = {}
+
+    def pre(self, pad, buf) -> None:
+        self._t0[id(pad)] = time.monotonic_ns()
+
+    def post(self, pad, buf) -> None:
+        t0 = self._t0.pop(id(pad), None)
+        if t0 is None:
+            return
+        el = pad.element.name if pad.element else "?"
+        self._log.log(self._level,
+                      "pad_push %s:%s %.1fus", el, pad.name,
+                      (time.monotonic_ns() - t0) / 1000.0)
+
+
+class JaxProfilerTracer(Tracer):
+    """TPU-native profiling bridge (SURVEY §5.1): wraps the pipeline's
+    dataflow in jax.profiler so device kernels land in an Xprof/
+    TensorBoard trace alongside pad-level TraceAnnotations. The
+    reference's perfetto tracer plays this role on its stack."""
+
+    HOOKS = {"pad-push-pre": "pre", "pad-push-post": "post"}
+
+    def __init__(self, logdir: str = "/tmp/gstpu-jax-trace"):
+        super().__init__(logdir=logdir)
+        self.logdir = logdir
+        self._spans: dict[int, object] = {}
+        self._started = False
+
+    def install(self) -> None:
+        import jax
+        jax.profiler.start_trace(self.logdir)
+        self._started = True
+        super().install()
+
+    def pre(self, pad, buf) -> None:
+        import jax
+        el = pad.element.name if pad.element else "?"
+        span = jax.profiler.TraceAnnotation(f"pad_push:{el}:{pad.name}")
+        span.__enter__()
+        self._spans[id(pad)] = span
+
+    def post(self, pad, buf) -> None:
+        span = self._spans.pop(id(pad), None)
+        if span is not None:
+            span.__exit__(None, None, None)
+
+    def flush(self) -> None:
+        if self._started:
+            import jax
+            # close any open spans before stopping the trace
+            for span in list(self._spans.values()):
+                span.__exit__(None, None, None)
+            self._spans.clear()
+            jax.profiler.stop_trace()
+            self._started = False
+
+
 _TRACERS = {
     "pad-push-timings": PadPushTimings,
     "queue-levels": QueueLevels,
@@ -251,6 +321,8 @@ _TRACERS = {
     "pcap-writer": PcapWriter,
     "memory-tracer": MemoryTracer,
     "chrome-tracer": ChromeTracer,
+    "fmt-tracer": FmtTracer,
+    "jax-profiler": JaxProfilerTracer,
 }
 
 
