@@ -204,7 +204,13 @@ class YoloxInference(BaseTransform):
     ]
 
     model_file = Property(str, default=None, mutable=Mutability.READY,
-                          blurb=".npz weights (random init if unset)")
+                          blurb=".npz weights or an official YOLOX "
+                                ".pth checkpoint (random init if "
+                                "unset)")
+    model_size = Property(str, default="tiny", mutable=Mutability.READY,
+                          enum_values=("nano", "tiny", "s", "m", "l",
+                                       "x"),
+                          blurb="YOLOX variant (depth/width preset)")
     num_classes = Property(int, default=80, minimum=1,
                            mutable=Mutability.READY)
 
@@ -214,10 +220,14 @@ class YoloxInference(BaseTransform):
 
     def start(self) -> bool:
         from gstpu.ops import yolox
-        if self.model_file:
+        if self.model_file and self.model_file.endswith(".pth"):
+            self._params = yolox.load_torch_checkpoint(
+                self.model_file, self.num_classes, self.model_size)
+        elif self.model_file:
             self._params = yolox.load_params(self.model_file)
         else:
-            self._params = yolox.init_params(self.num_classes)
+            self._params = yolox.init_params(self.num_classes,
+                                             size=self.model_size)
         return True
 
     def transform_ip(self, buf: Buffer) -> None:
