@@ -30,6 +30,10 @@ class ReqwestHttpSrc(PushSrc):
                          mutable=Mutability.READY)
     user_agent = Property(str, default="gstpu/reqwesthttpsrc",
                           mutable=Mutability.READY)
+    caps = Property(Caps, default=None, mutable=Mutability.READY,
+                    blurb="Override output caps (when the consumer "
+                          "knows the media type, e.g. uriplaylistbin "
+                          "by file extension)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -62,6 +66,8 @@ class ReqwestHttpSrc(PushSrc):
         return True
 
     def negotiate(self) -> Caps:
+        if self.caps is not None:
+            return self.caps
         ct = (self.content_type or "application/octet-stream") \
             .split(";")[0].strip()
         if ct in ("application/ogg", "audio/ogg"):

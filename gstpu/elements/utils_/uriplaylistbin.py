@@ -61,17 +61,28 @@ class UriPlaylistBin(Element):
 
     def _build_item(self, uri: str) -> bool:
         u = urlparse(uri)
-        if u.scheme not in ("file", ""):
+        if u.scheme in ("http", "https"):
+            # http(s) items route through reqwesthttpsrc, like the
+            # reference's uridecodebin3 source selection
+            path = unquote(u.path)
+            src = make("reqwesthttpsrc", location=uri)
+        elif u.scheme in ("file", ""):
+            path = unquote(u.path)
+            src = make("filesrc", location=path)
+        else:
             self.post_error(f"uriplaylistbin: unsupported scheme "
                             f"{u.scheme!r}")
             return False
-        path = unquote(u.path)
         ext = "." + path.rsplit(".", 1)[-1].lower()
-        src = make("filesrc", location=path)
         chain = [src]
         if ext in _DECODERS:
-            cf = make("capsfilter")
             from gstpu.core.caps import parse_caps
+            if u.scheme in ("http", "https"):
+                # the http source doesn't typefind; stamp the caps
+                # the extension implies
+                src.set_property("caps",
+                                 parse_caps(_SINK_CAPS_FOR[ext]))
+            cf = make("capsfilter")
             cf.set_property("caps", parse_caps(_SINK_CAPS_FOR[ext]))
             dec = make(_DECODERS[ext])
             src.link(cf)

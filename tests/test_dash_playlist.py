@@ -188,3 +188,37 @@ def test_hlswebvttsink(tmp_path, monkeypatch):
     assert "ONE" in first and "-->" in first
     joined = "".join((tmp_path / s).read_text() for s in segs)
     assert "TWO" in joined and "THREE" in joined
+
+
+def test_uriplaylistbin_http_items(tmp_path):
+    """http(s) playlist items stream through reqwesthttpsrc
+    (reference uriplaylistbin routes any URI via uridecodebin3)."""
+    import http.server
+    import threading
+    rate = 8000
+    pcm = (np.ones((rate // 4, 1)) * 3000).astype(np.int16)
+    (tmp_path / "clip.flac").write_bytes(
+        encode_verbatim(pcm, rate, 16))
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(tmp_path), **kw)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        p = parse_launch("uriplaylistbin name=pl ! appsink name=sink")
+        pl = p.get_by_name("pl")
+        pl.set_property(
+            "uris", [f"http://127.0.0.1:{port}/clip.flac",
+                     f"file://{tmp_path}/clip.flac"])
+        sink = p.get_by_name("sink")
+        p.set_state(State.PLAYING)
+        p.run(timeout=60)
+        bufs = sink.pull_all()
+        assert sink.is_eos
+        info = AudioInfo.from_caps(sink.caps)
+        total = sum(info.view(b).shape[0] for b in bufs)
+        assert total == 2 * (rate // 4)   # both items decoded
+        p.set_state(State.NULL)
+    finally:
+        srv.shutdown()
