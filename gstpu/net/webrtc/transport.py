@@ -1,0 +1,156 @@
+"""WebRtcTransport: the sans-IO composition of ICE + DTLS + SRTP.
+
+This is the role str0m plays inside the reference's webrtcbin2
+(net/webrtc/src/webrtcbin2): one object that owns the connectivity
+checks, the DTLS-SRTP handshake, and the RTP protection for a single
+bundled transport, driven entirely by the element layer's sockets.
+
+Demux follows RFC 7983: first byte 0..3 = STUN, 20..63 = DTLS,
+128..191 = RTP/RTCP.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from gstpu.net.srtp import SrtpContext
+from gstpu.net.webrtc.dtls import DtlsEndpoint, fingerprint
+from gstpu.net.webrtc.ice import Addr, Candidate, IceAgent
+
+_RTCP_PTS = set(range(64, 96))  # RTCP packet types 192..223 & 0x7F… n/a
+
+
+@dataclass
+class RemoteDescription:
+    ufrag: str
+    pwd: str
+    fingerprint: str
+    candidates: list[Candidate] = field(default_factory=list)
+
+
+class WebRtcTransport:
+    """One bundled ICE/DTLS/SRTP transport.
+
+    Driving contract:
+    - add_local_candidate(), local_description()
+    - set_remote_description(RemoteDescription)
+    - handle_packet(datagram, src) -> ("rtp"|"rtcp", bytes) | None
+    - send_rtp(packet) queues a protected datagram
+    - poll_transmit() -> (datagram, addr) | None
+    - .connected after ICE + DTLS complete
+    """
+
+    def __init__(self, *, controlling: bool, certificate=None,
+                 ice_lite: bool = False):
+        self.ice = IceAgent(lite=ice_lite, controlling=controlling)
+        # WebRTC convention: the controlling/offering side is the
+        # DTLS client when it sends `a=setup:active`
+        self.dtls = DtlsEndpoint(client=controlling,
+                                 certificate=certificate)
+        self.controlling = controlling
+        self._srtp_tx: SrtpContext | None = None
+        self._srtp_rx: SrtpContext | None = None
+        self._dtls_started = False
+        self._remote: RemoteDescription | None = None
+
+    # -- signalling ------------------------------------------------------
+    def add_local_candidate(self, cand: Candidate) -> None:
+        self.ice.add_local_candidate(cand)
+
+    def local_description(self) -> dict:
+        """The transport attributes for the SDP (m-line level)."""
+        return {
+            "ice-ufrag": self.ice.local_ufrag,
+            "ice-pwd": self.ice.local_pwd,
+            "fingerprint": self.dtls.local_fingerprint,
+            "setup": "active" if self.controlling else "passive",
+            "candidates": [c.to_sdp()
+                           for c in self.ice.local_candidates],
+        }
+
+    def set_remote_description(self, remote: RemoteDescription) -> None:
+        self._remote = remote
+        self.ice.set_remote_credentials(remote.ufrag, remote.pwd)
+        self.dtls.remote_fingerprint = remote.fingerprint
+        for c in remote.candidates:
+            self.ice.add_remote_candidate(c)
+        if self.controlling:
+            self.ice.start_checks()
+
+    # -- state -----------------------------------------------------------
+    @property
+    def ice_connected(self) -> bool:
+        return self.ice.selected is not None
+
+    @property
+    def connected(self) -> bool:
+        return self.ice_connected and self.dtls.connected
+
+    @property
+    def peer_addr(self) -> Addr | None:
+        sel = self.ice.selected
+        return sel.remote.addr if sel else None
+
+    # -- dataflow ----------------------------------------------------------
+    def _after_ice(self) -> None:
+        if self.controlling and not self._dtls_started:
+            self._dtls_started = True
+            self.dtls.handshake()
+
+    def _after_dtls(self) -> None:
+        if self._srtp_tx is not None:
+            return
+        keys = self.dtls.srtp_keys
+        is_client = self.dtls.is_client
+        k, s = keys.send_key_salt(is_client)
+        self._srtp_tx = SrtpContext(k, s)
+        k, s = keys.recv_key_salt(is_client)
+        self._srtp_rx = SrtpContext(k, s)
+
+    def handle_packet(self, data: bytes,
+                      src: Addr) -> tuple[str, bytes] | None:
+        if not data:
+            return None
+        b0 = data[0]
+        if b0 < 4:
+            if self.ice.handle_packet(data, src):
+                for ev in self.ice.events():
+                    if ev[0] == "connected":
+                        self._after_ice()
+                return None
+        if 20 <= b0 <= 63:
+            self.dtls.handle_packet(data)
+            if self.dtls.connected:
+                self._after_dtls()
+            return None
+        if 128 <= b0 <= 191 and self._srtp_rx is not None:
+            # RFC 5761 demux: RTCP packet types 192..223 in byte 1
+            if 192 <= data[1] <= 223:
+                return ("rtcp", data)   # SRTCP not yet keyed here
+            plain = self._srtp_rx.unprotect(data)
+            if plain is not None:
+                return ("rtp", plain)
+        return None
+
+    def send_rtp(self, packet: bytes) -> bool:
+        if self._srtp_tx is None or self.peer_addr is None:
+            return False
+        self._outbox_media = getattr(self, "_outbox_media", [])
+        self._outbox_media.append(
+            (self._srtp_tx.protect(packet), self.peer_addr))
+        return True
+
+    def poll_transmit(self) -> tuple[bytes, Addr] | None:
+        t = self.ice.poll_transmit()
+        if t is not None:
+            return t
+        if self.ice_connected:
+            d = self.dtls.poll_transmit()
+            if d is not None:
+                return (d, self.peer_addr)
+            if self.dtls.connected:
+                self._after_dtls()
+        media = getattr(self, "_outbox_media", None)
+        if media:
+            return media.pop(0)
+        return None
