@@ -1,18 +1,27 @@
-"""sodiumencrypter / sodiumdecrypter: whole-stream AEAD encryption.
+"""sodiumencrypter / sodiumdecrypter: libsodium crypto_box streams.
 
-Rebuilds the reference generic/sodium elements (libsodium
-secretstream-style chunked encryption with typefind support). The
-environment has no libsodium, so the stream format uses IETF
-ChaCha20-Poly1305 (via `cryptography`) with the same structure: a
-magic + 24-byte random stream header from which a per-stream subkey
-is derived (HKDF — mirroring secretstream's header→subkey step), then
-length-prefixed AEAD chunks with a counter nonce — chunk tampering,
-truncation and reordering are all detected. Not wire-compatible with
-libsodium's XChaCha20 secretstream (documented divergence).
+Rebuilds the reference generic/sodium elements WIRE-COMPATIBLY
+(generic/sodium/src/{encrypter,decrypter}/imp.rs + lib.rs): the
+stream is
+
+    b"gst-sodium10" | nonce (24B) | block_size (u32 LE)
+    crypto_box_easy(block, nonce + i) per block_size chunk
+
+using Curve25519 + XSalsa20-Poly1305 (crypto_box precomputed with
+receiver public key x sender secret key), the nonce incremented
+little-endian per block, the final short block flushed at EOS.
+libsodium itself does the crypto, loaded via ctypes
+(libsodium.so.23 ships in this image).
+
+The reference decrypter is additionally a pull-mode random-access
+reader; this one is the push-mode path (chunked adapter), which every
+gstpu pipeline uses.
 """
 
 from __future__ import annotations
 
+import ctypes
+import ctypes.util
 import struct
 
 from gstpu.core.base import BaseTransform
@@ -23,40 +32,105 @@ from gstpu.core.element import (FlowError, FlowReturn, PadDirection,
 from gstpu.core.props import Mutability, Property
 from gstpu.core.registry import Rank, register_element
 
-MAGIC = b"gstpu-sodium-stream\x01"
+MAGIC = b"gst-sodium10"          # reference lib.rs TYPEFIND_HEADER
+NONCE_BYTES = 24
+MAC_BYTES = 16
+HEADER_SIZE = len(MAGIC) + NONCE_BYTES + 4
 ENC_CAPS = Caps.new("application/x-sodium-encrypted-stream")
-HEADER_LEN = 24                 # random per-stream header (subkey salt)
 
 
-def _aead(key: bytes):
-    from cryptography.hazmat.primitives.ciphers.aead import \
-        ChaCha20Poly1305
-    if len(key) != 32:
-        raise ValueError("key must be 32 bytes")
-    return ChaCha20Poly1305(key)
+def _load_sodium():
+    for name in ("libsodium.so.23", "libsodium.so",
+                 ctypes.util.find_library("sodium")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+            lib.sodium_init()
+            return lib
+        except OSError:
+            continue
+    return None
 
 
-def _stream_aead(key: bytes, header: bytes):
-    """Per-stream subkey = HKDF-SHA256(key, salt=header).  Mirrors
-    libsodium secretstream's 24-byte header → subkey derivation so a
-    (key, counter) pair never repeats across streams or element
-    restarts; nonce reuse would need a 24-byte header collision
-    (birthday bound 2^96)."""
-    if len(key) != 32:
-        raise ValueError("key must be 32 bytes")
-    from cryptography.hazmat.primitives import hashes
-    from cryptography.hazmat.primitives.kdf.hkdf import HKDF
-    sub = HKDF(algorithm=hashes.SHA256(), length=32, salt=header,
-               info=MAGIC).derive(key)
-    return _aead(sub)
+_SODIUM = _load_sodium()
 
 
-def _nonce(counter: int) -> bytes:
-    return b"\x00" * 4 + struct.pack(">Q", counter)
+def sodium_available() -> bool:
+    return _SODIUM is not None
+
+
+def generate_keypair() -> tuple[bytes, bytes]:
+    """(public, secret) Curve25519 keypair."""
+    pk = ctypes.create_string_buffer(32)
+    sk = ctypes.create_string_buffer(32)
+    _SODIUM.crypto_box_keypair(pk, sk)
+    return pk.raw, sk.raw
+
+
+class _BoxState:
+    """Precomputed crypto_box with an LE-incrementing nonce
+    (reference encrypter/imp.rs State)."""
+
+    def __init__(self, receiver_pk: bytes, sender_sk: bytes,
+                 nonce: bytes):
+        self.k = ctypes.create_string_buffer(32)
+        rc = _SODIUM.crypto_box_beforenm(self.k, receiver_pk,
+                                         sender_sk)
+        if rc != 0:
+            raise ValueError("crypto_box_beforenm failed (bad keys?)")
+        self.nonce = ctypes.create_string_buffer(nonce, NONCE_BYTES)
+
+    def _bump(self) -> None:
+        _SODIUM.sodium_increment(self.nonce, NONCE_BYTES)
+
+    def seal(self, message: bytes) -> bytes:
+        out = ctypes.create_string_buffer(len(message) + MAC_BYTES)
+        _SODIUM.crypto_box_easy_afternm(
+            out, message, ctypes.c_ulonglong(len(message)),
+            self.nonce, self.k)
+        self._bump()
+        return out.raw
+
+    def open(self, sealed: bytes) -> bytes | None:
+        if len(sealed) < MAC_BYTES:
+            return None
+        out = ctypes.create_string_buffer(len(sealed) - MAC_BYTES)
+        rc = _SODIUM.crypto_box_open_easy_afternm(
+            out, sealed, ctypes.c_ulonglong(len(sealed)),
+            self.nonce, self.k)
+        self._bump()
+        if rc != 0:
+            return None
+        return out.raw
+
+
+class _SodiumBase(BaseTransform):
+    receiver_key = Property(bytes, default=None,
+                            mutable=Mutability.READY,
+                            blurb="32-byte Curve25519 public key of "
+                                  "the receiver")
+    sender_key = Property(bytes, default=None,
+                          mutable=Mutability.READY,
+                          blurb="32-byte Curve25519 secret key of "
+                                "the sender")
+
+    def _check_env(self) -> bool:
+        if _SODIUM is None:
+            self.post_error(f"{self.ELEMENT_NAME}: libsodium not "
+                            "available")
+            return False
+        for k, n in ((self.receiver_key, "receiver-key"),
+                     (self.sender_key, "sender-key")):
+            if not k or len(k) != 32:
+                self.post_error(f"{self.ELEMENT_NAME}: {n} must be "
+                                "32 bytes")
+                return False
+        return True
 
 
 @register_element("sodiumencrypter", Rank.NONE)
-class SodiumEncrypter(BaseTransform):
+class SodiumEncrypter(_SodiumBase):
     PAD_TEMPLATES = [
         PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
                     Caps.any()),
@@ -64,17 +138,18 @@ class SodiumEncrypter(BaseTransform):
                     ENC_CAPS.copy()),
     ]
 
-    key = Property(bytes, default=None, mutable=Mutability.READY,
-                   blurb="32-byte symmetric key")
+    block_size = Property(int, default=32768, minimum=1,
+                          maximum=0xFFFFFFFF,
+                          mutable=Mutability.READY)
     nonce = Property(bytes, default=None, mutable=Mutability.READY,
-                     blurb="24-byte stream header / subkey salt "
-                           "(random if unset)")
+                     blurb="24-byte initial nonce (random if unset; "
+                           "settable for deterministic tests like "
+                           "GST_SODIUM_ENCRYPT_NONCE)")
 
     def __init__(self, name=None):
         super().__init__(name)
-        self._aead = None
-        self._prefix = None
-        self._counter = 0
+        self._state: _BoxState | None = None
+        self._acc = bytearray()
         self._header_sent = False
 
     def transform_caps(self, direction, caps, filter):
@@ -85,39 +160,52 @@ class SodiumEncrypter(BaseTransform):
         return out
 
     def start(self) -> bool:
-        if not self.key:
-            self.post_error("sodiumencrypter: no key set")
+        if not self._check_env():
             return False
         import os
-        self._prefix = self.nonce or os.urandom(HEADER_LEN)
-        if len(self._prefix) != HEADER_LEN:
-            self.post_error("sodiumencrypter: stream header must be "
-                            f"{HEADER_LEN} bytes")
+        initial = self.nonce or os.urandom(NONCE_BYTES)
+        if len(initial) != NONCE_BYTES:
+            self.post_error("sodiumencrypter: nonce must be 24 bytes")
             return False
+        self._initial_nonce = initial
         try:
-            self._aead = _stream_aead(self.key, self._prefix)
+            self._state = _BoxState(self.receiver_key,
+                                    self.sender_key, initial)
         except ValueError as e:
             self.post_error(f"sodiumencrypter: {e}")
             return False
-        self._counter = 0
+        self._acc = bytearray()
         self._header_sent = False
         return True
 
-    def transform(self, buf: Buffer) -> Buffer:
-        chunks = []
+    def _emit(self, final: bool) -> list[Buffer]:
+        out = []
         if not self._header_sent:
-            chunks.append(MAGIC + self._prefix)
+            hdr = (MAGIC + self._initial_nonce
+                   + struct.pack("<I", self.block_size))
+            out.append(Buffer(hdr))
             self._header_sent = True
-        ct = self._aead.encrypt(_nonce(self._counter),
-                                buf.to_bytes(), MAGIC)
-        self._counter += 1
-        chunks.append(struct.pack(">I", len(ct)) + ct)
-        return Buffer(b"".join(chunks), pts=buf.pts,
-                      duration=buf.duration)
+        bs = self.block_size
+        while len(self._acc) >= bs:
+            block, self._acc = bytes(self._acc[:bs]), self._acc[bs:]
+            out.append(Buffer(self._state.seal(block)))
+        if final and self._acc:
+            out.append(Buffer(self._state.seal(bytes(self._acc))))
+            self._acc = bytearray()
+        return out
+
+    def transform(self, buf: Buffer) -> list[Buffer] | None:
+        self._acc.extend(buf.to_bytes())
+        return self._emit(final=False) or None
+
+    def drain(self) -> list[Buffer]:
+        if self._state is None:
+            return []
+        return self._emit(final=True)
 
 
 @register_element("sodiumdecrypter", Rank.NONE)
-class SodiumDecrypter(BaseTransform):
+class SodiumDecrypter(_SodiumBase):
     PAD_TEMPLATES = [
         PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
                     ENC_CAPS.copy()),
@@ -125,18 +213,13 @@ class SodiumDecrypter(BaseTransform):
                     Caps.any()),
     ]
 
-    key = Property(bytes, default=None, mutable=Mutability.READY)
-
     def __init__(self, name=None):
         super().__init__(name)
-        self._aead = None
-        self._prefix = None
-        self._counter = 0
+        self._state: _BoxState | None = None
+        self._block_size = None
         self._acc = bytearray()
 
     def transform_caps(self, direction, caps, filter):
-        # the decrypted payload type is opaque until data flows
-        # (the reference relies on downstream typefind)
         out = Caps.new("application/octet-stream") \
             if direction is PadDirection.SINK else ENC_CAPS.copy()
         if filter is not None:
@@ -144,45 +227,52 @@ class SodiumDecrypter(BaseTransform):
         return out
 
     def start(self) -> bool:
-        if not self.key:
-            self.post_error("sodiumdecrypter: no key set")
+        if not self._check_env():
             return False
-        if len(self.key) != 32:
-            self.post_error("sodiumdecrypter: key must be 32 bytes")
-            return False
-        self._aead = None
-        self._counter = 0
-        self._prefix = None
+        self._state = None
+        self._block_size = None
         self._acc = bytearray()
         return True
 
+    def _decrypt_available(self, final: bool) -> list[Buffer]:
+        out = []
+        chunk = self._block_size + MAC_BYTES
+        while len(self._acc) >= chunk or (final and self._acc):
+            n = min(chunk, len(self._acc))
+            sealed, self._acc = bytes(self._acc[:n]), self._acc[n:]
+            pt = self._state.open(sealed)
+            if pt is None:
+                self.post_error("sodiumdecrypter: authentication "
+                                "failed")
+                raise FlowError(FlowReturn.ERROR)
+            out.append(Buffer(pt))
+        return out
+
     def transform(self, buf: Buffer) -> list[Buffer] | None:
         self._acc.extend(buf.to_bytes())
-        out = []
-        if self._prefix is None:
-            need = len(MAGIC) + HEADER_LEN
-            if len(self._acc) < need:
+        if self._state is None:
+            if len(self._acc) < HEADER_SIZE:
                 return None
             if bytes(self._acc[:len(MAGIC)]) != MAGIC:
                 self.post_error("sodiumdecrypter: bad stream magic")
                 raise FlowError(FlowReturn.ERROR)
-            self._prefix = bytes(self._acc[len(MAGIC):need])
-            self._aead = _stream_aead(self.key, self._prefix)
-            del self._acc[:need]
-        while len(self._acc) >= 4:
-            (n,) = struct.unpack_from(">I", self._acc)
-            if len(self._acc) < 4 + n:
-                break
-            ct = bytes(self._acc[4:4 + n])
-            del self._acc[:4 + n]
-            from cryptography.exceptions import InvalidTag
+            nonce = bytes(self._acc[len(MAGIC):len(MAGIC)
+                                    + NONCE_BYTES])
+            self._block_size, = struct.unpack_from(
+                "<I", self._acc, len(MAGIC) + NONCE_BYTES)
             try:
-                pt = self._aead.decrypt(
-                    _nonce(self._counter), ct, MAGIC)
-            except InvalidTag:
-                self.post_error("sodiumdecrypter: authentication failed "
-                                f"at chunk {self._counter}")
+                # decrypter precomputes sender PUBLIC x receiver
+                # SECRET (reference decrypter/imp.rs:85)
+                self._state = _BoxState(self.sender_key,
+                                        self.receiver_key, nonce)
+            except ValueError as e:
+                self.post_error(f"sodiumdecrypter: {e}")
                 raise FlowError(FlowReturn.ERROR)
-            self._counter += 1
-            out.append(Buffer(pt))
-        return out or None
+            del self._acc[:HEADER_SIZE]
+        # only full blocks mid-stream; the tail comes out on EOS
+        return self._decrypt_available(final=False) or None
+
+    def drain(self) -> list[Buffer]:
+        if self._state is None or not self._acc:
+            return []
+        return self._decrypt_available(final=True)

@@ -14,99 +14,119 @@ SECOND = 10**9
 KEY = bytes(range(32))
 
 
+pytestmark_sodium = pytest.mark.skipif(
+    not __import__("gstpu.elements.generic.sodium",
+                   fromlist=["sodium_available"]).sodium_available(),
+    reason="libsodium not present")
+
+
+def _keys():
+    from gstpu.elements.generic.sodium import generate_keypair
+    return generate_keypair(), generate_keypair()
+
+
 def test_sodium_roundtrip_pipeline():
+    from gstpu.core.caps import parse_caps
+    (rpk, rsk), (spk, ssk) = _keys()
     p = parse_launch("appsrc name=src ! sodiumencrypter name=enc ! "
                      "sodiumdecrypter name=dec ! appsink name=sink")
-    from gstpu.core.caps import parse_caps
-    src = p.get_by_name("src")
-    src.set_property("caps", parse_caps("application/x-test"))
-    p.get_by_name("enc").set_property("key", KEY)
-    p.get_by_name("dec").set_property("key", KEY)
-    sink = p.get_by_name("sink")
+    enc, dec = p.get_by_name("enc"), p.get_by_name("dec")
+    enc.receiver_key, enc.sender_key = rpk, ssk
+    enc.block_size = 64
+    dec.receiver_key, dec.sender_key = rsk, spk
+    src, sink = p.get_by_name("src"), p.get_by_name("sink")
+    src.caps = parse_caps("application/x-test")
     p.set_state(State.PLAYING)
-    payloads = [os.urandom(100 + i) for i in range(5)]
-    for i, pl in enumerate(payloads):
-        src.push_buffer(Buffer(pl, pts=i))
+    payload = bytes(range(256)) * 3   # 768 bytes -> 12 blocks
+    src.push_buffer(Buffer(payload))
     src.end_of_stream()
     p.run()
-    out = [b.to_bytes() for b in sink.pull_all()]
-    assert out == payloads
+    out = b"".join(b.to_bytes() for b in sink.pull_all())
+    assert out == payload
+    assert sink.is_eos
     p.set_state(State.NULL)
 
 
-def test_sodium_ciphertext_differs_and_authenticated():
-    enc = make("sodiumencrypter", key=KEY, nonce=bytes(range(24)))
+def test_sodium_wire_format_matches_reference():
+    """Byte-level check of the reference stream layout
+    (generic/sodium/src/lib.rs + encrypter/imp.rs): magic, nonce,
+    LE block size, crypto_box chunks with LE-incremented nonces —
+    verified against direct (non-precomputed) libsodium calls."""
+    import ctypes
     from gstpu.core.harness import Harness
+    from gstpu.elements.generic.sodium import _SODIUM, MAC_BYTES
+    (rpk, rsk), (spk, ssk) = _keys()
+    nonce0 = bytes(range(24))
+    enc = make("sodiumencrypter", receiver_key=rpk, sender_key=ssk,
+               nonce=nonce0, block_size=8)
     h = Harness(enc)
     h.set_caps("application/x-test")
-    h.push(Buffer(b"secret data"))
-    ct = b"".join(b.to_bytes() for b in h.pull_all())
-    assert b"secret data" not in ct
-    assert ct.startswith(b"gstpu-sodium-stream")
+    h.push(Buffer(b"0123456789abcdef"))  # exactly 2 blocks
+    h.push_eos()
+    data = b"".join(b.to_bytes() for b in h.pull_all())
     h.teardown()
-
-    # tampered ciphertext must fail authentication
-    dec = make("sodiumdecrypter", key=KEY)
-    h2 = Harness(dec)
-    h2.set_caps("application/x-sodium-encrypted-stream")
-    bad = bytearray(ct)
-    bad[-1] ^= 0xFF
-    from gstpu import FlowReturn
-    assert h2.push(Buffer(bytes(bad))) is FlowReturn.ERROR
-    h2.teardown()
+    assert data[:12] == b"gst-sodium10"
+    assert data[12:36] == nonce0
+    assert data[36:40] == (8).to_bytes(4, "little")
+    blocks = data[40:]
+    assert len(blocks) == 2 * (8 + MAC_BYTES)
+    # independent decrypt with crypto_box_open_easy (no precompute)
+    def open_direct(sealed, nonce):
+        out = ctypes.create_string_buffer(len(sealed) - MAC_BYTES)
+        rc = _SODIUM.crypto_box_open_easy(
+            out, sealed, ctypes.c_ulonglong(len(sealed)), nonce,
+            spk, rsk)
+        assert rc == 0, "direct libsodium decrypt failed"
+        return out.raw
+    n1 = bytearray(nonce0)
+    n1[0] += 1   # little-endian increment of 00 01 02 ...
+    assert open_direct(blocks[:24], nonce0) == b"01234567"
+    assert open_direct(blocks[24:], bytes(n1)) == b"89abcdef"
 
 
 def test_sodium_wrong_key_fails():
-    enc = make("sodiumencrypter", key=KEY)
     from gstpu.core.harness import Harness
+    (rpk, rsk), (spk, ssk) = _keys()
+    enc = make("sodiumencrypter", receiver_key=rpk, sender_key=ssk,
+               block_size=16)
     h = Harness(enc)
     h.set_caps("application/x-test")
-    h.push(Buffer(b"hello"))
+    h.push(Buffer(bytes(32)))
+    h.push_eos()
     ct = b"".join(b.to_bytes() for b in h.pull_all())
     h.teardown()
-    dec = make("sodiumdecrypter", key=bytes(32))
+    from gstpu import FlowReturn
+    (wpk, wsk), _ = _keys()
+    dec = make("sodiumdecrypter", receiver_key=wsk, sender_key=spk)
     h2 = Harness(dec)
     h2.set_caps("application/x-sodium-encrypted-stream")
-    from gstpu import FlowReturn
-    assert h2.push(Buffer(ct)) is FlowReturn.ERROR
+    ret = h2.push(Buffer(ct))
+    assert ret == FlowReturn.ERROR
+    assert not h2.buffers
     h2.teardown()
 
 
-def test_sodium_restart_never_reuses_keystream():
-    """ADVICE r1: restarting the element (or a new stream under the
-    same key) must never encrypt with a repeated (key, nonce) pair —
-    the per-stream HKDF subkey guarantees distinct keystreams, so the
-    same plaintext yields different chunk ciphertexts."""
+def test_sodium_tamper_detected():
     from gstpu.core.harness import Harness
-    cts = []
-    for _ in range(2):
-        enc = make("sodiumencrypter", key=KEY)
-        h = Harness(enc)
-        h.set_caps("application/x-test")
-        h.push(Buffer(b"identical plaintext"))
-        data = b"".join(b.to_bytes() for b in h.pull_all())
-        h.teardown()
-        hdr = len(b"gstpu-sodium-stream\x01") + 24
-        cts.append(data[hdr:])
-    assert cts[0] != cts[1]
+    (rpk, rsk), (spk, ssk) = _keys()
+    enc = make("sodiumencrypter", receiver_key=rpk, sender_key=ssk,
+               block_size=16)
+    h = Harness(enc)
+    h.set_caps("application/x-test")
+    h.push(Buffer(bytes(32)))
+    h.push_eos()
+    ct = bytearray(b"".join(b.to_bytes() for b in h.pull_all()))
+    h.teardown()
+    from gstpu import FlowReturn
+    ct[45] ^= 0xFF   # flip a ciphertext bit
+    dec = make("sodiumdecrypter", receiver_key=rsk, sender_key=spk)
+    h2 = Harness(dec)
+    h2.set_caps("application/x-sodium-encrypted-stream")
+    ret = h2.push(Buffer(bytes(ct)))
+    assert ret == FlowReturn.ERROR
+    assert not h2.buffers
+    h2.teardown()
 
-
-def test_sodium_explicit_header_is_deterministic():
-    from gstpu.core.harness import Harness
-
-    def run():
-        enc = make("sodiumencrypter", key=KEY, nonce=bytes(24))
-        h = Harness(enc)
-        h.set_caps("application/x-test")
-        h.push(Buffer(b"payload"))
-        out = b"".join(b.to_bytes() for b in h.pull_all())
-        h.teardown()
-        return out
-
-    assert run() == run()
-
-
-# -- GCC ----------------------------------------------------------------
 
 def _feedback(start_ns, n, interval_ns, size, extra_delay_per_pkt=0,
               base_delay=10**6):
