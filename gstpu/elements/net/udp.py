@@ -38,6 +38,7 @@ class UdpSrc(PushSrc):
     def __init__(self, name=None):
         super().__init__(name)
         self._sock: socket.socket | None = None
+        self._rx_queue = __import__("collections").deque()
         self.is_live = True
 
     def iterate_tasks(self):
@@ -75,10 +76,18 @@ class UdpSrc(PushSrc):
             else Caps.new("application/octet-stream")
 
     def create(self) -> Buffer | None:
-        try:
-            data, addr = self._sock.recvfrom(self.buffer_size)
-        except BlockingIOError:
+        # drain a whole batch per wakeup through the native
+        # recvmmsg path (media plane in C++, SURVEY §2.9); queued
+        # packets are handed out one per create()
+        if not self._rx_queue:
+            from gstpu.native_net import recv_batch
+            stride = min(self.buffer_size, 65536)
+            msgs = max(1, min(64, 131072 // stride))
+            self._rx_queue.extend(
+                recv_batch(self._sock, msgs, stride))
+        if not self._rx_queue:
             raise FlowError(FlowReturn.FLUSHING, "no datagram")
+        data, addr = self._rx_queue.popleft()
         buf = Buffer(data)
         if self.clock is not None:
             buf.pts = self.running_time()

@@ -181,3 +181,51 @@ def test_videocompare_match():
     h.push(Buffer(other.reshape(-1), pts=133))
     assert not [m for m in bus.drain() if m.type is MessageType.ELEMENT]
     h.teardown()
+
+
+def test_native_net_batched_udp():
+    """Native media-plane IO (SURVEY 2.9): recvmmsg/sendmmsg batches
+    through native/gstpu_net.cpp, and udpsrc drains via it."""
+    import socket as _socket
+    import time as _time
+
+    from gstpu.native_net import recv_batch, send_batch
+    rx = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.setblocking(False)
+    port = rx.getsockname()[1]
+    tx = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    pkts = [(bytes([i]) * (5 + i), ("127.0.0.1", port))
+            for i in range(40)]
+    assert send_batch(tx, pkts) == 40
+    _time.sleep(0.05)
+    got = []
+    while True:
+        batch = recv_batch(rx, 64)
+        if not batch:
+            break
+        got.extend(batch)
+    assert [g[0] for g in got] == [p[0] for p in pkts]
+    rx.close()
+    tx.close()
+
+
+def test_udpsrc_batch_drain():
+    import socket as _socket
+    import time as _time
+
+    from gstpu import State, parse_launch
+    p = parse_launch("udpsrc port=0 name=src ! appsink name=sink")
+    src, sink = p.get_by_name("src"), p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    tx = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    for i in range(30):
+        tx.sendto(bytes([i]) * 12, ("127.0.0.1", src.bound_port))
+    deadline = _time.monotonic() + 5
+    while len(sink.samples) < 30 and _time.monotonic() < deadline:
+        p.iterate()
+        _time.sleep(0.001)
+    p.set_state(State.NULL)
+    tx.close()
+    assert len(sink.samples) == 30
+    assert sink.samples[5].to_bytes() == bytes([5]) * 12
