@@ -100,6 +100,31 @@ class Cea608Encoder:
     def encode_clear(self) -> list[bytes]:
         return [bytes([odd_parity(0x14), odd_parity(EDM)])]
 
+    def encode_rollup(self, text: str, rows: int = 2,
+                      base_row: int = 14) -> list[bytes]:
+        """Roll-up caption encoding (reference tttocea608 roll-up
+        modes): RUx + CR scrolls, then a PAC at the base row and the
+        new line's text."""
+        ru = {2: 0x25, 3: 0x26, 4: 0x27}[max(2, min(rows, 4))]
+        pairs: list[tuple[int, int]] = []
+        for line in text.splitlines() or [""]:
+            pairs.append(control(ru))
+            pairs.append(control(CR_))
+            pairs.append(pac(base_row))
+            buf: list[int] = []
+            for ch in line:
+                b = char_to_608(ch)
+                if b is None:
+                    b = 0x20
+                buf.append(b)
+                if len(buf) == 2:
+                    pairs.append((buf[0], buf[1]))
+                    buf = []
+            if buf:
+                pairs.append((buf[0], 0x00))
+        return [bytes([odd_parity(a), odd_parity(b)])
+                for a, b in pairs]
+
 
 @dataclass
 class Cea608Decoder:

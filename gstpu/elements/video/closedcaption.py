@@ -36,6 +36,10 @@ class TtToCea608(BaseTransform):
 
     framerate_num = Property(int, default=30, minimum=1,
                              mutable=Mutability.READY)
+    mode = Property(str, default="pop-on", mutable=Mutability.READY,
+                    enum_values=("pop-on", "roll-up2", "roll-up3",
+                                 "roll-up4"),
+                    blurb="Caption mode (reference tttocea608 mode)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -50,7 +54,11 @@ class TtToCea608(BaseTransform):
 
     def transform(self, buf: Buffer) -> list[Buffer]:
         text = buf.to_bytes().decode("utf-8")
-        pairs = self._enc.encode_popon(text)
+        if self.mode.startswith("roll-up"):
+            pairs = self._enc.encode_rollup(text,
+                                            rows=int(self.mode[-1]))
+        else:
+            pairs = self._enc.encode_popon(text)
         field_dur = SECOND // (self.framerate_num or 30)
         base = buf.pts if buf.pts is not None else 0
         out = []

@@ -48,7 +48,36 @@ class TranscriberBin(Element):
                            blurb="Transcriber element description "
                                  "(audio in, text/x-raw out)")
     passthrough = Property(bool, default=False,
-                           mutable=Mutability.READY)
+                           mutable=Mutability.PLAYING,
+                           blurb="Bypass captioning live (the "
+                                 "reference toggles this at PLAYING)")
+    mux_method = Property(str, default="cea608",
+                          mutable=Mutability.READY,
+                          enum_values=("cea608", "cea708"),
+                          blurb="Caption format: CEA-608 pairs or "
+                                "CEA-708 cc_data with DTVCC services "
+                                "(reference mux-method)")
+    mode = Property(str, default="pop-on", mutable=Mutability.READY,
+                    enum_values=("pop-on", "roll-up2", "roll-up3",
+                                 "roll-up4"))
+    caption_source = Property(str, default="both",
+                              mutable=Mutability.PLAYING,
+                              enum_values=("both", "transcription",
+                                           "inband"),
+                              blurb="Keep inband captions, "
+                                    "transcription, or both "
+                                    "(reference caption-source)")
+    translation_languages = Property(
+        object, default=None, mutable=Mutability.READY,
+        blurb="dict language -> CEA-708 service number; with "
+              "mux-method=cea708 each language becomes its own DTVCC "
+              "service (reference translation-languages)")
+    translators = Property(
+        object, default=None, mutable=Mutability.READY,
+        blurb="dict language -> translator element description "
+              "(text/x-raw in/out); languages without one carry the "
+              "untranslated transcript (cloud translators are the "
+              "env gate)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -62,68 +91,118 @@ class TranscriberBin(Element):
         self._asink.event_function = self._audio_event
         self._trans = None
         self._combiner = None
+        self._children: list = []
         self._active = False
 
     # -- wiring ----------------------------------------------------------
+    def _feeder(self, name, target):
+        f = Pad(name, PadDirection.SRC,
+                PadTemplate("src", PadDirection.SRC,
+                            PadPresence.ALWAYS, Caps.any()))
+        f.link(target)
+        return f
+
+    def _child(self, el):
+        el.bus = self.bus
+        el.clock = self.clock
+        self._children.append(el)
+        return el
+
+    def _build_caption_path(self):
+        """transcriber output -> caption stream for the combiner.
+        cea608: tttocea608. cea708: tee -> per-language [translator ->]
+        tttocea708(service N) -> cea708mux (reference transcriberbin's
+        translation serials)."""
+        if self.mux_method == "cea608":
+            self._ttto = self._child(make("tttocea608",
+                                          mode=self.mode))
+            self._trans.src_pads()[0].link(
+                self._ttto.static_pad("sink"))
+            return self._ttto.static_pad("src")
+        # cea708: primary service 1 + one service per language
+        langs = {"primary": 1}
+        if self.translation_languages:
+            langs.update(self.translation_languages)
+        tee = self._child(make("tee"))
+        self._trans.src_pads()[0].link(tee.static_pad("sink"))
+        mux = self._child(make("cea708mux"))
+        translators = self.translators or {}
+        for lang, service in sorted(langs.items(),
+                                    key=lambda kv: kv[1]):
+            src = tee.request_pad()
+            desc = translators.get(lang)
+            if desc and lang != "primary":
+                from gstpu.elements.utils_.fallbacksrc import \
+                    _make_from_desc
+                tr = self._child(_make_from_desc(desc))
+                src.link(tr.static_pad("sink"))
+                src = tr.src_pads()[0]
+            ttto = self._child(make("tttocea708", service=service))
+            src.link(ttto.static_pad("sink"))
+            ttto.static_pad("src").link(mux.request_pad())
+        self._ttto = mux
+        return mux.static_pad("src")
+
     def start(self) -> bool:
-        if self.passthrough or not self.transcriber:
+        if not self.transcriber:
             self._active = False
             return True
         from gstpu.elements.utils_.fallbacksrc import _make_from_desc
         try:
-            self._trans = _make_from_desc(self.transcriber)
+            self._trans = self._child(_make_from_desc(self.transcriber))
         except Exception as e:
             self.post_error(f"transcriberbin: cannot make transcriber "
                             f"{self.transcriber!r}: {e}")
             return False
-        self._ttto = make("tttocea608")
-        self._combiner = make("cccombiner")
-        for el in (self._trans, self._ttto, self._combiner):
-            el.bus = self.bus
-            el.clock = self.clock
-            el.set_state(State.PLAYING)
-        # internal feeder so the bin can push into the transcriber
-        def feeder(name, target):
-            f = Pad(name, PadDirection.SRC,
-                    PadTemplate("src", PadDirection.SRC,
-                                PadPresence.ALWAYS, Caps.any()))
-            f.link(target)
-            return f
-
-        self._afeed = feeder("afeed", self._trans.static_pad("sink"))
-        # transcriber -> tttocea608 -> combiner caption pad
-        self._trans.src_pads()[0].link(self._ttto.static_pad("sink"))
-        self._vfeed = feeder("vfeed",
-                             self._combiner.request_pad("sink"))
-        self._ttto.static_pad("src").link(
-            self._combiner.request_pad())           # caption pad
+        self._combiner = self._child(make("cccombiner"))
+        self._afeed = self._feeder("afeed",
+                                   self._trans.static_pad("sink"))
+        caption_src = self._build_caption_path()
+        self._vfeed = self._feeder("vfeed",
+                                   self._combiner.request_pad("sink"))
+        caption_src.link(self._combiner.request_pad())  # caption pad
         cap = _cap_pad("combined",
                        lambda p, b: self._vsrc.push(b),
                        lambda p, e: True)
         self._combiner.static_pad("src").link(cap)
+        for el in self._children:
+            el.set_state(State.PLAYING)
         self._active = True
         return True
 
     def stop(self) -> bool:
-        for el in (self._trans, getattr(self, "_ttto", None),
-                   self._combiner):
-            if el is not None:
-                el.set_state(State.NULL)
+        for el in self._children:
+            el.set_state(State.NULL)
+        self._children = []
         self._active = False
         return True
 
     # -- dataflow ---------------------------------------------------------
+    def _strip_inband(self, buf: Buffer) -> Buffer:
+        from gstpu.core.video import VideoCaptionMeta
+        if buf.get_meta(VideoCaptionMeta) is None:
+            return buf
+        out = buf.copy()
+        out.metas = [m for m in out.metas
+                     if not isinstance(m, VideoCaptionMeta)]
+        return out
+
     def _video_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
-        if not self._active:
+        if self.caption_source == "transcription":
+            buf = self._strip_inband(buf)
+        if not self._active or self.passthrough:
+            return self._vsrc.push(buf)
+        if self.caption_source == "inband":
+            # keep upstream captions, skip the transcription combiner
             return self._vsrc.push(buf)
         return self._vfeed.push(buf)
 
     def _video_event(self, pad: Pad, ev: Event) -> bool:
         ok = True
-        if self._active:
+        if self._active and not self.passthrough:
             ok = self._vfeed.push_event(ev)
-        else:
-            ok = self._vsrc.push_event(ev)
+        # the src pad needs stream events even while combining is off
+        ok = self._vsrc.push_event(ev) and ok
         return ok
 
     def _audio_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
@@ -153,6 +232,12 @@ class TranslationBin(TranscriberBin):
             return False
         if not self._active or not self.translator:
             return True
+        if self.mux_method != "cea608":
+            # with cea708 muxing, per-language translators belong in
+            # `translators` (they feed distinct DTVCC services)
+            self.post_error("translationbin: use translators= with "
+                            "mux-method=cea708")
+            return False
         from gstpu.elements.utils_.fallbacksrc import _make_from_desc
         try:
             trans = _make_from_desc(self.translator)

@@ -78,7 +78,7 @@ def test_ccextractor_splits_back():
     cc_out = []
     vi = VideoInfo("RGBA", 4, 4)
     b = vi.make_buffer(np.zeros((4, 4, 4), np.uint8), pts=7)
-    b.add_meta(VideoCaptionMeta("cea608-raw", b"\x94\x2c"))
+    b.add_meta(VideoCaptionMeta("cea608-raw", b"\xaa\xbb"))
     h.push(b)                      # creates the caption pad
     cap = ex.static_pad("caption")
     assert cap is not None
@@ -332,3 +332,142 @@ def test_translationbin_splices_translator():
         text = dec.push_pair(m.data) or text
     assert text == "HOLA"                # translated, not HELLO
     tb.set_state(State.NULL)
+
+
+def _run_tb(tb, n_audio=1, n_video=1):
+    from gstpu.core.element import State
+    vout = _capture(tb.static_pad("src_video"))
+    aout = _capture(tb.static_pad("src_audio"))
+    tb.set_state(State.PLAYING)
+    acaps = "audio/x-raw, format=S16LE, rate=48000, channels=1"
+    vcaps = ("video/x-raw, format=RGBA, width=4, height=4, "
+             "framerate=30/1")
+    af, vf = _feeder(acaps), _feeder(vcaps)
+    af.link(tb.static_pad("sink_audio"))
+    vf.link(tb.static_pad("sink_video"))
+    _start(af, acaps)
+    _start(vf, vcaps)
+    import numpy as np
+    vi = VideoInfo("RGBA", 4, 4)
+    for i in range(n_audio):
+        af.push(Buffer(bytes(96), pts=i * SECOND, duration=SECOND))
+    af.push_event(EosEvent())
+    for i in range(n_video):
+        vf.push(vi.make_buffer(np.zeros((4, 4, 4), np.uint8),
+                               pts=i * SECOND, duration=SECOND))
+    vf.push_event(EosEvent())
+    return aout, vout
+
+
+def test_transcriberbin_cea708_translation_services():
+    """mux-method=cea708 with translation-languages: the transcript
+    fans out to per-language DTVCC services muxed into one cc_data
+    stream (reference transcriberbin translation path)."""
+    from gstpu.core.registry import _registry, register_element, Rank
+    from gstpu.core.base import BaseTransform
+    if "mockupper" not in _registry:
+        @register_element("mockupper", Rank.NONE)
+        class MockUpper(BaseTransform):
+            """'Translator': uppercases + suffixes the language."""
+            PAD_TEMPLATES = [
+                PadTemplate("sink", PadDirection.SINK,
+                            PadPresence.ALWAYS,
+                            Caps.new("text/x-raw", format="utf8")),
+                PadTemplate("src", PadDirection.SRC,
+                            PadPresence.ALWAYS,
+                            Caps.new("text/x-raw", format="utf8")),
+            ]
+
+            def transform_caps(self, direction, caps, filter):
+                out = Caps.new("text/x-raw", format="utf8")
+                if filter is not None:
+                    out = filter.intersect(out)
+                return out
+
+            def transform(self, buf):
+                return Buffer(buf.to_bytes().upper() + b"-FR",
+                              pts=buf.pts, duration=buf.duration)
+
+    tb = make("transcriberbin", transcriber="mocktranscriber",
+              mux_method="cea708")
+    tb.translation_languages = {"fr": 2}
+    tb.translators = {"fr": "mockupper"}
+    aout, vout = _run_tb(tb)
+    assert len(vout) == 1
+    metas = [m for m in vout[0].metas
+             if isinstance(m, VideoCaptionMeta)]
+    assert metas
+    # collect service texts from the muxed cc_data
+    from gstpu.codecs.cea708 import (ccdata_split, parse_dtvcc,
+                                     service_block_text)
+    texts = {}
+    acc = b"".join(m.data for m in metas)
+    _, packets = ccdata_split(acc)
+    for pkt in packets:
+        _, blocks = parse_dtvcc(pkt)
+        for svc, payload in blocks:
+            t = service_block_text(payload)
+            if t:
+                texts[svc] = texts.get(svc, "") + t
+    assert texts.get(1) == "HELLO"
+    assert texts.get(2) == "HELLO-FR"
+
+
+def test_transcriberbin_live_passthrough_toggle():
+    tb = make("transcriberbin", transcriber="mocktranscriber")
+    tb.passthrough = True
+    aout, vout = _run_tb(tb)
+    assert len(vout) == 1
+    assert not [m for m in vout[0].metas
+                if isinstance(m, VideoCaptionMeta)]
+
+
+def test_transcriberbin_caption_source_inband():
+    """caption-source=inband keeps upstream caption metas and adds
+    no transcription; =transcription strips inband metas."""
+    from gstpu.core.element import State
+    import numpy as np
+    for source, keep_inband, expect_transcript in (
+            ("inband", True, False), ("transcription", False, True)):
+        tb = make("transcriberbin", transcriber="mocktranscriber",
+                  caption_source=source)
+        vout = _capture(tb.static_pad("src_video"))
+        _capture(tb.static_pad("src_audio"))
+        tb.set_state(State.PLAYING)
+        acaps = "audio/x-raw, format=S16LE, rate=48000, channels=1"
+        vcaps = ("video/x-raw, format=RGBA, width=4, height=4, "
+                 "framerate=30/1")
+        af, vf = _feeder(acaps), _feeder(vcaps)
+        af.link(tb.static_pad("sink_audio"))
+        vf.link(tb.static_pad("sink_video"))
+        _start(af, acaps)
+        _start(vf, vcaps)
+        vi = VideoInfo("RGBA", 4, 4)
+        af.push(Buffer(bytes(96), pts=0, duration=SECOND))
+        af.push_event(EosEvent())
+        b = vi.make_buffer(np.zeros((4, 4, 4), np.uint8), pts=0,
+                           duration=SECOND)
+        b.add_meta(VideoCaptionMeta("cea608-raw", b"\xaa\xbb"))
+        vf.push(b)
+        vf.push_event(EosEvent())
+        assert len(vout) == 1
+        metas = [m for m in vout[0].metas
+                 if isinstance(m, VideoCaptionMeta)]
+        inband = [m for m in metas if m.data == b"\xaa\xbb"]
+        assert bool(inband) == keep_inband, source
+        transcript = [m for m in metas if m.data != b"\xaa\xbb"]
+        assert bool(transcript) == expect_transcript, source
+
+
+def test_tttocea608_rollup_mode():
+    from gstpu.core.harness import Harness
+    from gstpu.codecs.cea608 import odd_parity
+    el = make("tttocea608", mode="roll-up2")
+    h = Harness(el)
+    h.set_caps("text/x-raw, format=utf8")
+    h.push(Buffer(b"NEWS LINE", pts=0, duration=SECOND))
+    pairs = [b.to_bytes() for b in h.pull_all()]
+    h.teardown()
+    # roll-up preamble: RU2 (0x14 0x25) then CR (0x14 0x2D)
+    assert pairs[0] == bytes([odd_parity(0x14), odd_parity(0x25)])
+    assert pairs[1] == bytes([odd_parity(0x14), odd_parity(0x2D)])
