@@ -204,6 +204,12 @@ class WebRtcSink(Element):
 
     display_name = Property(str, default="gstpu-webrtcsink",
                             mutable=Mutability.READY)
+    enable_data_transport = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Give each session a real ICE+DTLS+SRTP transport over "
+              "a local UDP socket (gstpu.net.webrtc.transport); the "
+              "offer then carries ice-ufrag/pwd, fingerprint and "
+              "candidates")
     congestion_control = Property(str, default="gcc",
                                   mutable=Mutability.READY,
                                   blurb="gcc|disabled")
@@ -221,8 +227,57 @@ class WebRtcSink(Element):
         self._payloaders: dict[str, Element] = {}   # sink pad -> pay
         self._encoders: dict[str, _EncoderChain] = {}
         self._sessions: dict[str, Pad] = {}         # session -> src
+        self._transports: dict[str, tuple] = {}     # sid -> (tr, sock)
         self._outbox: list[dict] = []
         self._gcc = None
+
+    # -- data transport (ICE+DTLS+SRTP over a real UDP socket) -----------
+    def _make_transport(self, sid: str):
+        import socket as _socket
+
+        from gstpu.net.webrtc.ice import host_candidate
+        from gstpu.net.webrtc.transport import WebRtcTransport
+        sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        sock.bind(("127.0.0.1", 0))
+        sock.setblocking(False)
+        tr = WebRtcTransport(controlling=True)
+        tr.add_local_candidate(host_candidate(*sock.getsockname()))
+        self._transports[sid] = (tr, sock)
+        return tr
+
+    def pump(self) -> bool:
+        """Drive every session transport's socket IO once; returns
+        True if any packet moved (for the scheduler task)."""
+        moved = False
+        for sid, (tr, sock) in list(self._transports.items()):
+            while True:
+                t = tr.poll_transmit()
+                if t is None:
+                    break
+                data, addr = t
+                try:
+                    sock.sendto(data, addr)
+                except OSError:
+                    break
+                moved = True
+            for _ in range(64):
+                try:
+                    data, src = sock.recvfrom(65536)
+                except (BlockingIOError, OSError):
+                    break
+                tr.handle_packet(data, src)
+                moved = True
+        return moved
+
+    def iterate_tasks(self):
+        if not self.enable_data_transport:
+            return ()
+        from gstpu.runtime.scheduler import Task, TaskResult
+
+        def it():
+            return TaskResult.CONTINUE if self.pump() \
+                else TaskResult.IDLE
+        return (Task(f"{self.name}-transport", it),)
 
     # -- congestion control ----------------------------------------------
     def process_feedback(self, packets) -> int | None:
@@ -285,23 +340,37 @@ class WebRtcSink(Element):
             pad.push_event(CapsEvent(Caps.new("application/x-rtp")))
             pad.push_event(SegmentEvent(Segment()))
             self._sessions[sid] = pad
+            if self.enable_data_transport:
+                self._make_transport(sid)
             self.post_element_message("consumer-added", session=sid,
                                       peer=msg.get("peerId"))
             return [{"type": "peer", "sessionId": sid,
                      "sdp": {"type": "offer",
-                             "sdp": self._offer_sdp()}}]
+                             "sdp": self._offer_sdp(sid)}}]
         if t == "peer" and "sdp" in msg:
-            return []                       # answer accepted
+            sid = msg.get("sessionId")
+            if msg["sdp"].get("type") == "answer" \
+                    and sid in self._transports:
+                from gstpu.net.webrtc.transport import \
+                    parse_sdp_transport
+                remote = parse_sdp_transport(msg["sdp"]["sdp"])
+                if remote is not None:
+                    self._transports[sid][0] \
+                        .set_remote_description(remote)
+            return []
         if t == "endSession":
             sid = msg.get("sessionId")
             pad = self._sessions.pop(sid, None)
             if pad is not None:
                 self.remove_pad(pad)
+            tr = self._transports.pop(sid, None)
+            if tr is not None:
+                tr[1].close()
             self.post_element_message("consumer-removed", session=sid)
             return []
         return []
 
-    def _offer_sdp(self) -> str:
+    def _offer_sdp(self, sid: str | None = None) -> str:
         # materialize payloaders/encoder chains for every sink pad
         # that has caps, so the offer carries their m-lines (the
         # reference runs codec discovery before negotiation)
@@ -315,6 +384,11 @@ class WebRtcSink(Element):
                     self._payloader_for(pad)
         lines = ["v=0", f"o=- 0 0 IN IP4 127.0.0.1",
                  f"s={self.display_name}", "t=0 0"]
+        transport_lines = []
+        if sid is not None and sid in self._transports:
+            from gstpu.net.webrtc.transport import sdp_transport_lines
+            transport_lines = sdp_transport_lines(
+                self._transports[sid][0])
         for pad_name, pay in self._payloaders.items():
             enc = pay._gstpu_encoding
             kind = "audio" if enc in ("OPUS", "PCMA", "PCMU") \
@@ -324,6 +398,7 @@ class WebRtcSink(Element):
             lines.append(f"m={kind} 9 UDP/TLS/RTP/SAVPF {pt}")
             lines.append(f"a=rtpmap:{pt} {enc}/{rate}")
             lines.append("a=sendonly")
+            lines.extend(transport_lines)
         return "\r\n".join(lines) + "\r\n"
 
     # -- media -------------------------------------------------------------
@@ -389,9 +464,14 @@ class WebRtcSink(Element):
 
     def _fanout(self, pad: Pad, buf: Buffer) -> FlowReturn:
         ret = FlowReturn.OK
-        for spad in self._sessions.values():
+        for sid, spad in self._sessions.items():
             if spad.is_linked():
                 ret = spad.push(buf.copy())
+            tr = self._transports.get(sid)
+            if tr is not None and tr[0].connected:
+                tr[0].send_rtp(buf.to_bytes())
+        if self._transports:
+            self.pump()
         return ret
 
 
@@ -689,6 +769,12 @@ class WebRtcSrc(Element):
                     Caps.new("application/x-rtp")),
     ]
 
+    enable_data_transport = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Answer offers carrying ICE/DTLS attributes with a "
+              "real local transport and surface the decrypted RTP "
+              "on the src pad")
+
     def __init__(self, name=None):
         super().__init__(name)
         self.peer_id: str | None = None
@@ -696,6 +782,8 @@ class WebRtcSrc(Element):
         self.remote_sdp: str | None = None
         self.srcpad = self.static_pad("src")
         self._started = False
+        self._transport = None
+        self._sock = None
 
     def signalling_connect(self, welcome_msg: dict) -> list[dict]:
         self.peer_id = welcome_msg["peerId"]
@@ -717,12 +805,82 @@ class WebRtcSrc(Element):
             self.remote_sdp = msg["sdp"]["sdp"]
             self.post_element_message("offer-received",
                                       session=msg.get("sessionId"))
+            answer = self.remote_sdp.replace("sendonly", "recvonly")
+            if self.enable_data_transport:
+                answer = self._setup_transport(answer)
             return [{"type": "peer",
                      "sessionId": msg.get("sessionId"),
-                     "sdp": {"type": "answer",
-                             "sdp": self.remote_sdp.replace(
-                                 "sendonly", "recvonly")}}]
+                     "sdp": {"type": "answer", "sdp": answer}}]
         return []
+
+    # -- data transport -----------------------------------------------------
+    def _setup_transport(self, answer_sdp: str) -> str:
+        import socket as _socket
+
+        from gstpu.net.webrtc.ice import host_candidate
+        from gstpu.net.webrtc.transport import (WebRtcTransport,
+                                                parse_sdp_transport,
+                                                sdp_transport_lines)
+        remote = parse_sdp_transport(self.remote_sdp)
+        if remote is None:
+            return answer_sdp
+        self._sock = _socket.socket(_socket.AF_INET,
+                                    _socket.SOCK_DGRAM)
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.setblocking(False)
+        self._transport = WebRtcTransport(controlling=False,
+                                          ice_lite=True)
+        self._transport.add_local_candidate(
+            host_candidate(*self._sock.getsockname()))
+        self._transport.set_remote_description(remote)
+        # strip the producer's transport attrs from the echoed
+        # answer, append ours
+        lines = [ln for ln in answer_sdp.splitlines()
+                 if not ln.startswith(("a=ice-", "a=fingerprint",
+                                       "a=setup", "a=candidate"))]
+        lines.extend(sdp_transport_lines(self._transport))
+        return "\r\n".join(lines) + "\r\n"
+
+    def pump(self) -> bool:
+        if self._transport is None:
+            return False
+        moved = False
+        while True:
+            t = self._transport.poll_transmit()
+            if t is None:
+                break
+            data, addr = t
+            try:
+                self._sock.sendto(data, addr)
+            except OSError:
+                break
+            moved = True
+        for _ in range(64):
+            try:
+                data, src = self._sock.recvfrom(65536)
+            except (BlockingIOError, OSError):
+                break
+            out = self._transport.handle_packet(data, src)
+            if out is not None and out[0] == "rtp":
+                self.push_rtp(out[1])
+            moved = True
+        return moved
+
+    def iterate_tasks(self):
+        if not self.enable_data_transport:
+            return ()
+        from gstpu.runtime.scheduler import Task, TaskResult
+
+        def it():
+            return TaskResult.CONTINUE if self.pump() \
+                else TaskResult.IDLE
+        return (Task(f"{self.name}-transport", it),)
+
+    def stop(self) -> bool:
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None
+        return True
 
     def push_rtp(self, data: bytes,
                  pts: int | None = None) -> FlowReturn:

@@ -154,3 +154,38 @@ class WebRtcTransport:
         if media:
             return media.pop(0)
         return None
+
+
+# ---------------------------------------------------------------------------
+# SDP plumbing (the a= attributes webrtcsink/webrtcsrc exchange)
+# ---------------------------------------------------------------------------
+
+def sdp_transport_lines(tr: WebRtcTransport) -> list[str]:
+    d = tr.local_description()
+    lines = [f"a=ice-ufrag:{d['ice-ufrag']}",
+             f"a=ice-pwd:{d['ice-pwd']}",
+             f"a=fingerprint:{d['fingerprint']}",
+             f"a=setup:{d['setup']}"]
+    lines += [f"a={c}" for c in d["candidates"]]
+    return lines
+
+
+def parse_sdp_transport(sdp: str) -> RemoteDescription | None:
+    ufrag = pwd = fp = None
+    cands = []
+    for raw in sdp.splitlines():
+        line = raw.strip()
+        if line.startswith("a=ice-ufrag:"):
+            ufrag = line.split(":", 1)[1]
+        elif line.startswith("a=ice-pwd:"):
+            pwd = line.split(":", 1)[1]
+        elif line.startswith("a=fingerprint:"):
+            fp = line.split(":", 1)[1]
+        elif line.startswith("a=candidate:"):
+            try:
+                cands.append(Candidate.parse(line))
+            except ValueError:
+                continue
+    if ufrag is None or pwd is None or fp is None:
+        return None
+    return RemoteDescription(ufrag, pwd, fp, cands)

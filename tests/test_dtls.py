@@ -187,3 +187,90 @@ def test_webrtc_transport_full_chain():
     assert data != pkt and data[:4] != pkt[:4] or len(data) > len(pkt)
     kind, plain = b.handle_packet(data, a_addr)
     assert kind == "rtp" and plain == pkt
+
+
+def test_webrtcsink_to_webrtcsrc_full_loop():
+    """The complete in-process WebRTC session: webrtcsink producer and
+    webrtcsrc consumer negotiate over the signalling protocol, run
+    ICE + DTLS over real local UDP sockets, and media flows
+    SRTP-protected end to end (the reference needs webrtcbin/str0m
+    for this whole path)."""
+    import struct
+    import time
+
+    from gstpu import Buffer, Caps, State
+    from gstpu.core.caps import parse_caps
+    from gstpu.core.element import (Pad, PadDirection, PadPresence,
+                                    PadTemplate)
+    from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                  StreamStartEvent)
+    from gstpu.core.registry import make
+
+    sink = make("webrtcsink", enable_data_transport=True)
+    src = make("webrtcsrc", enable_data_transport=True)
+    sink.set_state(State.PLAYING)
+    src.set_state(State.PLAYING)
+
+    # producer media input: pre-encoded alaw (payloader path)
+    pad = sink.request_pad()
+    feeder = Pad("feed", PadDirection.SRC,
+                 PadTemplate("src", PadDirection.SRC,
+                             PadPresence.ALWAYS, Caps.any()))
+    feeder.link(pad)
+    feeder.push_event(StreamStartEvent("a"))
+    feeder.push_event(CapsEvent(parse_caps(
+        "audio/x-alaw, rate=8000, channels=1")))
+    feeder.push_event(SegmentEvent(Segment()))
+
+    # signalling: shuttle the dicts between the two elements
+    sink.signalling_connect({"peerId": "prod"})
+    src.signalling_connect({"peerId": "cons"})
+    msgs = src.handle_signalling(
+        {"type": "list", "producers": [{"id": "prod"}]})
+    assert msgs[0]["type"] == "startSession"
+    offer_msgs = sink.handle_signalling(
+        {"type": "startSession", "sessionId": "s1",
+         "peerId": "cons"})
+    assert "a=ice-ufrag:" in offer_msgs[0]["sdp"]["sdp"]
+    answer_msgs = src.handle_signalling(
+        {**offer_msgs[0], "sessionId": "s1"})
+    assert answer_msgs[0]["sdp"]["type"] == "answer"
+    sink.handle_signalling({**answer_msgs[0], "sessionId": "s1"})
+
+    # pump both transports until connected
+    deadline = time.monotonic() + 10
+    tr = sink._transports["s1"][0]
+    while time.monotonic() < deadline and not (
+            tr.connected and src._transport
+            and src._transport.connected):
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+    assert tr.connected and src._transport.connected
+
+    # capture the consumer's src pad
+    out = []
+    import gstpu
+    cap = Pad("cap", PadDirection.SINK,
+              PadTemplate("sink", PadDirection.SINK,
+                          PadPresence.ALWAYS, Caps.any()))
+    cap.chain_function = lambda p, b: (out.append(b)
+                                       or gstpu.FlowReturn.OK)
+    cap.event_function = lambda p, e: True
+    src.srcpad.link(cap)
+
+    # push media through the producer
+    for i in range(5):
+        feeder.push(Buffer(bytes([0x55]) * 160, pts=i * 20_000_000,
+                           duration=20_000_000))
+    deadline = time.monotonic() + 10
+    while len(out) < 5 and time.monotonic() < deadline:
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+    assert len(out) >= 5
+    pkt = out[0].to_bytes()
+    assert (pkt[0] >> 6) == 2               # RTP v2
+    assert pkt[12:] == bytes([0x55]) * 160  # decrypted alaw payload
+    sink.set_state(State.NULL)
+    src.set_state(State.NULL)
