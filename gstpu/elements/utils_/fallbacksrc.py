@@ -50,14 +50,41 @@ class FallbackSrc(Element):
                       blurb="Primary source description")
     fallback_source = Property(str, default=None,
                                mutable=Mutability.READY)
+    uri = Property(str, default=None, mutable=Mutability.READY,
+                   blurb="Primary as a URI (file:/http(s):), like the "
+                         "reference's uri property; overrides source")
+    fallback_uri = Property(str, default=None,
+                            mutable=Mutability.READY)
     timeout = Property(int, default=5 * SECOND, minimum=1,
                        mutable=Mutability.READY,
                        blurb="Stall timeout before failover (ns)")
     restart_timeout = Property(int, default=5 * SECOND, minimum=0,
                                mutable=Mutability.READY,
                                blurb="Primary retry interval (ns)")
+    retry_timeout = Property(int, default=60 * SECOND, minimum=0,
+                             mutable=Mutability.READY,
+                             blurb="Give up retrying the primary "
+                                   "after this long (0 = forever)")
+    restart_on_eos = Property(bool, default=False,
+                              mutable=Mutability.READY,
+                              blurb="Restart the primary on EOS "
+                                    "instead of ending the stream")
+    immediate_fallback = Property(bool, default=False,
+                                  mutable=Mutability.READY,
+                                  blurb="Start on the fallback until "
+                                        "the primary produces")
+    enable_dummy = Property(bool, default=False,
+                            mutable=Mutability.READY,
+                            blurb="Synthesize a dummy fallback "
+                                  "(videotestsrc black / silence) "
+                                  "when none is configured")
+    manual_unblock = Property(bool, default=False,
+                              mutable=Mutability.READY,
+                              blurb="Hold output until unblock() "
+                                    "(reference manual-unblock + "
+                                    "unblock signal)")
 
-    SIGNALS = ("status-changed",)
+    SIGNALS = ("status-changed", "unblock")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -69,7 +96,11 @@ class FallbackSrc(Element):
         self._last_buffer_time: int | None = None
         self._primary_failed_at: int | None = None
         self.stats = {"num_retry": 0, "num_fallback_switches": 0,
-                      "buffering_percent": 100, "using_fallback": False}
+                      "buffering_percent": 100, "using_fallback": False,
+                      "last_retry_time": None}
+        self._blocked = False
+        self._first_failed_at: int | None = None
+        self.connect("unblock", lambda *a: self.unblock())
 
     # -- statistics property (reference imp.rs:41-76) -------------------
     @property
@@ -91,26 +122,71 @@ class FallbackSrc(Element):
                 break
         self._capture = cap
 
+    def unblock(self) -> None:
+        """Release output held by manual-unblock (reference's unblock
+        action signal)."""
+        self._blocked = False
+
     def _on_child_buffer(self, pad: Pad, buf: Buffer) -> FlowReturn:
         self._last_buffer_time = self._now()
+        if self._blocked:
+            return FlowReturn.OK           # held until unblock()
         return self.srcpad.push(buf)
 
     def _on_child_event(self, pad: Pad, ev: Event) -> bool:
-        if isinstance(ev, EosEvent) and self._active is self._primary \
-                and self._fallback is not None:
-            # primary ended unexpectedly: fail over instead of EOS
-            self._fail_primary()
-            return True
+        if isinstance(ev, EosEvent) and self._active is self._primary:
+            if self.restart_on_eos:
+                # reference restart-on-eos: loop the primary
+                self.stats["num_retry"] += 1
+                self._primary = self._make_primary()
+                self._activate(self._primary)
+                return True
+            if self._fallback is not None:
+                # primary ended unexpectedly: fail over instead of EOS
+                self._fail_primary()
+                return True
         return self.srcpad.push_event(ev)
 
+    # -- source construction ------------------------------------------------
+    @staticmethod
+    def _desc_for_uri(uri: str) -> str:
+        from urllib.parse import urlparse
+        u = urlparse(uri)
+        if u.scheme in ("http", "https"):
+            return f"reqwesthttpsrc location={uri}"
+        return f"filesrc location={u.path or uri}"
+
+    def _make_primary(self) -> Element:
+        if self.uri:
+            return _make_from_desc(self._desc_for_uri(self.uri))
+        return _make_from_desc(self.source)
+
+    def _make_fallback(self) -> Element | None:
+        if self.fallback_uri:
+            return _make_from_desc(self._desc_for_uri(
+                self.fallback_uri))
+        if self.fallback_source:
+            return _make_from_desc(self.fallback_source)
+        if self.enable_dummy:
+            # reference enable-dummy: synthesized signal
+            return _make_from_desc(
+                "videotestsrc pattern=black is-live=true")
+        return None
+
     def start(self) -> bool:
-        if not self.source:
+        if not self.source and not self.uri:
             self.post_error("fallbacksrc: no source configured")
             return False
-        self._primary = _make_from_desc(self.source)
-        if self.fallback_source:
-            self._fallback = _make_from_desc(self.fallback_source)
-        self._activate(self._primary)
+        self._blocked = bool(self.manual_unblock)
+        self._primary = self._make_primary()
+        self._fallback = self._make_fallback()
+        if self.immediate_fallback and self._fallback is not None:
+            # reference immediate-fallback: output the fallback until
+            # the primary actually produces
+            self._primary_failed_at = self._now()
+            self._activate(self._fallback)
+        else:
+            self._activate(self._primary)
         return True
 
     def _activate(self, el: Element) -> None:
@@ -173,9 +249,19 @@ class FallbackSrc(Element):
                 and self._primary_failed_at is not None \
                 and self.restart_timeout \
                 and now - self._primary_failed_at > self.restart_timeout:
+            if self._first_failed_at is None:
+                self._first_failed_at = self._primary_failed_at
+            if self.retry_timeout \
+                    and now - self._first_failed_at > self.retry_timeout:
+                # reference retry-timeout: stop retrying, stay on
+                # the fallback for good
+                self._primary_failed_at = None
+                self.post_element_message("fallbacksrc-retry-exhausted")
+                return TaskResult.CONTINUE
             # retry the primary
             self.stats["num_retry"] += 1
-            self._primary = _make_from_desc(self.source)
+            self.stats["last_retry_time"] = now
+            self._primary = self._make_primary()
             self._primary_failed_at = None
             self._activate(self._primary)
             return TaskResult.CONTINUE

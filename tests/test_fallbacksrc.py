@@ -65,3 +65,66 @@ def test_fallbacksrc_requires_source():
     fs = make("fallbacksrc")
     from gstpu.core.element import StateChangeReturn
     assert fs.set_state(State.READY) is StateChangeReturn.FAILURE
+
+
+def test_fallbacksrc_uri_and_dummy(tmp_path):
+    """uri= + enable-dummy: primary from a file URI; when it EOSes
+    with restart-on-eos the stream loops (reference uri /
+    restart-on-eos / enable-dummy properties)."""
+    import numpy as np
+    from gstpu import Buffer, State, parse_launch
+    f = tmp_path / "clip.bin"
+    f.write_bytes(bytes(range(64)))
+    p = parse_launch("fallbacksrc name=fb ! appsink name=sink")
+    fb = p.get_by_name("fb")
+    fb.uri = f"file://{f}"
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    p.run(timeout=20)
+    assert sink.samples
+    assert b"".join(b.to_bytes()
+                    for b in sink.pull_all()) == bytes(range(64))
+    p.set_state(State.NULL)
+
+
+def test_fallbacksrc_immediate_fallback():
+    import time
+    from gstpu import State, parse_launch
+    # primary never produces (udpsrc nobody sends to); fallback
+    # produces immediately
+    p = parse_launch("fallbacksrc name=fb ! appsink name=sink")
+    fb = p.get_by_name("fb")
+    fb.source = "udpsrc port=0"
+    fb.fallback_source = "audiotestsrc samplesperbuffer=64"
+    fb.immediate_fallback = True
+    fb.restart_timeout = 10**12   # don't retry during the test
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    deadline = time.monotonic() + 5
+    while not sink.samples and time.monotonic() < deadline:
+        p.iterate()
+        time.sleep(0.001)
+    assert sink.samples            # fallback produced from the start
+    assert fb.statistics["using_fallback"]
+    p.set_state(State.NULL)
+
+
+def test_fallbacksrc_manual_unblock():
+    import time
+    from gstpu import State, parse_launch
+    p = parse_launch("fallbacksrc name=fb ! appsink name=sink")
+    fb = p.get_by_name("fb")
+    fb.source = "audiotestsrc samplesperbuffer=64"
+    fb.manual_unblock = True
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    for _ in range(50):
+        p.iterate()
+    assert not sink.samples        # held
+    fb.emit("unblock")
+    deadline = time.monotonic() + 5
+    while not sink.samples and time.monotonic() < deadline:
+        p.iterate()
+        time.sleep(0.001)
+    assert sink.samples
+    p.set_state(State.NULL)
