@@ -59,6 +59,7 @@ _MODULES = [
     "gstpu.elements.net.raptorq",
     "gstpu.elements.net.webrtcsink",
     "gstpu.elements.net.httpsrc",
+    "gstpu.elements.net.icecast",
     "gstpu.elements.net.dash",
     "gstpu.elements.net.gccbwe",
     "gstpu.elements.net.onvif",
