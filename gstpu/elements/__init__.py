@@ -28,6 +28,7 @@ _MODULES = [
     "gstpu.elements.audio.hrtf",
     "gstpu.elements.audio.rnnoise",
     "gstpu.elements.audio.demucs",
+    "gstpu.elements.audio.whisper",
     "gstpu.elements.video.hsv",
     "gstpu.elements.video.av1",
     "gstpu.elements.video.colorlut",
