@@ -35,6 +35,8 @@ _MODULES = [
     "gstpu.elements.video.videofx",
     "gstpu.elements.video.convert",
     "gstpu.elements.video.scale",
+    "gstpu.elements.video.viuer",
+    "gstpu.elements.video.compositor",
     "gstpu.elements.video.image",
     "gstpu.elements.video.closedcaption",
     "gstpu.elements.video.scc",
@@ -69,6 +71,7 @@ _MODULES = [
     "gstpu.elements.utils_.uriplaylistbin",
     "gstpu.elements.utils_.debugsei",
     "gstpu.elements.text.textelements",
+    "gstpu.elements.text.llm",
     "gstpu.elements.analytics.analytics",
     "gstpu.elements.generic.aliases",
 ]
