@@ -265,7 +265,14 @@ class WebRtcSink(Element):
                     data, src = sock.recvfrom(65536)
                 except (BlockingIOError, OSError):
                     break
-                tr.handle_packet(data, src)
+                try:
+                    tr.handle_packet(data, src)
+                except Exception as e:
+                    # a malformed/forged datagram must not kill the
+                    # transport task: log and drop
+                    self.post_element_message(
+                        "webrtc-transport-drop", session=sid,
+                        error=str(e))
                 moved = True
         return moved
 
@@ -860,7 +867,12 @@ class WebRtcSrc(Element):
                 data, src = self._sock.recvfrom(65536)
             except (BlockingIOError, OSError):
                 break
-            out = self._transport.handle_packet(data, src)
+            try:
+                out = self._transport.handle_packet(data, src)
+            except Exception as e:
+                self.post_element_message("webrtc-transport-drop",
+                                          error=str(e))
+                continue
             if out is not None and out[0] == "rtp":
                 self.push_rtp(out[1])
             moved = True

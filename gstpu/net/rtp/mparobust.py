@@ -190,17 +190,26 @@ class Adu:
             return None
         data_len = len(buf) - hsi
         if header.layer == 3:
-            if len(buf) <= 6:
+            # side info (and so main_data_begin) starts after the
+            # optional 2-byte CRC
+            si = 6 if crc == 0 else 4
+            if len(buf) <= si + 2:
                 return None
             if header.version > 1:      # lsf: 8-bit main_data_begin
-                bp = buf[4]
+                bp = buf[si]
             else:                       # 9-bit
-                bp = ((buf[4] << 8) | buf[5]) >> 7
+                bp = ((buf[si] << 8) | buf[si + 1]) >> 7
             frame_data_len = max(0, data_len - bp)
         else:
             bp, frame_data_len = 0, data_len
+        capacity = header.frame_len - hsi
+        if capacity <= 0:
+            # crafted/corrupt header (e.g. free-format with the next
+            # sync inside the side info): no room for any data —
+            # dropping it also guards the dummy-insertion loop
+            return None
         return Adu(header, buf, hsi, bp, data_len,
-                   header.frame_len - hsi, frame_data_len,
+                   capacity, frame_data_len,
                    interleave_index=idx, interleave_cycle=cycle)
 
     @property
@@ -223,6 +232,8 @@ class Adu:
             if lsf:
                 w.write(prev_adu_end, 8)
                 r.read(8)
+                priv = 2 if self.header.channels == 2 else 1
+                w.write(r.read(priv), priv)
                 granules = 1
             else:
                 w.write(prev_adu_end, 9)
@@ -293,7 +304,12 @@ class _PartialFrame:
         self.data_offset = to_offset + len(data)
 
     def terminate(self) -> Mp3Frame:
-        self.buf += bytes(self.header.frame_len - len(self.buf))
+        if len(self.buf) < self.header.frame_len:
+            self.buf += bytes(self.header.frame_len - len(self.buf))
+        else:
+            # corrupt ADU carrying more payload than its header's
+            # frame length: truncate instead of crashing
+            self.buf = self.buf[:self.header.frame_len]
         return Mp3Frame(bytes(self.buf), self.header, self.is_filler,
                         self.is_discont)
 
@@ -354,11 +370,15 @@ class AduQueue:
         else:
             prev_end = 0
         is_first = True
+        inserted = 0
         while adu.backpointer > prev_end:
+            if adu.mp3_frame_data_capacity <= 0 or inserted >= 64:
+                return                 # cannot converge: drop the ADU
             dummy = adu.to_dummy(is_first, prev_end)
             if dummy is None:
                 return
             self._adus.append(dummy)
+            inserted += 1
             prev_end += adu.mp3_frame_data_capacity
             if is_first:
                 adu.is_discont = False

@@ -166,6 +166,7 @@ class DtlsEndpoint:
         self._ecdh_priv = None
         self._peer_point = None
         self._cookie = b""
+        self._cookie_secret = os.urandom(16)
         self._state = "new"
         self._keys = None          # (write_key, write_iv, read_key, read_iv)
         self._read_seq_filter: set[tuple[int, int]] = set()
@@ -249,6 +250,18 @@ class DtlsEndpoint:
                              transcript=False)
 
     def handle_packet(self, datagram: bytes) -> None:
+        """Ingest one datagram. Malformed or forged input raises
+        DtlsError (never bare struct/index/crypto errors), so drivers
+        can drop bad datagrams without tearing down."""
+        try:
+            self._handle_datagram(datagram)
+        except DtlsError:
+            raise
+        except Exception as e:
+            raise DtlsError(f"malformed DTLS datagram: "
+                            f"{type(e).__name__}: {e}") from e
+
+    def _handle_datagram(self, datagram: bytes) -> None:
         pos = 0
         while pos + 13 <= len(datagram):
             ctype, ver, epoch = struct.unpack_from(">BHH", datagram,
@@ -259,11 +272,15 @@ class DtlsEndpoint:
             pos += 13 + ln
             if (epoch, rseq) in self._read_seq_filter:
                 continue            # replayed record
-            self._read_seq_filter.add((epoch, rseq))
             if epoch == 1:
                 if self._keys is None:
                     raise DtlsError("epoch 1 before keys")
+                # authenticate BEFORE marking the seq seen, so a
+                # spoofed record can't block the genuine one
                 payload = self._decrypt(ctype, payload)
+            self._read_seq_filter.add((epoch, rseq))
+            if len(self._read_seq_filter) > 8192:
+                self._read_seq_filter.clear()
             if ctype == CT_CCS:
                 self._peer_epoch_1 = True
                 continue
@@ -297,8 +314,6 @@ class DtlsEndpoint:
             ch = _parse_client_hello(body)
             if not ch["cookie"]:
                 # stateless cookie: HMAC over the client random
-                if not hasattr(self, "_cookie_secret"):
-                    self._cookie_secret = os.urandom(16)
                 cookie = hmac.new(self._cookie_secret, ch["random"],
                                   hashlib.sha256).digest()[:16]
                 hvr = struct.pack(">H", DTLS12) \
@@ -354,14 +369,27 @@ class DtlsEndpoint:
             point = body[1:1 + body[0]]
             self._derive_master(point)
         elif ht == HT_CERTIFICATE_VERIFY:
+            if self.peer_cert is None:
+                raise DtlsError("CertificateVerify without Certificate")
             sigalg, = struct.unpack_from(">H", body)
             siglen, = struct.unpack_from(">H", body, 2)
             sig = body[4:4 + siglen]
             # signature covers the transcript up to (excl.) this msg
-            self.peer_cert.public_key().verify(
-                sig, self._transcript, ec.ECDSA(hashes.SHA256()))
+            from cryptography.exceptions import InvalidSignature
+            try:
+                self.peer_cert.public_key().verify(
+                    sig, self._transcript, ec.ECDSA(hashes.SHA256()))
+            except InvalidSignature as e:
+                raise DtlsError("bad CertificateVerify signature")                     from e
+            self._peer_cert_verified = True
             self._transcript += raw
         elif ht == HT_FINISHED:
+            # we always send CertificateRequest: the client MUST have
+            # authenticated, otherwise fingerprint pinning is moot
+            if self.peer_cert is None \
+                    or not getattr(self, "_peer_cert_verified", False):
+                raise DtlsError("client Finished without verified "
+                                "certificate")
             self._verify_finished(body, b"client finished", raw)
             # server CCS + Finished
             self._send_record(CT_CCS, b"\x01")
@@ -477,6 +505,9 @@ class DtlsEndpoint:
 
     def _verify_finished(self, body: bytes, label: bytes,
                          raw: bytes) -> None:
+        if not self._master:
+            # no key exchange happened: a Finished here is forged
+            raise DtlsError("Finished before key exchange")
         want = _prf(self._master, label,
                     hashlib.sha256(self._transcript).digest(), 12)
         if not hmac.compare_digest(body, want):

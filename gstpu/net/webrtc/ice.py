@@ -169,24 +169,36 @@ class IceAgent:
 
     # -- packet ingestion ------------------------------------------------------
     def handle_packet(self, data: bytes, src: Addr) -> bool:
-        """Returns True if the datagram was consumed as STUN."""
+        """Returns True if the datagram was consumed as STUN.
+        Malformed attribute contents are dropped, never raised."""
         if not is_stun(data):
             return False
         try:
             msg = StunMessage.parse(data)
-        except StunError:
-            return True
-        if msg.msg_type == BINDING_REQUEST:
-            self._handle_request(msg, data, src)
-        elif msg.msg_type == BINDING_SUCCESS:
-            self._handle_success(msg, data, src)
-        elif msg.msg_type == BINDING_ERROR:
-            pair = self._pending.pop(msg.transaction_id, None)
-            if pair is not None:
-                pair.state = "failed"
-                if all(p.state == "failed" for p in self.pairs):
-                    self._events.append(("failed",))
+            if msg.msg_type == BINDING_REQUEST:
+                self._handle_request(msg, data, src)
+            elif msg.msg_type == BINDING_SUCCESS:
+                self._handle_success(msg, data, src)
+            elif msg.msg_type == BINDING_ERROR:
+                self._handle_error(msg, data)
+        except (StunError, struct.error, IndexError, ValueError):
+            pass                      # malformed STUN: drop
         return True
+
+    def _handle_error(self, msg: StunMessage, data: bytes) -> None:
+        pair = self._pending.get(msg.transaction_id)
+        if pair is None:
+            return
+        # only authenticated error responses may fail a pair —
+        # unauthenticated BINDING_ERROR is trivially spoofable
+        if not (self.remote_pwd
+                and msg.verify_integrity(self.remote_pwd.encode(),
+                                         data)):
+            return
+        self._pending.pop(msg.transaction_id, None)
+        pair.state = "failed"
+        if all(p.state == "failed" for p in self.pairs):
+            self._events.append(("failed",))
 
     def _handle_request(self, msg: StunMessage, data: bytes,
                         src: Addr) -> None:

@@ -274,3 +274,73 @@ def test_webrtcsink_to_webrtcsrc_full_loop():
     assert pkt[12:] == bytes([0x55]) * 160  # decrypted alaw payload
     sink.set_state(State.NULL)
     src.set_state(State.NULL)
+
+
+def test_forged_finished_without_key_exchange_rejected():
+    """Review regression: a Finished computed over the empty master
+    (PRF key b'') must not complete the handshake."""
+    import hashlib
+    import hmac as _hmac
+    import struct
+
+    from gstpu.net.webrtc.dtls import DtlsError, _prf
+
+    server = DtlsEndpoint(client=False)
+    # craft verify_data exactly as a pre-fix attacker would
+    verify = _prf(b"", b"client finished",
+                  hashlib.sha256(b"").digest(), 12)
+    msg = (bytes([20]) + len(verify).to_bytes(3, "big")
+           + struct.pack(">H", 0) + (0).to_bytes(3, "big")
+           + len(verify).to_bytes(3, "big") + verify)
+    rec = (struct.pack(">BHH", 22, 0xFEFD, 0)
+           + (0).to_bytes(6, "big")
+           + struct.pack(">H", len(msg)) + msg)
+    with pytest.raises(DtlsError):
+        server.handle_packet(rec)
+    assert not server.connected
+    assert server.srtp_keys is None
+
+
+def test_client_skipping_certificate_rejected():
+    """Review regression: the server demands client auth; a client
+    flight without Certificate/CertificateVerify must fail."""
+    from gstpu.net.webrtc.dtls import DtlsError
+
+    client = DtlsEndpoint(client=True)
+    server = DtlsEndpoint(client=False)
+    # monkeypatch the client to ignore the CertificateRequest
+    orig = client._dispatch_client
+
+    def no_cert(ht, body, raw):
+        if ht == 13:                   # CertificateRequest
+            client._transcript += raw  # keep transcript aligned
+            return
+        return orig(ht, body, raw)
+    client._dispatch_client = no_cert
+    client.handshake()
+    with pytest.raises(DtlsError, match="certificate"):
+        _pump(client, server)
+    assert not server.connected
+
+
+def test_garbage_datagrams_raise_dtlserror_only():
+    from gstpu.net.webrtc.dtls import DtlsError
+    server = DtlsEndpoint(client=False)
+    import struct
+    bad = [
+        b"\x16\xfe\xfd" + bytes(20),                 # truncated
+        # ClientHello with a bogus non-empty cookie (pre-fix: crash)
+        struct.pack(">BHH", 22, 0xFEFD, 0) + bytes(6)
+        + struct.pack(">H", 60)
+        + bytes([1]) + (48).to_bytes(3, "big") + bytes(8)
+        + struct.pack(">H", 0xFEFD) + bytes(32) + b"\x00"
+        + bytes([8]) + b"badcooki" + b"\x00\x02\xc0\x2b\x01\x00",
+        struct.pack(">BHH", 21, 0xFEFD, 0) + bytes(6)
+        + struct.pack(">H", 2) + b"\x02\x28",        # alert
+    ]
+    for dgram in bad:
+        try:
+            server.handle_packet(dgram)
+        except DtlsError:
+            pass        # expected: typed error, never bare crashes
+    assert not server.connected

@@ -125,8 +125,10 @@ def test_ice_rejects_wrong_password():
     _pump(full, a_addr, lite, b_addr)
     assert lite.selected is None
     assert full.selected is None
-    assert all(p.state == "failed" for p in full.pairs)
-    assert ("failed",) in full.events()
+    # the 401 comes back unauthenticated, so it cannot fail the pair
+    # (spoofable); the check simply never succeeds
+    assert not any(p.state == "succeeded" for p in full.pairs)
+    assert ("connected",) not in [e[:1] for e in full.events()]
 
 
 def test_ice_peer_reflexive_learning():

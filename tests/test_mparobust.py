@@ -230,3 +230,48 @@ def test_pipeline_parse_launch():
     assert "parsed=true" in str(out.caps).replace(" ", "").lower() \
         or out.caps[0].get("parsed") in (True, "true", 1)
     p.set_state(State.NULL)
+
+
+def test_crc_protected_backpointer_offset():
+    """Review regression: with protection on (CRC present) the
+    main_data_begin sits after the 2-byte CRC, not at byte 4."""
+    from gstpu.net.rtp.mparobust import Adu
+    # byte1 = 0xFA: MPEG1 L3 WITH CRC (protection bit 0)
+    si = bytearray(32)
+    bp = 100
+    si[0] = bp >> 1
+    si[1] = (bp & 1) << 7
+    raw = (bytes([0xFF, 0xFA, 0x94, 0x00])
+           + b"\xde\xad"           # CRC bytes (would alias bp=445)
+           + bytes(si) + bytes([7]) * 50)
+    adu = Adu.parse(raw)
+    assert adu is not None
+    assert adu.backpointer == 100    # read after the CRC
+    assert adu.header_side_info_len == 4 + 32 + 2
+
+
+def test_oversized_adu_payload_truncates_not_crashes():
+    rig = Rig()
+    # payload far larger than the header's frame_len: must not raise
+    data = bytes([9]) * (CAPACITY + 500)
+    adu = adu_bytes(data)
+    rig.push(descriptor(len(adu)) + adu)
+    rig.eos()
+    frames = rig.frames()
+    assert frames and all(len(f) == 384 for f in frames)
+
+
+def test_zero_capacity_adu_dropped():
+    """Free-format header crafted so frame_len == header+side info:
+    must be dropped, not loop forever inserting dummies."""
+    from gstpu.net.rtp.mparobust import Adu
+    # free format (bitrate_idx=0) + a matching sync at offset 36
+    head = bytes([0xFF, 0xFB, 0x04, 0x00])
+    si = bytes(32)
+    raw = head + si + head + bytes(20)
+    adu = Adu.parse(raw)
+    # either parsed with positive capacity or rejected — and feeding
+    # it through the element must terminate
+    rig = Rig()
+    rig.push(descriptor(len(raw)) + raw)
+    rig.eos()           # completes without hanging
