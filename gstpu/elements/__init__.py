@@ -17,6 +17,7 @@ _MODULES = [
     "gstpu.elements.generic.compress",
     "gstpu.elements.generic.plumbing",
     "gstpu.elements.generic.sodium",
+    "gstpu.elements.generic.blocking_adapter",
     "gstpu.elements.audio.audiofx",
     "gstpu.elements.audio.g711",
     "gstpu.elements.audio.convert",
@@ -62,6 +63,7 @@ _MODULES = [
     "gstpu.elements.net.raptorq",
     "gstpu.elements.net.webrtcsink",
     "gstpu.elements.net.httpsrc",
+    "gstpu.elements.net.quic",
     "gstpu.elements.net.icecast",
     "gstpu.elements.net.dash",
     "gstpu.elements.net.gccbwe",

@@ -57,6 +57,15 @@ for _new, _old in (
         ("ts-tcpclientsrc", "tcpclientsrc"),
         ("ts-intersink", "intersink"), ("ts-intersrc", "intersrc"),
         ("ts-proxysink", "intersink"), ("ts-proxysrc", "intersrc"),
+        # reference factory-name variants of elements we register
+        # under their family names
+        ("agingradio", "rsagingradio"),
+        ("rtpav1pay", "rtpav1pay2"),
+        ("rtpav1depay", "rtpav1depay2"),
+        ("rtpsmpte291pay", "rtpsmpte291pay2"),
+        ("rtpsmpte291depay", "rtpsmpte291depay2"),
+        ("llamacpp-texttransform", "llamatexttransform"),
+        ("burn-yoloxinference", "yoloxinference"),
 ):
     _alias(_new, _old)
 

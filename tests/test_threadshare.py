@@ -154,3 +154,45 @@ def test_context_timer_api():
     ctx.add_task(Task("idle", lambda: TaskResult.IDLE))
     assert fired.wait(2.0)
     Context.release("io-timer")
+
+
+def test_blocking_adapter_decouples_blocking_sink():
+    """ts-blocking-adapter: a slow/blocking downstream must not stall
+    the upstream chain call (reference threadshare
+    tests/blocking_adapter.rs)."""
+    from gstpu import Buffer
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+
+    adapter = make("ts-blocking-adapter")
+    h = Harness(adapter)
+
+    done: list[bytes] = []
+    orig = h.sinkpad.chain_function
+
+    def slow_chain(pad, buf):
+        time.sleep(0.02)               # downstream blocks (clock sync)
+        done.append(buf.to_bytes())
+        return orig(pad, buf)
+
+    h.sinkpad.chain_function = slow_chain
+    h.set_caps("application/x-test")
+
+    # the first push hands off instantly: the src thread absorbs the
+    # sink's 20ms service time
+    t0 = time.monotonic()
+    h.push(Buffer(b"a"))
+    first_push = time.monotonic() - t0
+    assert first_push < 0.015
+
+    for i in range(4):
+        h.push(Buffer(bytes([i])))
+
+    deadline = time.monotonic() + 5
+    while len(done) < 5 and time.monotonic() < deadline:
+        time.sleep(0.005)
+    assert done == [b"a", b"\x00", b"\x01", b"\x02", b"\x03"]
+
+    from gstpu.core.event import EosEvent
+    h.push_event(EosEvent())
+    h.teardown()
