@@ -411,3 +411,209 @@ class QuinnQuicDemux(Element):
         for p in self._pads.values():
             ok = p.push_event(ev) and ok
         return ok
+
+
+# ---------------------------------------------------------------------------
+# WebTransport elements (quinnwtserversink/quinnwtsink,
+# quinnwtclientsrc/quinnwtsrc)
+# ---------------------------------------------------------------------------
+
+class _WtEndpoint(_Endpoint):
+    """Endpoint whose connection carries a WebTransport session."""
+
+    def __init__(self, conn, sock, peer, *, authority, path):
+        super().__init__(conn, sock, peer)
+        from gstpu.net.quic.webtransport import WebTransportSession
+        self.wt = WebTransportSession(conn, authority=authority,
+                                      path=path)
+
+    def pump(self) -> None:
+        super().pump()
+        self.wt.pump()
+        super().pump()                   # flush WT responses
+
+    def wait_session(self, timeout: float) -> bool:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            self.pump()
+            if self.wt.session_ready:
+                return True
+            time.sleep(0.002)
+        return self.wt.session_ready
+
+
+def _make_wt_endpoint(*, client: bool, address: str, port: int,
+                      remote_fingerprint=None, authority="localhost",
+                      path="/gstpu") -> _WtEndpoint:
+    from gstpu.net.quic.connection import QuicConnection
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    if client:
+        sock.bind(("0.0.0.0", 0))
+        peer = (address, port)
+    else:
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        sock.bind((address, port))
+        peer = None
+    sock.setblocking(False)
+    conn = QuicConnection(client=client, alpn="h3",
+                          remote_fingerprint=remote_fingerprint)
+    ep = _WtEndpoint(conn, sock, peer, authority=authority, path=path)
+    ep.wt.start()                        # queue control stream (+CONNECT)
+    if client:
+        conn.connect()
+        ep.pump()
+    return ep
+
+
+@register_element("quinnwtserversink", Rank.NONE)
+@register_element("quinnwtsink", Rank.NONE)
+class QuinnWtSink(BaseSink):
+    """WebTransport server sink: accepts one WT session and sends
+    each buffer as a WT datagram (use-datagram=true) or over one WT
+    uni stream, length-delimited (reference
+    net/quinn/src/quinnwtsink/imp.rs; registered as both quinnwtsink
+    and quinnwtserversink, mod.rs:34-44)."""
+
+    PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK,
+                                 PadPresence.ALWAYS, Caps.any())]
+
+    address = Property(str, default="0.0.0.0",
+                       mutable=Mutability.READY)
+    port = Property(int, default=5008, minimum=0, maximum=65535,
+                    mutable=Mutability.READY)
+    use_datagram = Property(bool, default=False,
+                            mutable=Mutability.READY)
+    timeout = Property(float, default=5.0, minimum=0.0)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._ep: _WtEndpoint | None = None
+        self._wt_stream: int | None = None
+        self.sent = 0
+
+    def start(self) -> bool:
+        self._ep = _make_wt_endpoint(
+            client=False, address=self.address, port=self.port)
+        return True
+
+    @property
+    def local_fingerprint(self) -> str:
+        return self._ep.conn.tls.local_fingerprint
+
+    @property
+    def bound_port(self) -> int:
+        return self._ep.sock.getsockname()[1] if self._ep else 0
+
+    def stop(self) -> bool:
+        if self._ep:
+            self._ep.close()
+            self._ep = None
+        return True
+
+    def render(self, buf: Buffer):
+        ep = self._ep
+        if not ep.wt.session_ready \
+                and not ep.wait_session(self.timeout):
+            raise FlowError(FlowReturn.ERROR,
+                            "no WebTransport session")
+        data = buf.to_bytes()
+        if self.use_datagram:
+            ep.wt.send_datagram(data)
+        else:
+            from gstpu.net.quic.packet import encode_varint
+            if self._wt_stream is None:
+                self._wt_stream = ep.wt.open_wt_uni_stream()
+            ep.wt.send_stream(self._wt_stream,
+                              encode_varint(len(data)) + data)
+        ep.pump()
+        self.sent += 1
+        return FlowReturn.OK
+
+    def on_eos(self):
+        ep = self._ep
+        if ep is not None and self._wt_stream is not None:
+            ep.wt.send_stream(self._wt_stream, b"", fin=True)
+            ep.pump()
+
+
+@register_element("quinnwtclientsrc", Rank.NONE)
+@register_element("quinnwtsrc", Rank.NONE)
+class QuinnWtSrc(PushSrc):
+    """WebTransport client source: connects, performs the extended
+    CONNECT, and yields WT datagrams / uni-stream buffers (reference
+    net/quinn/src/quinnwtsrc/imp.rs; quinnwtsrc + quinnwtclientsrc)."""
+
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC,
+                                 PadPresence.ALWAYS, Caps.any())]
+
+    address = Property(str, default="127.0.0.1",
+                       mutable=Mutability.READY)
+    port = Property(int, default=5008, minimum=0, maximum=65535,
+                    mutable=Mutability.READY)
+    url_path = Property(str, default="/gstpu",
+                        mutable=Mutability.READY)
+    caps = Property(Caps, default=None, mutable=Mutability.READY)
+    certificate_fingerprint = Property(str, default=None,
+                                       mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._ep: _WtEndpoint | None = None
+        self._queue: list[bytes] = []
+        self._stream_buf = bytearray()
+        self._fin = False
+        self.is_live = True
+
+    def start(self) -> bool:
+        self._ep = _make_wt_endpoint(
+            client=True, address=self.address, port=self.port,
+            remote_fingerprint=self.certificate_fingerprint,
+            path=self.url_path)
+        return True
+
+    def stop(self) -> bool:
+        if self._ep:
+            self._ep.close()
+            self._ep = None
+        return True
+
+    def negotiate(self) -> Caps:
+        return self.caps if self.caps is not None \
+            else Caps.new("application/octet-stream")
+
+    def _drain_stream_buf(self) -> None:
+        from gstpu.net.quic.packet import QuicError, decode_varint
+        while self._stream_buf:
+            try:
+                ln, pos = decode_varint(bytes(self._stream_buf), 0)
+            except QuicError:
+                return
+            if len(self._stream_buf) < pos + ln:
+                return
+            self._queue.append(bytes(self._stream_buf[pos:pos + ln]))
+            del self._stream_buf[:pos + ln]
+
+    def create(self) -> Buffer | None:
+        ep = self._ep
+        ep.pump()
+        for ev in ep.wt.events:
+            kind = ev[0]
+            if kind == "wt-datagram":
+                self._queue.append(ev[1])
+            elif kind == "wt-stream":
+                _, _sid, data, fin = ev
+                self._stream_buf += data
+                self._drain_stream_buf()
+                if fin:
+                    self._fin = True
+            elif kind == "closed":
+                self._fin = True
+        ep.wt.events.clear()
+        if self._queue:
+            buf = Buffer(self._queue.pop(0))
+            if self.clock is not None:
+                buf.pts = self.running_time()
+            return buf
+        if self._fin:
+            return None
+        raise FlowError(FlowReturn.FLUSHING, "no WT data yet")

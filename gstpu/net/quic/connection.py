@@ -100,6 +100,12 @@ class QuicConnection:
         self._next_stream_id += 4        # bidi, our side
         return sid
 
+    def open_uni_stream(self) -> int:
+        sid = getattr(self, "_next_uni_id",
+                      2 if self.is_client else 3)
+        self._next_uni_id = sid + 4
+        return sid
+
     def send_stream(self, stream_id: int, data: bytes,
                     fin: bool = False) -> None:
         """Queue one STREAM frame (offset accumulates per stream)."""

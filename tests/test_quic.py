@@ -260,3 +260,64 @@ def test_quinnquicmux_demux_roundtrip():
         [b"b\x00", b"b\x01", b"b\x02"]
     assert [b.to_bytes() for b in outputs["datagram"].samples] == \
         [b"d\x00", b"d\x01", b"d\x02"]
+
+
+def _run_wt_pipeline(use_datagram: bool):
+    sink = make("quinnwtserversink")
+    sink.port = 0
+    sink.use_datagram = use_datagram
+    h = Harness(sink)
+    h.set_caps("application/x-test")
+    port = sink.bound_port
+    assert port > 0
+
+    src = make("quinnwtsrc")
+    src.address = "127.0.0.1"
+    src.port = port
+    src.certificate_fingerprint = sink.local_fingerprint
+
+    recv = parse_launch("appsink name=out")
+    out = recv.get_by_name("out")
+    src.set_state(State.READY)
+    src.pads["src"].link(out.pads["sink"])
+    src.set_state(State.PLAYING)
+    out.set_state(State.PLAYING)
+
+    # drive both ends until the WT session (CONNECT/200) is up
+    deadline = time.monotonic() + 5
+    while not sink._ep.wt.session_ready \
+            and time.monotonic() < deadline:
+        sink._ep.pump()
+        for task in src.iterate_tasks():
+            task.iterate()
+        time.sleep(0.002)
+    assert sink._ep.wt.session_ready
+
+    sent = [bytes([i]) * (30 + i) for i in range(4)]
+    for data in sent:
+        h.push(Buffer(data))
+    deadline = time.monotonic() + 5
+    while len(out.samples) < len(sent) \
+            and time.monotonic() < deadline:
+        for task in src.iterate_tasks():
+            task.iterate()
+        sink._ep.pump()
+        time.sleep(0.002)
+    assert [b.to_bytes() for b in out.samples] == sent
+    h.teardown()
+    src.set_state(State.NULL)
+
+
+def test_webtransport_elements_stream_mode():
+    _run_wt_pipeline(use_datagram=False)
+
+
+def test_webtransport_elements_datagram_mode():
+    _run_wt_pipeline(use_datagram=True)
+
+
+def test_webtransport_qpack_roundtrip():
+    from gstpu.net.quic.webtransport import qpack_decode, qpack_encode
+    fields = [(":method", "CONNECT"), (":protocol", "webtransport"),
+              (":authority", "a" * 300), (":path", "/x")]
+    assert qpack_decode(qpack_encode(fields)) == fields
