@@ -165,6 +165,11 @@ def _brotli_available() -> bool:
 
 @register_element("brotlicompress", Rank.NONE)
 class BrotliCompress(_CompressBase):
+    """Brotli compressor. With a brotli module present it entropy-
+    codes at the configured quality; otherwise it emits RFC 7932
+    stored-mode streams (gstpu/codecs/brotli_rfc7932.py) — fully
+    conformant output any brotli decoder accepts."""
+
     MEDIA_TYPES = (BROTLI_CAPS,)
     PAD_TEMPLATES = [
         PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
@@ -176,22 +181,25 @@ class BrotliCompress(_CompressBase):
     quality = Property(int, default=11, minimum=0, maximum=11,
                        mutable=Mutability.READY)
 
-    def start(self) -> bool:
-        if not _brotli_available():
-            self.post_error("brotlicompress: no brotli module in this "
-                            "environment")
-            return False
-        return True
-
     def transform(self, buf: Buffer) -> Buffer:
-        import brotli
-        return Buffer(brotli.compress(buf.to_bytes(),
-                                      quality=self.quality),
-                      pts=buf.pts, duration=buf.duration)
+        if _brotli_available():
+            import brotli
+            data = brotli.compress(buf.to_bytes(),
+                                   quality=self.quality)
+        else:
+            from gstpu.codecs.brotli_rfc7932 import compress_stored
+            data = compress_stored(buf.to_bytes())
+        return Buffer(data, pts=buf.pts, duration=buf.duration)
 
 
 @register_element("brotlidecompress", Rank.NONE)
 class BrotliDecompress(_DecompressBase):
+    """Brotli decompressor. With a brotli module present it decodes
+    any stream; otherwise the from-spec RFC 7932 decoder handles
+    stored-mode/metadata metablocks and errors clearly on prefix-
+    coded ones (their decode needs the Appendix A static dictionary,
+    literal data unavailable here)."""
+
     MEDIA_TYPES = (BROTLI_CAPS,)
     PAD_TEMPLATES = [
         PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
@@ -200,14 +208,16 @@ class BrotliDecompress(_DecompressBase):
                     Caps.any()),
     ]
 
-    def start(self) -> bool:
-        if not _brotli_available():
-            self.post_error("brotlidecompress: no brotli module in this "
-                            "environment")
-            return False
-        return True
-
     def transform(self, buf: Buffer) -> Buffer:
-        import brotli
-        return Buffer(brotli.decompress(buf.to_bytes()), pts=buf.pts,
-                      duration=buf.duration)
+        if _brotli_available():
+            import brotli
+            data = brotli.decompress(buf.to_bytes())
+        else:
+            from gstpu.codecs.brotli_rfc7932 import (BrotliError,
+                                                     decompress)
+            try:
+                data = decompress(buf.to_bytes())
+            except BrotliError as e:
+                self.post_error(f"brotlidecompress: {e}")
+                raise FlowError(FlowReturn.ERROR)
+        return Buffer(data, pts=buf.pts, duration=buf.duration)

@@ -229,3 +229,54 @@ def test_udpsrc_batch_drain():
     tx.close()
     assert len(sink.samples) == 30
     assert sink.samples[5].to_bytes() == bytes([5]) * 12
+
+
+# ---------------------------------------------------------------------------
+# brotli (RFC 7932 stored-mode framing, gstpu/codecs/brotli_rfc7932.py)
+# ---------------------------------------------------------------------------
+
+def test_brotli_known_empty_streams():
+    from gstpu.codecs.brotli_rfc7932 import decompress
+    # canonical minimal empty streams produced by the reference
+    # brotli library: 0x3b (wbits 22) and 0x06 (wbits 16)
+    assert decompress(b"\x3b") == b""
+    assert decompress(b"\x06") == b""
+
+
+def test_brotli_stored_roundtrip():
+    import os
+    from gstpu.codecs.brotli_rfc7932 import compress_stored, decompress
+    for payload in (b"", b"x", b"hello brotli" * 100,
+                    os.urandom(70_000)):
+        enc = compress_stored(payload)
+        assert decompress(enc) == payload
+
+
+def test_brotli_rejects_prefix_coded_blocks():
+    import pytest
+    from gstpu.codecs.brotli_rfc7932 import BrotliError, decompress
+    # wbits=16 ('0'), ISLAST=1, ISLASTEMPTY=0, MNIBBLES=4, MLEN-1=0
+    # -> a compressed metablock follows: must raise, not misparse
+    from gstpu.codecs.brotli_rfc7932 import _BitWriter
+    w = _BitWriter()
+    w.write(0, 1); w.write(1, 1); w.write(0, 1)
+    w.write(0, 2); w.write(0, 16); w.write(0, 8)
+    with pytest.raises(BrotliError, match="dictionary"):
+        decompress(w.bytes_out())
+
+
+def test_brotli_elements_pipeline_roundtrip():
+    from gstpu import Buffer, State, parse_launch
+    p = parse_launch("appsrc name=in caps=application/x-test ! "
+                     "brotlicompress ! brotlidecompress ! "
+                     "appsink name=out")
+    src = p.get_by_name("in")
+    out = p.get_by_name("out")
+    p.set_state(State.PLAYING)
+    payloads = [b"one", b"two" * 500, b"\x00" * 4096]
+    for d in payloads:
+        src.push_buffer(Buffer(d))
+    src.end_of_stream()
+    p.run()
+    assert [b.to_bytes() for b in out.samples] == payloads
+    p.set_state(State.NULL)
