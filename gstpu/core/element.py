@@ -50,6 +50,7 @@ class FlowReturn(enum.Enum):
     FLUSHING = "flushing"
     EOS = "eos"
     NOT_NEGOTIATED = "not-negotiated"
+    NOT_SUPPORTED = "not-supported"
     ERROR = "error"
 
     @property
@@ -114,6 +115,10 @@ class Pad:
         self.chain_list_function: Callable[[Pad, BufferList], FlowReturn] | None = None
         self.event_function: Callable[[Pad, Event], bool] | None = None
         self.query_function: Callable[[Pad, Query], bool] | None = None
+        # pull-mode scheduling (GStreamer getrange): src pads that can
+        # serve random access set this to (pad, offset, size) -> bytes
+        self.get_range_function: \
+            Callable[["Pad", int, int], bytes] | None = None
         # probes: callables (pad, item) -> "ok"|"drop"|"remove"
         self._probes: list[Callable] = []
 
@@ -164,6 +169,27 @@ class Pad:
         return True
 
     # -- dataflow (src side) ------------------------------------------
+    # -- pull-mode scheduling (getrange) --------------------------------
+    def pull_range(self, offset: int, size: int) -> bytes:
+        """Pull `size` bytes at `offset` from the linked src pad
+        (GStreamer gst_pad_pull_range; reference pull-mode elements:
+        sodium decrypter, flvdemux pull mode). Returns fewer bytes at
+        end-of-stream; raises FlowError otherwise."""
+        assert self.direction is PadDirection.SINK, \
+            "pull_range on src pad"
+        peer = self.peer
+        if peer is None or peer.get_range_function is None:
+            raise FlowError(FlowReturn.NOT_SUPPORTED,
+                            "upstream has no getrange support")
+        return peer.get_range_function(peer, offset, size)
+
+    @property
+    def can_pull(self) -> bool:
+        """Whether the linked peer supports pull scheduling."""
+        return (self.direction is PadDirection.SINK
+                and self.peer is not None
+                and self.peer.get_range_function is not None)
+
     def push(self, buf: Buffer) -> FlowReturn:
         assert self.direction is PadDirection.SRC, "push on sink pad"
         if self.flushing:

@@ -43,7 +43,19 @@ class FileSrc(PushSrc):
             return False
         self._f = open(self.location, "rb")
         self._offset = 0
+        # pull-mode scheduling: files are random-access
+        self.srcpad.get_range_function = self._get_range
         return True
+
+    def _get_range(self, pad, offset: int, size: int) -> bytes:
+        import os
+        fd = self._f.fileno()
+        return os.pread(fd, size, offset)
+
+    @property
+    def size(self) -> int:
+        import os
+        return os.fstat(self._f.fileno()).st_size if self._f else 0
 
     def stop(self) -> bool:
         if self._f:

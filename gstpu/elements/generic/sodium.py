@@ -13,9 +13,11 @@ little-endian per block, the final short block flushed at EOS.
 libsodium itself does the crypto, loaded via ctypes
 (libsodium.so.23 ships in this image).
 
-The reference decrypter is additionally a pull-mode random-access
-reader; this one is the push-mode path (chunked adapter), which every
-gstpu pipeline uses.
+The decrypter serves BOTH scheduling modes like the reference
+(decrypter/imp.rs:412-511): push mode (chunked adapter) and pull
+mode — `pull_range(offset, size)` maps plaintext offsets to chunk
+indices, pulls only those chunks upstream, decrypts each with
+nonce = initial_nonce + chunk_index, and slices the request out.
 """
 
 from __future__ import annotations
@@ -103,6 +105,26 @@ class _BoxState:
         if rc != 0:
             return None
         return out.raw
+
+    def open_at(self, sealed: bytes, nonce: bytes) -> bytes | None:
+        """Random-access decrypt with an explicit nonce (pull mode);
+        does not touch the streaming nonce."""
+        if len(sealed) < MAC_BYTES:
+            return None
+        out = ctypes.create_string_buffer(len(sealed) - MAC_BYTES)
+        rc = _SODIUM.crypto_box_open_easy_afternm(
+            out, sealed, ctypes.c_ulonglong(len(sealed)),
+            ctypes.create_string_buffer(nonce, NONCE_BYTES), self.k)
+        if rc != 0:
+            return None
+        return out.raw
+
+
+def _nonce_add(nonce: bytes, i: int) -> bytes:
+    """initial_nonce + i with libsodium's little-endian increment
+    semantics."""
+    v = (int.from_bytes(nonce, "little") + i) % (1 << (8 * NONCE_BYTES))
+    return v.to_bytes(NONCE_BYTES, "little")
 
 
 class _SodiumBase(BaseTransform):
@@ -276,3 +298,63 @@ class SodiumDecrypter(_SodiumBase):
         if self._state is None or not self._acc:
             return []
         return self._decrypt_available(final=True)
+
+    # -- pull mode (reference decrypter/imp.rs:412-511) -----------------
+    def _pull_header(self) -> None:
+        if self._state is not None:
+            return
+        hdr = self.sinkpad.pull_range(0, HEADER_SIZE)
+        if len(hdr) < HEADER_SIZE or hdr[:len(MAGIC)] != MAGIC:
+            raise FlowError(FlowReturn.ERROR,
+                            "sodiumdecrypter: bad stream header")
+        self._initial_nonce = hdr[len(MAGIC):len(MAGIC) + NONCE_BYTES]
+        self._block_size, = struct.unpack_from(
+            "<I", hdr, len(MAGIC) + NONCE_BYTES)
+        self._state = _BoxState(self.sender_key, self.receiver_key,
+                                self._initial_nonce)
+
+    def plaintext_size(self) -> int:
+        """Total decrypted size, derived from the upstream byte size
+        (needed to answer duration/seek queries in pull mode)."""
+        self._pull_header()
+        src = self.sinkpad.peer.element
+        total = getattr(src, "size", 0) - HEADER_SIZE
+        chunk = self._block_size + MAC_BYTES
+        n_full, rem = divmod(total, chunk)
+        out = n_full * self._block_size
+        if rem:
+            out += rem - MAC_BYTES
+        return out
+
+    def pull_range(self, offset: int, size: int) -> bytes:
+        """Random access into the plaintext: pulls only the chunks
+        covering [offset, offset+size), decrypts each with
+        nonce = initial_nonce + chunk_index."""
+        self._pull_header()
+        bs = self._block_size
+        chunk = bs + MAC_BYTES
+        first = offset // bs
+        last = (offset + size - 1) // bs if size else first
+        enc = self.sinkpad.pull_range(
+            HEADER_SIZE + first * chunk, (last - first + 1) * chunk)
+        out = bytearray()
+        for i in range(first, last + 1):
+            sealed = enc[(i - first) * chunk:(i - first + 1) * chunk]
+            if not sealed:
+                break
+            pt = self._state.open_at(sealed,
+                                     _nonce_add(self._initial_nonce, i))
+            if pt is None:
+                raise FlowError(FlowReturn.ERROR,
+                                "sodiumdecrypter: authentication "
+                                f"failed at chunk {i}")
+            out += pt
+        start = offset - first * bs
+        return bytes(out[start:start + size])
+
+    def ready_to_paused(self) -> bool:
+        # expose getrange downstream when upstream supports it
+        if self.sinkpad.can_pull:
+            self.static_pad("src").get_range_function = \
+                lambda pad, off, size: self.pull_range(off, size)
+        return super().ready_to_paused()

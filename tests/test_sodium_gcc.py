@@ -189,3 +189,59 @@ def test_gcc_element_messages():
     msgs = [m for m in h.bus.drain() if m.type is MessageType.ELEMENT]
     assert msgs and "estimated_bitrate" in msgs[0].fields
     h.teardown()
+
+
+def test_sodium_pull_mode_random_access(tmp_path):
+    """Pull-mode decrypter (reference decrypter/imp.rs:412-511):
+    filesrc serves getrange; sodiumdecrypter maps plaintext ranges to
+    chunks, decrypts with nonce+index, and slices — byte-identical to
+    the full plaintext at arbitrary offsets."""
+    (rpk, rsk), (spk, ssk) = _keys()
+    payload = bytes((i * 7 + 3) & 0xFF for i in range(10_000))
+
+    # write an encrypted file via the push path
+    enc_file = tmp_path / "enc.bin"
+    p = parse_launch("appsrc name=src ! sodiumencrypter name=enc ! "
+                     f"filesink location={enc_file}")
+    from gstpu.core.caps import parse_caps
+    enc = p.get_by_name("enc")
+    enc.receiver_key, enc.sender_key = rpk, ssk
+    enc.block_size = 512
+    src = p.get_by_name("src")
+    src.caps = parse_caps("application/x-test")
+    p.set_state(State.PLAYING)
+    src.push_buffer(Buffer(payload))
+    src.end_of_stream()
+    p.run()
+    p.set_state(State.NULL)
+
+    # pull-mode pipeline: filesrc ! sodiumdecrypter (getrange chain)
+    fsrc = make("filesrc")
+    fsrc.location = str(enc_file)
+    dec = make("sodiumdecrypter")
+    dec.receiver_key, dec.sender_key = rsk, spk
+    fsrc.pads["src"].link(dec.pads["sink"])
+    fsrc.set_state(State.READY)
+    dec.set_state(State.PAUSED)
+
+    assert dec.plaintext_size() == len(payload)
+    # arbitrary offsets incl. chunk-straddling and the tail
+    for off, size in ((0, 16), (500, 40), (511, 2), (512, 512),
+                      (1000, 3000), (9990, 10), (9990, 100),
+                      (4096, 1)):
+        got = dec.pull_range(off, size)
+        assert got == payload[off:off + size], (off, size)
+
+    # downstream sees getrange through the decrypter's src pad
+    sinkpad_probe = dec.pads["src"].get_range_function
+    assert sinkpad_probe is not None
+    assert sinkpad_probe(dec.pads["src"], 100, 50) == payload[100:150]
+
+    # tampering any chunk fails authentication for ranges in it
+    raw = bytearray(enc_file.read_bytes())
+    raw[60] ^= 0xFF                      # inside chunk 0
+    enc_file.write_bytes(bytes(raw))
+    fsrc.set_state(State.NULL)
+    fsrc.set_state(State.READY)
+    with pytest.raises(Exception):
+        dec.pull_range(0, 16)
