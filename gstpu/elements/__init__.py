@@ -64,6 +64,7 @@ _MODULES = [
     "gstpu.elements.net.webrtcsink",
     "gstpu.elements.net.httpsrc",
     "gstpu.elements.net.quic",
+    "gstpu.elements.net.aws",
     "gstpu.elements.net.icecast",
     "gstpu.elements.net.dash",
     "gstpu.elements.net.gccbwe",

@@ -54,11 +54,21 @@ class HlsCmafSink(BaseSink):
         self._pending_pts: int | None = None
         self._last_pts: int | None = None
 
+    # -- storage hooks (awss3hlssink overrides; default = local fs) ----
+    def _store(self, path: str, data: bytes) -> None:
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def _delete(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
     def render(self, buf: Buffer):
         data = buf.to_bytes()
         if buf.has_flag(BufferFlags.HEADER) and not self._have_init:
-            with open(self.init_location, "wb") as f:
-                f.write(data)
+            self._store(self.init_location, data)
             self._have_init = True
             return FlowReturn.OK
         # each fragment buffer becomes one segment
@@ -66,18 +76,14 @@ class HlsCmafSink(BaseSink):
             else float(self.target_duration)
         name = self.location % self._seg_index \
             if "%" in self.location else f"{self.location}{self._seg_index}"
-        with open(name, "wb") as f:
-            f.write(data)
+        self._store(name, data)
         self._seg_index += 1
         self._segments.append((name, dur))
         if self.playlist_length and \
                 len(self._segments) > self.playlist_length:
             old, _ = self._segments.pop(0)
             self._media_sequence += 1
-            try:
-                os.unlink(old)
-            except OSError:
-                pass
+            self._delete(old)
         self._write_playlist(ended=False)
         return FlowReturn.OK
 
@@ -91,8 +97,8 @@ class HlsCmafSink(BaseSink):
             lines.append(os.path.basename(name))
         if ended:
             lines.append("#EXT-X-ENDLIST")
-        with open(self.playlist_location, "w") as f:
-            f.write("\n".join(lines) + "\n")
+        self._store(self.playlist_location,
+                    ("\n".join(lines) + "\n").encode())
 
     def on_eos(self) -> None:
         self._write_playlist(ended=True)
@@ -274,6 +280,10 @@ class HlsWebVttSink(BaseSink):
         self._media_sequence = 0
         self._segments: list[tuple[str, float]] = []
 
+    def _store(self, path: str, data: bytes) -> None:
+        with open(path, "wb") as f:
+            f.write(data)
+
     def _header(self) -> str:
         hdr = "WEBVTT"
         if self.write_timestamp_map:
@@ -327,8 +337,8 @@ class HlsWebVttSink(BaseSink):
             lines.append(os.path.basename(name))
         if ended:
             lines.append("#EXT-X-ENDLIST")
-        with open(self.playlist_location, "w") as f:
-            f.write("\n".join(lines) + "\n")
+        self._store(self.playlist_location,
+                    ("\n".join(lines) + "\n").encode())
 
     def on_eos(self) -> None:
         if self._cues:
