@@ -30,6 +30,7 @@ _MODULES = [
     "gstpu.elements.audio.rnnoise",
     "gstpu.elements.audio.demucs",
     "gstpu.elements.audio.whisper",
+    "gstpu.elements.audio.cloudstt",
     "gstpu.elements.video.hsv",
     "gstpu.elements.video.av1",
     "gstpu.elements.video.colorlut",

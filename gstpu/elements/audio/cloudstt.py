@@ -1,0 +1,272 @@
+"""Cloud speech-to-text elements speaking the REAL wire protocols:
+
+* speechmaticstranscriber — Speechmatics Realtime API v2
+  (reference audio/speechmatics/src/transcriber/imp.rs:219-236,
+  1081-1310): StartRecognition/AudioAdded/AddTranscript/
+  AddPartialTranscript/EndOfStream/EndOfTranscript JSON over
+  WebSocket, binary audio frames in between.
+* deepgramtranscriber — Deepgram streaming listen API
+  (reference net/deepgram/src/transcriber/): Token-auth WebSocket,
+  binary audio, {"type":"Results"} JSON with
+  channel.alternatives[0].transcript, CloseStream at EOS.
+
+Both run the protocol over gstpu's WsClient (gstpu/net/ws.py)
+against any ws:// endpoint — tests use in-process mock servers; the
+real services need wss:// + network + credentials (the env gate is
+TLS/egress, not the protocol)."""
+
+from __future__ import annotations
+
+import json
+
+from gstpu.core.base import BaseTransform
+from gstpu.core.buffer import Buffer
+from gstpu.core.caps import Caps
+from gstpu.core.element import (FlowError, FlowReturn, PadDirection,
+                                PadPresence, PadTemplate)
+from gstpu.core.props import Mutability, Property
+from gstpu.core.registry import Rank, register_element
+
+SECOND = 1_000_000_000
+SINK_CAPS = Caps.new("audio/x-raw", format="S16LE", rate=16000,
+                     channels=1, layout="interleaved")
+SRC_CAPS = Caps.new("text/x-raw", format="utf8")
+
+
+class _CloudSttBase(BaseTransform):
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    SINK_CAPS.copy()),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    SRC_CAPS.copy()),
+    ]
+
+    url = Property(str, default=None, mutable=Mutability.READY,
+                   blurb="ws:// endpoint (real service is wss://; "
+                         "TLS/egress is the env gate)")
+    api_key = Property(str, default=None, mutable=Mutability.READY)
+    latency = Property(int, default=8 * SECOND, minimum=0,
+                       blurb="transcript latency budget (ns)")
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._ws = None
+
+    def transform_caps(self, direction, caps, filter):
+        out = SRC_CAPS.copy() if direction is PadDirection.SINK \
+            else SINK_CAPS.copy()
+        if filter is not None:
+            out = filter.intersect(out)
+        return out
+
+    # subclasses implement:
+    def _connect(self) -> None:
+        raise NotImplementedError
+
+    def _send_audio(self, data: bytes) -> None:
+        raise NotImplementedError
+
+    def _finish(self) -> list[Buffer]:
+        raise NotImplementedError
+
+    def _poll_messages(self, timeout: float = 0.0) -> list[Buffer]:
+        raise NotImplementedError
+
+    def start(self) -> bool:
+        if not self.url:
+            self.post_error(f"{self.ELEMENT_NAME}: no url set")
+            return False
+        try:
+            self._connect()
+        except Exception as e:
+            self.post_error(f"{self.ELEMENT_NAME}: connect "
+                            f"failed: {e}")
+            return False
+        return True
+
+    def stop(self) -> bool:
+        if self._ws is not None:
+            self._ws.close()
+            self._ws = None
+        return True
+
+    def transform(self, buf: Buffer) -> list[Buffer] | None:
+        try:
+            self._send_audio(buf.to_bytes())
+            out = self._poll_messages(0.0)
+        except Exception as e:
+            self.post_error(f"{self.ELEMENT_NAME}: {e}")
+            raise FlowError(FlowReturn.ERROR)
+        return out or None
+
+    def drain(self) -> list[Buffer]:
+        if self._ws is None:
+            return []
+        try:
+            return self._finish()
+        except Exception as e:
+            self.post_error(f"{self.ELEMENT_NAME}: drain: {e}")
+            return []
+
+    @staticmethod
+    def _text_buffer(text: str, start_s: float,
+                     end_s: float) -> Buffer:
+        b = Buffer(text.encode())
+        b.pts = int(start_s * SECOND)
+        b.duration = max(int((end_s - start_s) * SECOND), 0)
+        return b
+
+
+@register_element("speechmaticstranscriber", Rank.NONE)
+class SpeechmaticsTranscriber(_CloudSttBase):
+    """Speechmatics RT API v2 transcriber."""
+
+    language = Property(str, default="en", mutable=Mutability.READY)
+    enable_partials = Property(bool, default=False,
+                               mutable=Mutability.READY)
+    max_delay = Property(float, default=0.0, minimum=0.0,
+                         blurb="transcription_config.max_delay (s); "
+                               "0 = service default")
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._seq = 0
+
+    def _connect(self) -> None:
+        from gstpu.net.ws import WsClient
+        headers = {}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        self._ws = WsClient(self.url, headers=headers)
+        self._seq = 0
+        cfg = {"language": self.language,
+               "enable_partials": self.enable_partials}
+        if self.max_delay:
+            cfg["max_delay"] = self.max_delay
+        self._ws.send_text(json.dumps({
+            "message": "StartRecognition",
+            "audio_format": {"type": "raw",
+                             "encoding": "pcm_s16le",
+                             "sample_rate": 16000},
+            "transcription_config": cfg,
+        }))
+        # wait for RecognitionStarted
+        deadline_msgs = 50
+        while deadline_msgs:
+            raw = self._ws.recv(5.0)
+            if raw is None:
+                raise ConnectionError("closed before "
+                                      "RecognitionStarted")
+            msg = json.loads(raw)
+            m = msg.get("message")
+            if m == "RecognitionStarted":
+                return
+            if m == "Error":
+                raise ConnectionError(msg.get("reason", "error"))
+            deadline_msgs -= 1
+        raise ConnectionError("no RecognitionStarted")
+
+    def _send_audio(self, data: bytes) -> None:
+        self._ws.send_binary(data)
+        self._seq += 1
+
+    def _handle(self, msg: dict, out: list[Buffer]) -> bool:
+        """-> True when EndOfTranscript arrives."""
+        m = msg.get("message")
+        if m == "AddTranscript" or (m == "AddPartialTranscript"
+                                    and self.enable_partials):
+            meta = msg.get("metadata", {})
+            text = meta.get("transcript", "")
+            if not text and msg.get("results"):
+                text = " ".join(
+                    r["alternatives"][0]["content"]
+                    for r in msg["results"] if r.get("alternatives"))
+            if text.strip():
+                out.append(self._text_buffer(
+                    text.strip(), meta.get("start_time", 0.0),
+                    meta.get("end_time", 0.0)))
+        elif m == "Error":
+            raise ConnectionError(msg.get("reason", "service error"))
+        return m == "EndOfTranscript"
+
+    def _poll_messages(self, timeout: float = 0.0) -> list[Buffer]:
+        out: list[Buffer] = []
+        while True:
+            raw = self._ws.poll(timeout)
+            if raw is None:
+                return out
+            self._handle(json.loads(raw), out)
+            timeout = 0.0
+
+    def _finish(self) -> list[Buffer]:
+        self._ws.send_text(json.dumps({
+            "message": "EndOfStream", "last_seq_no": self._seq}))
+        out: list[Buffer] = []
+        for _ in range(1000):
+            raw = self._ws.recv(5.0)
+            if raw is None:
+                break
+            if self._handle(json.loads(raw), out):
+                break
+        return out
+
+
+@register_element("deepgramtranscriber", Rank.NONE)
+class DeepgramTranscriber(_CloudSttBase):
+    """Deepgram streaming listen API transcriber."""
+
+    language = Property(str, default="en", mutable=Mutability.READY)
+    model = Property(str, default="nova-2", mutable=Mutability.READY)
+    interim_results = Property(bool, default=False,
+                               mutable=Mutability.READY)
+
+    def _connect(self) -> None:
+        from gstpu.net.ws import WsClient
+        import urllib.parse
+        q = urllib.parse.urlencode({
+            "encoding": "linear16", "sample_rate": 16000,
+            "channels": 1, "language": self.language,
+            "model": self.model,
+            "interim_results":
+                "true" if self.interim_results else "false"})
+        sep = "&" if "?" in self.url else "?"
+        headers = {}
+        if self.api_key:
+            headers["Authorization"] = f"Token {self.api_key}"
+        self._ws = WsClient(f"{self.url}{sep}{q}", headers=headers)
+
+    def _send_audio(self, data: bytes) -> None:
+        self._ws.send_binary(data)
+
+    def _handle(self, msg: dict, out: list[Buffer]) -> bool:
+        if msg.get("type") == "Results":
+            alts = msg.get("channel", {}).get("alternatives", [])
+            text = alts[0].get("transcript", "") if alts else ""
+            if text.strip() and (msg.get("is_final", True)
+                                 or self.interim_results):
+                start = msg.get("start", 0.0)
+                out.append(self._text_buffer(
+                    text.strip(), start,
+                    start + msg.get("duration", 0.0)))
+        return msg.get("type") == "Metadata" \
+            and msg.get("transaction_key") == "closed"
+
+    def _poll_messages(self, timeout: float = 0.0) -> list[Buffer]:
+        out: list[Buffer] = []
+        while True:
+            raw = self._ws.poll(timeout)
+            if raw is None:
+                return out
+            self._handle(json.loads(raw), out)
+            timeout = 0.0
+
+    def _finish(self) -> list[Buffer]:
+        self._ws.send_text(json.dumps({"type": "CloseStream"}))
+        out: list[Buffer] = []
+        for _ in range(1000):
+            raw = self._ws.recv(5.0)
+            if raw is None:
+                break
+            if self._handle(json.loads(raw), out):
+                break
+        return out

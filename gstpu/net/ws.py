@@ -1,0 +1,97 @@
+"""WebSocket client (RFC 6455) over the frame codec in
+gstpu/net/webrtc/signalling.py — the client side the cloud-service
+elements (speechmatics, deepgram) speak. Client→server frames are
+masked as the RFC requires; ws:// only (wss:// needs the network the
+environment doesn't have — elements accept ws:// mocks and document
+the TLS gate)."""
+
+from __future__ import annotations
+
+import base64
+import os
+import socket
+import struct
+import urllib.parse
+
+
+class WsError(ConnectionError):
+    pass
+
+
+def _masked_send(conn: socket.socket, payload: bytes,
+                 opcode: int) -> None:
+    mask = os.urandom(4)
+    header = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        header += bytes([0x80 | n])
+    elif n < 65536:
+        header += bytes([0x80 | 126]) + struct.pack(">H", n)
+    else:
+        header += bytes([0x80 | 127]) + struct.pack(">Q", n)
+    masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    conn.sendall(header + mask + masked)
+
+
+class WsClient:
+    """Blocking WebSocket client with poll-style receive."""
+
+    def __init__(self, url: str, *,
+                 headers: dict[str, str] | None = None,
+                 timeout: float = 10.0):
+        u = urllib.parse.urlsplit(url)
+        if u.scheme != "ws":
+            raise WsError(f"unsupported scheme '{u.scheme}' "
+                          "(wss needs network TLS; use ws://)")
+        port = u.port or 80
+        self.conn = socket.create_connection((u.hostname, port),
+                                             timeout=timeout)
+        key = base64.b64encode(os.urandom(16)).decode()
+        path = (u.path or "/") + (f"?{u.query}" if u.query else "")
+        req = [f"GET {path} HTTP/1.1", f"Host: {u.netloc}",
+               "Upgrade: websocket", "Connection: Upgrade",
+               f"Sec-WebSocket-Key: {key}",
+               "Sec-WebSocket-Version: 13"]
+        for k, v in (headers or {}).items():
+            req.append(f"{k}: {v}")
+        self.conn.sendall(("\r\n".join(req) + "\r\n\r\n").encode())
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = self.conn.recv(1)
+            if not chunk:
+                raise WsError("connection closed during handshake")
+            data += chunk
+        status = data.split(b"\r\n", 1)[0]
+        if b"101" not in status:
+            raise WsError(f"handshake rejected: {status.decode()}")
+
+    def send_text(self, text: str) -> None:
+        _masked_send(self.conn, text.encode(), 1)
+
+    def send_binary(self, data: bytes) -> None:
+        _masked_send(self.conn, data, 2)
+
+    def recv(self, timeout: float | None = None) -> bytes | None:
+        """One message payload; None on close; raises socket.timeout
+        when `timeout` elapses with no data."""
+        from gstpu.net.webrtc.signalling import ws_recv
+        self.conn.settimeout(timeout)
+        return ws_recv(self.conn)
+
+    def poll(self, timeout: float = 0.0) -> bytes | None:
+        """Non/short-blocking receive: None when nothing is ready."""
+        import select
+        ready, _, _ = select.select([self.conn], [], [], timeout)
+        if not ready:
+            return None
+        try:
+            return self.recv(1.0)       # frame is arriving: finish it
+        except (TimeoutError, socket.timeout, BlockingIOError):
+            return None
+
+    def close(self) -> None:
+        try:
+            _masked_send(self.conn, b"", 8)
+        except OSError:
+            pass
+        self.conn.close()
