@@ -347,3 +347,104 @@ def test_awss3hlssink_segments_to_s3(mock_s3):
     assert "#EXT-X-ENDLIST" in playlist
     assert "segment00001.m4s" in playlist
     h.teardown()
+
+
+# ---------------------------------------------------------------------------
+# AI services (awspolly / awstranslate) — mock endpoints verify SigV4
+# ---------------------------------------------------------------------------
+
+class _MockAiHandler(_MockS3Handler):
+    """Reuses the SigV4 verifier; serves polly + translate."""
+
+    def do_POST(self):
+        if not self._verify_sig():
+            return self._reject()
+        body = self._read_body()
+        target = self.headers.get("x-amz-target", "")
+        if self.path == "/v1/speech":
+            req = json.loads(body)
+            assert req["OutputFormat"] == "pcm"
+            n = int(req["SampleRate"]) // 10      # 100 ms of samples
+            pcm = (req["VoiceId"][:1].encode() * 2) * n
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(pcm)))
+            self.end_headers()
+            self.wfile.write(pcm)
+            return
+        if "TranslateText" in target:
+            req = json.loads(body)
+            resp = json.dumps({
+                "TranslatedText": f"[{req['TargetLanguageCode']}] "
+                                  + req["Text"],
+                "SourceLanguageCode": req["SourceLanguageCode"],
+                "TargetLanguageCode": req["TargetLanguageCode"],
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+            return
+        self._reject(404, "NotFound")
+
+
+@pytest.fixture()
+def mock_ai():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _MockAiHandler)
+    server.objects = {}
+    server.uploads = {}
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield server
+    finally:
+        server.shutdown()
+
+
+def test_awspolly_synthesizes(mock_ai):
+    from gstpu.core.harness import Harness
+    el = make("awspolly")
+    el.access_key, el.secret_access_key = ACCESS, SECRET
+    el.region = REGION
+    el.endpoint_uri = _endpoint(mock_ai)
+    h = Harness(el)
+    h.set_caps("text/x-raw, format=utf8")
+    h.push(Buffer(b"hello world", pts=5 * 10**9))
+    assert len(h.buffers) == 1
+    audio = h.buffers[0]
+    assert audio.pts == 5 * 10**9
+    assert len(audio.to_bytes()) == 2 * 1600    # 100 ms S16 @16k
+    assert audio.duration == 10**8
+    h.teardown()
+
+
+def test_awstranslate_translates(mock_ai):
+    from gstpu.core.harness import Harness
+    el = make("awstranslate")
+    el.access_key, el.secret_access_key = ACCESS, SECRET
+    el.region = REGION
+    el.endpoint_uri = _endpoint(mock_ai)
+    el.output_language_code = "fr"
+    h = Harness(el)
+    h.set_caps("text/x-raw, format=utf8")
+    h.push(Buffer(b"good morning", pts=7, duration=11))
+    assert [b.to_bytes().decode() for b in h.buffers] == \
+        ["[fr] good morning"]
+    assert h.buffers[0].pts == 7 and h.buffers[0].duration == 11
+    h.teardown()
+
+
+def test_awstranslate_bad_credentials(mock_ai):
+    from gstpu.core.harness import Harness
+    el = make("awstranslate")
+    el.access_key, el.secret_access_key = ACCESS, "nope"
+    el.region = REGION
+    el.endpoint_uri = _endpoint(mock_ai)
+    h = Harness(el)
+    h.set_caps("text/x-raw, format=utf8")
+    try:
+        ret = h.push(Buffer(b"text"))
+        assert ret is not None and ret.name == "ERROR"
+    except Exception:
+        pass                             # raising is acceptable too
+    assert not h.buffers
+    h.teardown()
