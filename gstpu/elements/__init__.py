@@ -31,6 +31,7 @@ _MODULES = [
     "gstpu.elements.audio.demucs",
     "gstpu.elements.audio.whisper",
     "gstpu.elements.audio.cloudstt",
+    "gstpu.elements.audio.elevenlabs",
     "gstpu.elements.video.hsv",
     "gstpu.elements.video.av1",
     "gstpu.elements.video.colorlut",
