@@ -68,6 +68,7 @@ _MODULES = [
     "gstpu.elements.net.quic",
     "gstpu.elements.net.aws",
     "gstpu.elements.net.aws_ai",
+    "gstpu.elements.net.janusvr",
     "gstpu.elements.net.icecast",
     "gstpu.elements.net.dash",
     "gstpu.elements.net.gccbwe",
