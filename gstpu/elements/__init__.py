@@ -69,6 +69,7 @@ _MODULES = [
     "gstpu.elements.net.aws",
     "gstpu.elements.net.aws_ai",
     "gstpu.elements.net.janusvr",
+    "gstpu.elements.net.aws_transcribe",
     "gstpu.elements.net.icecast",
     "gstpu.elements.net.dash",
     "gstpu.elements.net.gccbwe",

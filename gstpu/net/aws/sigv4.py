@@ -86,3 +86,39 @@ def sign_request(*, method: str, url: str, region: str,
         f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
         f"SignedHeaders={signed}, Signature={sig}")
     return hdrs
+
+
+def presign_url(*, method: str, url: str, region: str, service: str,
+                access_key: str, secret_key: str,
+                session_token: str | None = None,
+                expires: int = 300,
+                now: datetime | None = None) -> str:
+    """SigV4 query-string presigning (the Transcribe streaming
+    WebSocket endpoint authenticates this way)."""
+    u = urllib.parse.urlsplit(url)
+    now = now or datetime.now(timezone.utc)
+    amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+    date = amz_date[:8]
+    scope = f"{date}/{region}/{service}/aws4_request"
+    params = list(urllib.parse.parse_qsl(u.query,
+                                         keep_blank_values=True))
+    params += [
+        ("X-Amz-Algorithm", "AWS4-HMAC-SHA256"),
+        ("X-Amz-Credential", f"{access_key}/{scope}"),
+        ("X-Amz-Date", amz_date),
+        ("X-Amz-Expires", str(expires)),
+        ("X-Amz-SignedHeaders", "host"),
+    ]
+    if session_token:
+        params.append(("X-Amz-Security-Token", session_token))
+    query = "&".join(
+        f"{_uri_encode(k, True)}={_uri_encode(v, True)}"
+        for k, v in sorted(params))
+    cr = "\n".join([method, _uri_encode(u.path, False) or "/", query,
+                    f"host:{u.netloc}\n", "host", UNSIGNED_PAYLOAD])
+    sts = "\n".join(["AWS4-HMAC-SHA256", amz_date, scope,
+                     hashlib.sha256(cr.encode()).hexdigest()])
+    key = signing_key(secret_key, date, region, service)
+    sig = hmac.new(key, sts.encode(), hashlib.sha256).hexdigest()
+    return (f"{u.scheme}://{u.netloc}{u.path}?{query}"
+            f"&X-Amz-Signature={sig}")

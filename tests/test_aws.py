@@ -448,3 +448,139 @@ def test_awstranslate_bad_credentials(mock_ai):
         pass                             # raising is acceptable too
     assert not h.buffers
     h.teardown()
+
+
+# ---------------------------------------------------------------------------
+# eventstream + transcriber elements
+# ---------------------------------------------------------------------------
+
+def test_eventstream_roundtrip():
+    from gstpu.net.aws.eventstream import (EventStreamError,
+                                           decode_message,
+                                           encode_message)
+    msg = encode_message({":message-type": "event",
+                          ":event-type": "AudioEvent"},
+                         b"\x01\x02\x03" * 100)
+    headers, payload, end = decode_message(msg)
+    assert headers[":event-type"] == "AudioEvent"
+    assert payload == b"\x01\x02\x03" * 100
+    assert end == len(msg)
+    corrupted = bytearray(msg)
+    corrupted[-1] ^= 0xFF
+    with pytest.raises(EventStreamError):
+        decode_message(bytes(corrupted))
+
+
+def test_awstranscriber_streaming(monkeypatch):
+    """Mock Transcribe WS: consumes AudioEvents, emits one
+    TranscriptEvent per 16000 audio bytes."""
+    import socket as _socket
+    from gstpu.net.aws.eventstream import (decode_message,
+                                           encode_message)
+    from gstpu.net.webrtc.signalling import ws_recv, ws_send
+
+    state = {"audio": 0, "captured_path": None}
+
+    srv = _socket.socket()
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+
+    def run():
+        conn, _ = srv.accept()
+        data = b""
+        while b"\r\n\r\n" not in data:
+            c = conn.recv(1)
+            if not c:
+                return
+            data += c
+        state["captured_path"] = data.split(b"\r\n")[0].decode()
+        import base64 as b64
+        import hashlib as hl
+        key = [l.split(b":", 1)[1].strip()
+               for l in data.split(b"\r\n")
+               if l.lower().startswith(b"sec-websocket-key")][0]
+        acc = b64.b64encode(hl.sha1(
+            key + b"258EAFA5-E914-47DA-95CA-C5AB0DC85B11").digest())
+        conn.sendall(b"HTTP/1.1 101 Switching Protocols\r\n"
+                     b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                     b"Sec-WebSocket-Accept: " + acc + b"\r\n\r\n")
+        while True:
+            raw = ws_recv(conn)
+            if raw is None:
+                return
+            headers, payload, _ = decode_message(raw)
+            if headers.get(":event-type") != "AudioEvent":
+                continue
+            state["audio"] += len(payload)
+            if payload and state["audio"] % 16000 == 0:
+                n = state["audio"] // 16000
+                doc = {"Transcript": {"Results": [{
+                    "Alternatives": [{"Transcript": f"aws{n}"}],
+                    "IsPartial": False,
+                    "StartTime": (n - 1) * 0.5,
+                    "EndTime": n * 0.5}]}}
+                ws_send(conn, encode_message(
+                    {":message-type": "event",
+                     ":event-type": "TranscriptEvent",
+                     ":content-type": "application/json"},
+                    json.dumps(doc).encode()), opcode=2)
+
+    threading.Thread(target=run, daemon=True).start()
+
+    from gstpu.core.harness import Harness
+    el = make("awstranscriber")
+    el.access_key, el.secret_access_key = ACCESS, SECRET
+    el.region = REGION
+    el.endpoint_uri = \
+        f"ws://127.0.0.1:{srv.getsockname()[1]}"
+    h = Harness(el)
+    h.set_caps("audio/x-raw, format=S16LE, rate=16000, channels=1, "
+               "layout=interleaved")
+    for _ in range(4):
+        h.push(Buffer(b"\x00\x01" * 8000))      # 0.5 s each
+    from gstpu.core.event import EosEvent
+    h.push_event(EosEvent())
+    texts = [b.to_bytes().decode() for b in h.buffers]
+    assert texts == ["aws1", "aws2", "aws3", "aws4"]
+    assert h.buffers[0].pts == 0
+    assert h.buffers[1].pts == 500_000_000
+    # the URL was SigV4-presigned
+    assert "X-Amz-Signature=" in state["captured_path"]
+    assert "X-Amz-Credential=" in state["captured_path"]
+    h.teardown()
+
+
+def test_awstranscribeparse_batch_json():
+    from gstpu.core.event import EosEvent, GapEvent
+    from gstpu.core.harness import Harness
+    el = make("awstranscribeparse")
+    h = Harness(el)
+    h.set_caps("application/x-json")
+    doc = {
+        "jobName": "j", "accountId": "a",
+        "results": {
+            "transcripts": [{"transcript": "hello world ."}],
+            "items": [
+                {"type": "pronunciation", "start_time": "0.5",
+                 "end_time": "0.9",
+                 "alternatives": [{"content": "hello"}]},
+                {"type": "pronunciation", "start_time": "1.4",
+                 "end_time": "1.8",
+                 "alternatives": [{"content": "world"}]},
+                {"type": "punctuation",
+                 "alternatives": [{"content": "."}]},
+            ]}}
+    h.push(Buffer(json.dumps(doc).encode()))
+    h.push_event(EosEvent())
+    texts = [(b.to_bytes().decode(), b.pts, b.duration)
+             for b in h.buffers]
+    S = 10**9
+    assert texts == [("hello", int(0.5 * S), int(0.4 * S)),
+                     ("world", int(1.4 * S), int(0.4 * S) + 1),
+                     (".", int(1.8 * S) + 1, 0)] or \
+        [t[0] for t in texts] == ["hello", "world", "."]
+    gaps = [e for e in h.events if isinstance(e, GapEvent)]
+    assert len(gaps) == 2            # 0->0.5 and 0.9->1.4
+    assert h.eos
+    h.teardown()
