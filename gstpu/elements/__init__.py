@@ -70,6 +70,8 @@ _MODULES = [
     "gstpu.elements.net.aws_ai",
     "gstpu.elements.net.janusvr",
     "gstpu.elements.net.aws_transcribe",
+    "gstpu.elements.net.ueps",
+    "gstpu.elements.net.awskvs",
     "gstpu.elements.net.icecast",
     "gstpu.elements.net.dash",
     "gstpu.elements.net.gccbwe",
