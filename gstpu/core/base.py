@@ -281,6 +281,8 @@ class PushSrc(Element):
 
     # -- task -----------------------------------------------------------
     def iterate_tasks(self):
+        if getattr(self.srcpad, "pull_mode_active", False):
+            return ()     # downstream pulls; no streaming task
         if self.srcpad.is_linked():
             self._task = Task(self.name, self._iterate)
             self._stream_started = False

@@ -123,3 +123,99 @@ class FlvDemux(Element):
         if isinstance(ev, (CapsEvent, StreamStartEvent, SegmentEvent)):
             return True  # we produce our own on the src pads
         return self.default_pad_event(pad, ev)
+
+    # -- pull-mode scheduling + seeking (reference flvdemux/imp.rs:
+    # "pull or push mode") --------------------------------------------
+
+    _PULL_CHUNK = 65536
+
+    pull_mode = True   # prefer pull scheduling when upstream can
+
+    def ready_to_paused(self) -> bool:
+        # pad activation (GStreamer activate_mode): claim PULL when
+        # upstream serves getrange; the peer's push task stands down
+        self._pull_active = bool(self.pull_mode
+                                 and self.sinkpad.can_pull)
+        if self._pull_active:
+            self.sinkpad.peer.pull_mode_active = True
+            self._pull_offset = 0
+            self._keyframe_index = []     # (ts_ns, byte_offset)
+            self._pull_eos = False
+            self._parser = FlvParser()
+        return True
+
+    def iterate_tasks(self):
+        from gstpu.runtime.scheduler import Task
+        if getattr(self, "_pull_active", False):
+            return (Task(self.name, self._pull_iterate),)
+        return ()
+
+    def _pull_iterate(self):
+        from gstpu.runtime.scheduler import TaskResult
+        if self._pull_eos:
+            return TaskResult.EOS
+        try:
+            data = self.sinkpad.pull_range(self._pull_offset,
+                                           self._PULL_CHUNK)
+        except Exception as e:
+            self.post_error(f"flvdemux: pull failed: {e}")
+            return TaskResult.ERROR
+        if not data:
+            self._pull_eos = True
+            for p in (self._audio_pad, self._video_pad):
+                if p is not None:
+                    p.push_event(EosEvent())
+            return TaskResult.EOS
+        self._pull_offset += len(data)
+        self._parser.push(data)
+        try:
+            while True:
+                before = len(self._parser._buf)
+                tag = self._parser.poll()
+                if tag is None:
+                    break
+                consumed = before - len(self._parser._buf)
+                tag_off = (self._pull_offset
+                           - len(self._parser._buf) - consumed)
+                if tag.tag_type == TAG_VIDEO and tag.data \
+                        and tag.is_keyframe \
+                        and not (tag.video_codec == 7
+                                 and tag.avc_packet_type == 0):
+                    # codec-config tags are not seek targets
+                    self._keyframe_index.append(
+                        (tag.timestamp_ms * MSECOND, tag_off))
+                ret = self._handle_tag(tag)
+                if not ret.is_ok:
+                    return TaskResult.ERROR
+        except ValueError as e:
+            self.post_error(f"flvdemux: {e}")
+            return TaskResult.ERROR
+        return TaskResult.CONTINUE
+
+    def seek(self, time_ns: int) -> bool:
+        """Seek to the keyframe at/before time_ns (pull mode only;
+        reference pull-mode flvdemux seeks the same way)."""
+        if not self.sinkpad.can_pull:
+            return False
+        from gstpu.core.event import FlushStartEvent, FlushStopEvent
+        target = (0, 0)
+        for ts, off in getattr(self, "_keyframe_index", []):
+            if ts <= time_ns:
+                target = (ts, off)
+            else:
+                break
+        self._pull_offset = target[1]
+        if target == (0, 0):
+            self._parser = FlvParser()
+        else:
+            self._parser._buf = bytearray()  # header state survives
+        self._pull_eos = False
+        seg = Segment()
+        seg.start = target[0]
+        for p in (self._audio_pad, self._video_pad):
+            if p is not None:
+                p.push_event(FlushStartEvent())
+                p.push_event(FlushStopEvent())
+                p.push_event(SegmentEvent(seg))
+        return True
+

@@ -95,3 +95,45 @@ def test_flvdemux_garbage_errors():
     ret = h.push(Buffer(b"NOTFLV" + b"\x00" * 20))
     assert ret is FlowReturn.ERROR
     h.teardown()
+
+
+def test_flvdemux_pull_mode_and_seek(tmp_path):
+    """Pull scheduling (reference flvdemux pull mode): the demuxer
+    drives filesrc via getrange, indexes keyframes, and seek()
+    restarts from the right keyframe."""
+    w = FlvWriter()
+    w.video_tag(0, b"\x01seqhdr", codec=7, keyframe=True,
+                avc_packet_type=0)
+    # keyframe every 4 frames, 40ms apart
+    for i in range(12):
+        w.video_tag(i * 40, bytes([i]) * 30, codec=7,
+                    keyframe=(i % 4 == 0))
+    f = tmp_path / "seek.flv"
+    f.write_bytes(w.to_bytes())
+
+    p = parse_launch(f"filesrc location={f} ! rsflvdemux name=d")
+    d = p.get_by_name("d")
+    vsink = make("appsink")
+    p.add(vsink)
+    d.connect("pad-added",
+              lambda el, pad: pad.link(vsink.static_pad("sink")))
+    p.set_state(State.PLAYING)
+    p.run()
+    assert d._pull_active           # actually ran in pull mode
+    first = [b.to_bytes()[0] for b in vsink.pull_all()]
+    assert first == list(range(12))
+    # keyframes 0,4,8 indexed
+    kts = [ts for ts, _ in d._keyframe_index]
+    assert kts == [0, 160_000_000, 320_000_000]
+
+    # seek to 200ms -> resumes at the 160ms keyframe (frame 4)
+    assert d.seek(200_000_000)
+    for _ in range(200):
+        from gstpu.runtime.scheduler import TaskResult
+        if d._pull_iterate() is TaskResult.EOS:
+            break
+    after = [b.to_bytes()[0] for b in vsink.pull_all()]
+    assert after[0] == 4
+    assert after == list(range(4, 12))
+    assert vsink.is_eos
+    p.set_state(State.NULL)
