@@ -155,6 +155,7 @@ class DtlsEndpoint:
         self.connected = False
 
         self._outbox: list[bytes] = []
+        self.app_inbox: list[bytes] = []
         self._epoch = 0
         self._seq = 0
         self._msg_seq = 0
@@ -210,6 +211,13 @@ class DtlsEndpoint:
         aad = (explicit + struct.pack(">BHH", ctype, DTLS12,
                                       len(ct) - 16))
         return AESGCM(rkey).decrypt(nonce, ct, aad)
+
+    def send_application(self, data: bytes) -> None:
+        """Encrypt `data` as a DTLS application-data record
+        (SCTP-over-DTLS rides here, RFC 8261)."""
+        if self._keys is None:
+            raise DtlsError("application data before handshake")
+        self._send_record(CT_APPDATA, data)
 
     def poll_transmit(self) -> bytes | None:
         if self._outbox:
@@ -286,6 +294,10 @@ class DtlsEndpoint:
                 continue
             if ctype == CT_ALERT:
                 raise DtlsError(f"DTLS alert: {payload.hex()}")
+            if ctype == CT_APPDATA:
+                if epoch == 1:          # only authenticated app data
+                    self.app_inbox.append(payload)
+                continue
             if ctype != CT_HANDSHAKE:
                 continue
             self._handle_handshake_payload(payload)

@@ -1,0 +1,280 @@
+"""Sans-IO SCTP association + WebRTC data channels (DCEP).
+
+Rebuilds the data-channel plane the reference gets from str0m /
+the C webrtcbin's sctp stack (reference webrtcbin2 TODO notes it;
+webrtcsink uses data channels for control):
+
+* RFC 4960 subset: common header with CRC32c, INIT/INIT-ACK with
+  state cookie, COOKIE-ECHO/COOKIE-ACK, DATA with TSN + per-stream
+  ordering and B/E fragment reassembly, immediate SACK, ABORT,
+  HEARTBEAT echo.
+* RFC 8831/8832: DATA_CHANNEL_OPEN/ACK on PPID 50; string messages
+  PPID 51, binary PPID 53. The DTLS client uses even stream ids,
+  the server odd (RFC 8832 §6).
+
+Sans-IO like the rest of gstpu's stack: handle_packet(bytes),
+poll_transmit() -> bytes | None, .events list; rides inside DTLS
+application-data records (RFC 8261) in WebRtcTransport.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+# chunk types
+CT_DATA = 0
+CT_INIT = 1
+CT_INIT_ACK = 2
+CT_SACK = 3
+CT_HEARTBEAT = 4
+CT_HEARTBEAT_ACK = 5
+CT_ABORT = 6
+CT_COOKIE_ECHO = 10
+CT_COOKIE_ACK = 11
+
+PPID_DCEP = 50
+PPID_STRING = 51
+PPID_BINARY = 53
+
+DCEP_OPEN = 0x03
+DCEP_ACK = 0x02
+
+
+class SctpError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# CRC32c (Castagnoli), table-based — SCTP checksum (RFC 4960 App. B)
+# ---------------------------------------------------------------------------
+
+def _make_crc32c_table() -> list[int]:
+    poly = 0x82F63B78
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+        table.append(crc)
+    return table
+
+
+_CRC32C_TABLE = _make_crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _pad4(b: bytes) -> bytes:
+    return b + bytes(-len(b) % 4)
+
+
+class _Channel:
+    def __init__(self, sid: int, label: str):
+        self.sid = sid
+        self.label = label
+        self.open = False
+
+
+class SctpAssociation:
+    """One SCTP endpoint (client initiates)."""
+
+    def __init__(self, *, client: bool, port: int = 5000):
+        self.is_client = client
+        self.port = port
+        self.established = False
+        self.events: list[tuple] = []
+        self.channels: dict[int, _Channel] = {}
+        self._outbox: list[bytes] = []
+        self._my_vtag = struct.unpack(">I", os.urandom(4))[0] or 1
+        self._peer_vtag = 0
+        self._next_tsn = struct.unpack(">I", os.urandom(4))[0]
+        self._cum_tsn: int | None = None       # last in-order peer TSN
+        self._out_of_order: dict[int, bytes] = {}
+        self._next_sid = 0 if client else 1
+        self._next_ssn: dict[int, int] = {}
+        self._reasm: dict[int, list[bytes]] = {}   # sid -> fragments
+        self._cookie_secret = os.urandom(8)
+
+    # -- wire helpers -----------------------------------------------------
+    def _packet(self, chunks: bytes, vtag: int | None = None) -> bytes:
+        hdr = struct.pack(">HHI", self.port, self.port,
+                          self._peer_vtag if vtag is None else vtag)
+        pkt = bytearray(hdr + struct.pack(">I", 0) + chunks)
+        struct.pack_into("<I", pkt, 8, crc32c(bytes(pkt)))
+        return bytes(pkt)
+
+    def _chunk(self, ctype: int, flags: int, value: bytes) -> bytes:
+        return _pad4(struct.pack(">BBH", ctype, flags,
+                                 4 + len(value)) + value)
+
+    def _send(self, chunks: bytes, vtag: int | None = None) -> None:
+        self._outbox.append(self._packet(chunks, vtag))
+
+    def poll_transmit(self) -> bytes | None:
+        if self._outbox:
+            return self._outbox.pop(0)
+        return None
+
+    # -- association bring-up --------------------------------------------
+    def connect(self) -> None:
+        assert self.is_client
+        init = struct.pack(">IIHHI", self._my_vtag, 1 << 16, 16, 16,
+                           self._next_tsn)
+        # INIT carries vtag 0 in the common header
+        self._send(self._chunk(CT_INIT, 0, init), vtag=0)
+
+    def create_channel(self, label: str,
+                       protocol: str = "") -> int:
+        sid = self._next_sid
+        self._next_sid += 2
+        ch = _Channel(sid, label)
+        self.channels[sid] = ch
+        lab, proto = label.encode(), protocol.encode()
+        body = struct.pack(">BBHIHH", DCEP_OPEN, 0x00, 0, 0,
+                           len(lab), len(proto)) + lab + proto
+        self._send_data(sid, PPID_DCEP, body)
+        return sid
+
+    def send(self, sid: int, data: bytes, *,
+             binary: bool = True) -> None:
+        if sid not in self.channels or not self.channels[sid].open:
+            raise SctpError(f"channel {sid} not open")
+        self._send_data(sid, PPID_BINARY if binary else PPID_STRING,
+                        data)
+
+    _FRAG = 1200          # payload bytes per DATA chunk
+
+    def _send_data(self, sid: int, ppid: int, payload: bytes) -> None:
+        ssn = self._next_ssn.get(sid, 0)
+        self._next_ssn[sid] = (ssn + 1) & 0xFFFF
+        pieces = [payload[i:i + self._FRAG]
+                  for i in range(0, len(payload), self._FRAG)] \
+            or [b""]
+        last = len(pieces) - 1
+        for i, piece in enumerate(pieces):
+            flags = (0x02 if i == 0 else 0) | (0x01 if i == last
+                                               else 0)
+            tsn = self._next_tsn
+            self._next_tsn = (self._next_tsn + 1) & 0xFFFFFFFF
+            value = struct.pack(">IHHI", tsn, sid, ssn, ppid) + piece
+            self._send(self._chunk(CT_DATA, flags, value))
+
+    # -- receive ----------------------------------------------------------
+    def handle_packet(self, data: bytes) -> None:
+        if len(data) < 16:
+            raise SctpError("short SCTP packet")
+        sport, dport, vtag = struct.unpack_from(">HHI", data, 0)
+        want_crc, = struct.unpack_from("<I", data, 8)
+        zeroed = bytearray(data)
+        struct.pack_into(">I", zeroed, 8, 0)
+        if crc32c(bytes(zeroed)) != want_crc:
+            raise SctpError("CRC32c mismatch")
+        pos = 12
+        while pos + 4 <= len(data):
+            ctype, flags, clen = struct.unpack_from(">BBH", data, pos)
+            if clen < 4:
+                raise SctpError("bad chunk length")
+            value = data[pos + 4:pos + clen]
+            pos += (clen + 3) & ~3
+            self._handle_chunk(ctype, flags, value)
+
+    def _handle_chunk(self, ctype: int, flags: int,
+                      value: bytes) -> None:
+        if ctype == CT_INIT:
+            (peer_tag, _rwnd, _no, _ni,
+             peer_tsn) = struct.unpack_from(">IIHHI", value, 0)
+            self._peer_vtag = peer_tag
+            self._cum_tsn = (peer_tsn - 1) & 0xFFFFFFFF
+            ack = struct.pack(">IIHHI", self._my_vtag, 1 << 16, 16,
+                              16, self._next_tsn)
+            cookie = os.urandom(16)     # stateful endpoint: opaque
+            ack += struct.pack(">HH", 7, 4 + len(cookie)) + cookie
+            self._send(self._chunk(CT_INIT_ACK, 0, ack))
+        elif ctype == CT_INIT_ACK:
+            (peer_tag, _rwnd, _no, _ni,
+             peer_tsn) = struct.unpack_from(">IIHHI", value, 0)
+            self._peer_vtag = peer_tag
+            self._cum_tsn = (peer_tsn - 1) & 0xFFFFFFFF
+            # extract the state cookie (param type 7) and echo it
+            pos = 16
+            cookie = b""
+            while pos + 4 <= len(value):
+                ptype, plen = struct.unpack_from(">HH", value, pos)
+                if ptype == 7:
+                    cookie = value[pos + 4:pos + plen]
+                pos += (plen + 3) & ~3
+            self._send(self._chunk(CT_COOKIE_ECHO, 0, cookie))
+        elif ctype == CT_COOKIE_ECHO:
+            self._send(self._chunk(CT_COOKIE_ACK, 0, b""))
+            self._set_established()
+        elif ctype == CT_COOKIE_ACK:
+            self._set_established()
+        elif ctype == CT_DATA:
+            self._handle_data(flags, value)
+        elif ctype == CT_SACK:
+            pass                        # no retransmission queue yet
+        elif ctype == CT_HEARTBEAT:
+            self._send(self._chunk(CT_HEARTBEAT_ACK, 0, value))
+        elif ctype == CT_ABORT:
+            self.established = False
+            self.events.append(("closed",))
+
+    def _set_established(self) -> None:
+        if not self.established:
+            self.established = True
+            self.events.append(("established",))
+
+    def _handle_data(self, flags: int, value: bytes) -> None:
+        tsn, sid, ssn, ppid = struct.unpack_from(">IHHI", value, 0)
+        payload = value[12:]
+        # in-order bookkeeping with immediate SACK
+        if self._cum_tsn is not None:
+            expected = (self._cum_tsn + 1) & 0xFFFFFFFF
+            if tsn == expected:
+                self._cum_tsn = tsn
+                # absorb any queued successors
+                while ((self._cum_tsn + 1) & 0xFFFFFFFF) \
+                        in self._out_of_order:
+                    self._cum_tsn = (self._cum_tsn + 1) & 0xFFFFFFFF
+                    self._out_of_order.pop(self._cum_tsn)
+            elif tsn > expected:
+                self._out_of_order[tsn] = payload
+        sack = struct.pack(">IIHH", self._cum_tsn or tsn, 1 << 16,
+                           0, 0)
+        self._send(self._chunk(CT_SACK, 0, sack))
+        # fragment reassembly: B=0x02, E=0x01
+        begin, end = flags & 0x02, flags & 0x01
+        if not (begin and end):
+            frags = self._reasm.setdefault(sid, [])
+            frags.append(payload)
+            if not end:
+                return
+            payload = b"".join(frags)
+            self._reasm.pop(sid, None)
+        self._deliver(sid, ppid, payload)
+
+    def _deliver(self, sid: int, ppid: int, payload: bytes) -> None:
+        if ppid == PPID_DCEP:
+            if payload and payload[0] == DCEP_OPEN:
+                _t, _ct, _prio, _rel, lab_len, proto_len = \
+                    struct.unpack_from(">BBHIHH", payload, 0)
+                label = payload[12:12 + lab_len].decode()
+                ch = _Channel(sid, label)
+                ch.open = True
+                self.channels[sid] = ch
+                self._send_data(sid, PPID_DCEP, bytes([DCEP_ACK]))
+                self.events.append(("channel-open", sid, label))
+            elif payload and payload[0] == DCEP_ACK:
+                ch = self.channels.get(sid)
+                if ch is not None and not ch.open:
+                    ch.open = True
+                    self.events.append(("channel-open", sid,
+                                        ch.label))
+            return
+        self.events.append(("message", sid, ppid, payload))

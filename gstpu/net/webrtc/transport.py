@@ -52,6 +52,7 @@ class WebRtcTransport:
         self._srtp_rx: SrtpContext | None = None
         self._dtls_started = False
         self._remote: RemoteDescription | None = None
+        self.sctp = None                  # SctpAssociation when enabled
 
     # -- signalling ------------------------------------------------------
     def add_local_candidate(self, cand: Candidate) -> None:
@@ -99,6 +100,7 @@ class WebRtcTransport:
 
     def _after_dtls(self) -> None:
         if self._srtp_tx is not None:
+            self._pump_sctp()
             return
         keys = self.dtls.srtp_keys
         is_client = self.dtls.is_client
@@ -106,6 +108,37 @@ class WebRtcTransport:
         self._srtp_tx = SrtpContext(k, s)
         k, s = keys.recv_key_salt(is_client)
         self._srtp_rx = SrtpContext(k, s)
+        if self.sctp is not None and self.dtls.is_client:
+            self.sctp.connect()
+            self._pump_sctp()
+
+    # -- data channels (SCTP over DTLS, RFC 8261/8831) -------------------
+    def enable_data_channels(self) -> None:
+        """Attach an SCTP association riding DTLS application data;
+        channels appear in .sctp.events after .connected."""
+        if self.sctp is None:
+            from gstpu.net.webrtc.sctp import SctpAssociation
+            self.sctp = SctpAssociation(client=self.dtls.is_client)
+
+    def create_data_channel(self, label: str) -> int:
+        assert self.sctp is not None, "enable_data_channels() first"
+        sid = self.sctp.create_channel(label)
+        self._pump_sctp()
+        return sid
+
+    def send_data(self, sid: int, data: bytes, *,
+                  binary: bool = True) -> None:
+        self.sctp.send(sid, data, binary=binary)
+        self._pump_sctp()
+
+    def _pump_sctp(self) -> None:
+        if self.sctp is None or not self.dtls.connected:
+            return
+        for pkt in self.dtls.app_inbox:
+            self.sctp.handle_packet(pkt)
+        self.dtls.app_inbox.clear()
+        while (out := self.sctp.poll_transmit()) is not None:
+            self.dtls.send_application(out)
 
     def handle_packet(self, data: bytes,
                       src: Addr) -> tuple[str, bytes] | None:

@@ -1,0 +1,128 @@
+"""SCTP association + WebRTC data channels (gstpu/net/webrtc/sctp.py)
+and their ride inside DTLS application data through WebRtcTransport
+(the str0m data-channel plane the reference's webrtcbin2 targets)."""
+
+import pytest
+
+from gstpu.net.webrtc.sctp import SctpAssociation, SctpError, crc32c
+
+
+def _pump(a, b, rounds=30):
+    for _ in range(rounds):
+        moved = False
+        while (d := a.poll_transmit()) is not None:
+            b.handle_packet(d)
+            moved = True
+        while (d := b.poll_transmit()) is not None:
+            a.handle_packet(d)
+            moved = True
+        if not moved:
+            return
+
+
+def test_crc32c_vector():
+    # well-known CRC32c check value
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_association_and_channel():
+    srv = SctpAssociation(client=False)
+    cli = SctpAssociation(client=True)
+    cli.connect()
+    _pump(cli, srv)
+    assert cli.established and srv.established
+    sid = cli.create_channel("control")
+    assert sid % 2 == 0                 # DTLS client: even ids
+    _pump(cli, srv)
+    assert ("channel-open", sid, "control") in srv.events
+    assert ("channel-open", sid, "control") in cli.events
+    cli.send(sid, b"hello")
+    srv.send(sid, "text reply".encode(), binary=False)
+    _pump(cli, srv)
+    assert ("message", sid, 53, b"hello") in srv.events
+    assert ("message", sid, 51, b"text reply") in cli.events
+
+
+def test_large_message_fragments_and_reassembles():
+    srv = SctpAssociation(client=False)
+    cli = SctpAssociation(client=True)
+    cli.connect()
+    _pump(cli, srv)
+    sid = cli.create_channel("bulk")
+    _pump(cli, srv)
+    big = bytes(range(256)) * 40        # 10240 B -> 9 fragments
+    cli.send(sid, big)
+    _pump(cli, srv)
+    msgs = [e for e in srv.events if e[0] == "message"]
+    assert msgs and msgs[-1][3] == big
+
+
+def test_corrupt_packet_rejected():
+    srv = SctpAssociation(client=False)
+    cli = SctpAssociation(client=True)
+    cli.connect()
+    pkt = bytearray(cli.poll_transmit())
+    pkt[-1] ^= 0xFF
+    with pytest.raises(SctpError, match="CRC32c"):
+        srv.handle_packet(bytes(pkt))
+    assert not srv.established
+
+
+def test_send_before_open_raises():
+    cli = SctpAssociation(client=True)
+    with pytest.raises(SctpError):
+        cli.send(0, b"x")
+
+
+def test_data_channels_over_dtls_transport():
+    """Full composition: ICE + DTLS complete, then the SCTP
+    association runs inside DTLS app-data records and a channel
+    carries messages both ways."""
+    from gstpu.net.webrtc.ice import host_candidate
+    from gstpu.net.webrtc.transport import (RemoteDescription,
+                                            WebRtcTransport)
+
+    a = WebRtcTransport(controlling=True)
+    b = WebRtcTransport(controlling=False)
+    a.enable_data_channels()
+    b.enable_data_channels()
+    addr_a, addr_b = ("10.0.0.1", 1111), ("10.0.0.2", 2222)
+    a.add_local_candidate(host_candidate(*addr_a))
+    b.add_local_candidate(host_candidate(*addr_b))
+
+    def desc(tr):
+        d = tr.local_description()
+        from gstpu.net.webrtc.ice import Candidate
+        return RemoteDescription(
+            d["ice-ufrag"], d["ice-pwd"], d["fingerprint"],
+            [Candidate.parse(c) for c in d["candidates"]])
+
+    b.set_remote_description(desc(a))
+    a.set_remote_description(desc(b))
+
+    def pump(rounds=60):
+        for _ in range(rounds):
+            moved = False
+            for src, dst, src_addr in ((a, b, addr_a),
+                                       (b, a, addr_b)):
+                while (t := src.poll_transmit()) is not None:
+                    data, _to = t
+                    dst.handle_packet(data, src_addr)
+                    moved = True
+            if not moved:
+                return
+
+    pump()
+    assert a.connected and b.connected
+    sid = a.create_data_channel("chat")
+    pump()
+    assert any(e[0] == "channel-open" for e in b.sctp.events)
+    a.send_data(sid, b"over dtls!")
+    pump()
+    msgs = [e for e in b.sctp.events if e[0] == "message"]
+    assert msgs and msgs[-1][3] == b"over dtls!"
+    b.send_data(sid, b"and back", binary=False)
+    pump()
+    msgs = [e for e in a.sctp.events if e[0] == "message"]
+    assert msgs and msgs[-1][3] == b"and back"
