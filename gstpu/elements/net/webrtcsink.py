@@ -242,6 +242,10 @@ class WebRtcSink(Element):
         sock.setblocking(False)
         tr = WebRtcTransport(controlling=True)
         tr.add_local_candidate(host_candidate(*sock.getsockname()))
+        # per-consumer control data channel (reference webrtcsink
+        # opens one for stats/control messages)
+        tr.enable_data_channels()
+        tr._gstpu_control_channel = None
         self._transports[sid] = (tr, sock)
         return tr
 
@@ -274,7 +278,32 @@ class WebRtcSink(Element):
                         "webrtc-transport-drop", session=sid,
                         error=str(e))
                 moved = True
+            if tr.connected and tr.sctp is not None:
+                if tr._gstpu_control_channel is None \
+                        and tr.sctp.established:
+                    tr._gstpu_control_channel = \
+                        tr.create_data_channel("control")
+                for ev in tr.sctp.events:
+                    if ev[0] == "message":
+                        self.post_element_message(
+                            "data-channel-message", session=sid,
+                            stream=ev[1],
+                            data=ev[3].decode(errors="replace"))
+                tr.sctp.events.clear()
         return moved
+
+    def send_control_message(self, sid: str, text: str) -> bool:
+        """Send on the session's control data channel (reference
+        webrtcsink control/stats channel)."""
+        ent = self._transports.get(sid)
+        if ent is None:
+            return False
+        tr = ent[0]
+        ch = getattr(tr, "_gstpu_control_channel", None)
+        if ch is None or not tr.sctp.channels[ch].open:
+            return False
+        tr.send_data(ch, text.encode(), binary=False)
+        return True
 
     def iterate_tasks(self):
         if not self.enable_data_transport:
@@ -837,6 +866,7 @@ class WebRtcSrc(Element):
         self._sock.setblocking(False)
         self._transport = WebRtcTransport(controlling=False,
                                           ice_lite=True)
+        self._transport.enable_data_channels()
         self._transport.add_local_candidate(
             host_candidate(*self._sock.getsockname()))
         self._transport.set_remote_description(remote)

@@ -272,6 +272,38 @@ def test_webrtcsink_to_webrtcsrc_full_loop():
     pkt = out[0].to_bytes()
     assert (pkt[0] >> 6) == 2               # RTP v2
     assert pkt[12:] == bytes([0x55]) * 160  # decrypted alaw payload
+
+    # control data channel: SCTP over the same DTLS transport
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and not any(
+            e[0] == "channel-open"
+            for e in (src._transport.sctp.events
+                      if src._transport.sctp else [])):
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+    opens = [e for e in src._transport.sctp.events
+             if e[0] == "channel-open"]
+    assert opens and opens[0][2] == "control"
+    # wait for the DCEP ACK to reach the sink side
+    deadline = time.monotonic() + 10
+    sent = False
+    while time.monotonic() < deadline and not sent:
+        sent = sink.send_control_message("s1", "hello consumer")
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+    assert sent, "control channel never acked"
+    deadline = time.monotonic() + 10
+    got_msg = None
+    while time.monotonic() < deadline and got_msg is None:
+        sink.pump()
+        src.pump()
+        got_msg = next((e for e in src._transport.sctp.events
+                        if e[0] == "message"), None)
+        time.sleep(0.001)
+    assert got_msg is not None
+    assert got_msg[3] == b"hello consumer"
     sink.set_state(State.NULL)
     src.set_state(State.NULL)
 
