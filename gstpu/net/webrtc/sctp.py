@@ -175,6 +175,11 @@ class SctpAssociation:
         struct.pack_into(">I", zeroed, 8, 0)
         if crc32c(bytes(zeroed)) != want_crc:
             raise SctpError("CRC32c mismatch")
+        # RFC 4960 §8.5: except INIT (vtag 0), the verification tag
+        # must match ours — spoofed packets are discarded
+        is_init = len(data) >= 13 and data[12] == CT_INIT
+        if not is_init and vtag != self._my_vtag:
+            raise SctpError("verification tag mismatch")
         pos = 12
         while pos + 4 <= len(data):
             ctype, flags, clen = struct.unpack_from(">BBH", data, pos)

@@ -126,3 +126,21 @@ def test_data_channels_over_dtls_transport():
     pump()
     msgs = [e for e in a.sctp.events if e[0] == "message"]
     assert msgs and msgs[-1][3] == b"and back"
+
+
+def test_spoofed_vtag_discarded():
+    srv = SctpAssociation(client=False)
+    cli = SctpAssociation(client=True)
+    cli.connect()
+    _pump(cli, srv)
+    assert srv.established
+    # a packet with the wrong verification tag must be rejected even
+    # with a valid checksum
+    import struct
+    from gstpu.net.webrtc.sctp import CT_HEARTBEAT, crc32c
+    chunk = struct.pack(">BBH", CT_HEARTBEAT, 0, 4)
+    hdr = struct.pack(">HHI", 5000, 5000, 0xDEADBEEF)
+    pkt = bytearray(hdr + struct.pack(">I", 0) + chunk)
+    struct.pack_into("<I", pkt, 8, crc32c(bytes(pkt)))
+    with pytest.raises(SctpError, match="verification tag"):
+        srv.handle_packet(bytes(pkt))
