@@ -59,10 +59,15 @@ class _Endpoint:
 
     def wait_connected(self, timeout: float) -> bool:
         deadline = time.monotonic() + timeout
+        next_pto = time.monotonic() + 0.2
         while time.monotonic() < deadline:
             self.pump()
             if self.conn.connected:
                 return True
+            if time.monotonic() >= next_pto:
+                # handshake datagram lost: probe-retransmit
+                self.conn.on_timeout()
+                next_pto = time.monotonic() + 0.2
             time.sleep(0.002)
         return self.conn.connected
 

