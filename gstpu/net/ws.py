@@ -8,6 +8,7 @@ the TLS gate)."""
 from __future__ import annotations
 
 import base64
+import hashlib
 import os
 import socket
 import struct
@@ -64,6 +65,16 @@ class WsClient:
         status = data.split(b"\r\n", 1)[0]
         if b"101" not in status:
             raise WsError(f"handshake rejected: {status.decode()}")
+        # RFC 6455 4.1: the server must echo SHA1(key + GUID)
+        want = base64.b64encode(hashlib.sha1(
+            (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
+            .encode()).digest()).decode()
+        accept = None
+        for line in data.decode("latin1").split("\r\n"):
+            if line.lower().startswith("sec-websocket-accept:"):
+                accept = line.split(":", 1)[1].strip()
+        if accept != want:
+            raise WsError("bad Sec-WebSocket-Accept")
 
     def send_text(self, text: str) -> None:
         _masked_send(self.conn, text.encode(), 1)
