@@ -55,7 +55,10 @@ class TsBlockingAdapter(Element):
 
     def paused_to_ready(self) -> bool:
         if self._thread is not None:
-            self._q.put(_STOP)
+            try:
+                self._q.put(_STOP, timeout=5)
+            except queue.Full:
+                pass                      # downstream wedged: detach
             self._thread.join(timeout=5)
             self._thread = None
         # drop anything left queued
