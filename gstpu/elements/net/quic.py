@@ -87,6 +87,11 @@ def _make_endpoint(*, client: bool, address: str, port: int,
         -> _Endpoint:
     from gstpu.net.quic.connection import QuicConnection
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:                        # burst tolerance (kernel may clamp)
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                        4 << 20)
+    except OSError:
+        pass
     if client:
         sock.bind(("0.0.0.0", 0))
         peer = (address, port)
@@ -174,7 +179,19 @@ class QuinnQuicSink(BaseSink):
         if ep is not None and ep.conn.connected:
             if not self.use_datagram and self._stream_id is not None:
                 ep.conn.send_stream(self._stream_id, b"", fin=True)
-            ep.pump()
+            # reliable drain: probe-retransmit until everything is
+            # acked (datagrams are fire-and-forget by design)
+            deadline = time.monotonic() + self.timeout
+            next_pto = time.monotonic() + 0.05
+            while time.monotonic() < deadline:
+                ep.pump()
+                if not any(sp.unacked
+                           for sp in ep.conn._spaces.values()):
+                    break
+                if time.monotonic() >= next_pto:
+                    ep.conn.on_timeout()
+                    next_pto = time.monotonic() + 0.05
+                time.sleep(0.002)
 
 
 @register_element("quinnquicsrc", Rank.NONE)
