@@ -41,8 +41,29 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: the heavy f64 chain compiles
+    once per machine; later runs (including the driver's) start in
+    seconds instead of minutes over the dev tunnel."""
+    import os
+
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          0)
+    except Exception:
+        pass                      # older jax: defaults are fine
+
+
 def main() -> None:
     import jax
+    _enable_compile_cache()
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from gstpu.parallel.chains import make_audiofx_exact_chain

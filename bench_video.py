@@ -56,6 +56,8 @@ def chain(frame, table, scale, offset, hue_shift, sat_mul, sat_off,
 
 
 def main():
+    from bench import _enable_compile_cache
+    _enable_compile_cache()
     lut = identity_lut(size=17)
     table = jnp.asarray(lut.table_3d)
     scale = jnp.asarray(lut.domain_scale)
