@@ -73,20 +73,30 @@ def main() -> None:
     prime, step, init, n_prime, n_step = make_audiofx_exact_chain(
         channels=C, echo_delay=48_000 * C, max_delay=48_000 * C)
 
-    rng = np.random.default_rng(0)
-    t = np.arange(n_prime // C) / 192_000.0
-    base = (0.15 * np.sin(2 * np.pi * 440.0 * t)
-            + 0.05 * np.sin(2 * np.pi * 97.0 * t))
-    x0 = np.repeat(base[:, None], C, axis=1).reshape(-1)
-    x0 = np.broadcast_to(x0, (B, n_prime)).copy()
-    x0 += rng.normal(0, 1e-3, x0.shape)          # decorrelate streams
+    # inputs are synthesized ON DEVICE: shipping ~1 GB of f64 test
+    # signal through the 45 MB/s dev tunnel would swamp the run
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _make_signal(n_flat, freq, key):
+        t = jnp.arange(n_flat // C, dtype=jnp.float64) / 192_000.0
+        base = (0.15 * jnp.sin(2 * jnp.pi * freq * t)
+                + 0.05 * jnp.sin(2 * jnp.pi * 97.0 * t))
+        sig = jnp.repeat(base[:, None], C, axis=1).reshape(-1)
+        noise = 1e-3 * jax.random.normal(key, (B, n_flat),
+                                         dtype=jnp.float64)
+        return sig[None, :] + noise              # decorrelated streams
+
+    key = jax.random.PRNGKey(0)
+    x0 = _make_signal(n_prime, jnp.float64(440.0), key)
+    x0.block_until_ready()
     inten, fb = jnp.float64(0.4), jnp.float64(0.3)
 
     checksum = jax.jit(lambda y: jnp.sum(y))
 
     state = init(B)
     t0 = time.perf_counter()
-    state, out = prime(state, jax.device_put(x0), inten, fb)
+    state, out = prime(state, x0, inten, fb)
     float(checksum(out))
     print(f"prime (3 s lookahead) + compile: "
           f"{time.perf_counter() - t0:.1f} s", file=sys.stderr)
@@ -101,15 +111,11 @@ def main() -> None:
     # input bank: 12 distinct realistic frames pre-uploaded to HBM and
     # cycled (production feeds via double-buffered H2D; the dev tunnel
     # is 45 MB/s, so uploading per-step would measure the tunnel).
-    tt = np.arange(n_step // C) / 192_000.0
-    bank = []
-    for k in range(12):
-        sig = (0.12 * np.sin(2 * np.pi * (300 + 40 * k) * tt)
-               + 0.04 * np.sin(2 * np.pi * 95.0 * tt))
-        fr = np.repeat(sig[:, None], C, axis=1).reshape(-1)
-        fr = np.broadcast_to(fr, (B, n_step)) \
-            + rng.normal(0, 1e-3, (B, n_step))
-        bank.append(jax.device_put(fr))
+    keys = jax.random.split(key, 13)
+    bank = [_make_signal(n_step, jnp.float64(300.0 + 40 * k),
+                         keys[k + 1]) for k in range(12)]
+    for fr in bank:
+        fr.block_until_ready()
     for k in range(6):                            # settle the gain
         state, out, meters = step(state, bank[k % 12], inten, fb)
     float(checksum(out))
@@ -133,8 +139,8 @@ def main() -> None:
     try:
         state1 = init(1)
         stateB = init(B)
-        state1, f1 = prime(state1, jax.device_put(x0[:1]), inten, fb)
-        stateB, fN = prime(stateB, jax.device_put(x0), inten, fb)
+        state1, f1 = prime(state1, x0[:1], inten, fb)
+        stateB, fN = prime(stateB, x0, inten, fb)
         dmax = float(np.abs(np.asarray(f1[0])
                             - np.asarray(fN[0])).max())
         for _ in range(3):
