@@ -263,6 +263,44 @@ class QuicConnection:
                 + encode_varint(0)          # range count
                 + encode_varint(largest))   # first range
 
+    def _deliver_stream(self, sid: int, off: int, data: bytes,
+                        fin: bool) -> None:
+        """Offset-ordered delivery: duplicates (e.g. from a spurious
+        probe retransmission) are dropped, out-of-order segments are
+        buffered until the gap fills."""
+        st = self._streams_rx.setdefault(
+            sid, {"next": 0, "ooo": {}, "fin_at": None})
+        if fin:
+            st["fin_at"] = off + len(data)
+        end = off + len(data)
+        if end <= st["next"] and not (fin and end == st["next"]):
+            return                       # pure duplicate
+        if off > st["next"]:
+            st["ooo"][off] = data        # hole before this segment
+            return
+        if off < st["next"]:             # partial overlap: trim
+            data = data[st["next"] - off:]
+        st["next"] = end if end > st["next"] else st["next"]
+        emit_fin = st["fin_at"] == st["next"]
+        if data or emit_fin:
+            self._events.append(("stream", sid, data, emit_fin))
+        # drain any now-contiguous buffered segments
+        while st["ooo"]:
+            nxt = st["ooo"].pop(st["next"], None)
+            if nxt is None:
+                # also allow overlapping buffered segments
+                cand = [o for o in st["ooo"] if o < st["next"]]
+                if not cand:
+                    break
+                o = cand[0]
+                seg = st["ooo"].pop(o)
+                nxt = seg[st["next"] - o:] \
+                    if o + len(seg) > st["next"] else b""
+            st["next"] += len(nxt)
+            emit_fin = st["fin_at"] == st["next"]
+            if nxt or emit_fin:
+                self._events.append(("stream", sid, nxt, emit_fin))
+
     def _handle_frames(self, level: int, payload: bytes) -> bool:
         """Process frames; return True if any was ack-eliciting."""
         eliciting = False
@@ -307,7 +345,7 @@ class QuicConnection:
                 data = payload[pos:pos + ln]
                 pos += ln
                 fin = bool(ftype & 0x01)
-                self._events.append(("stream", sid, data, fin))
+                self._deliver_stream(sid, off, data, fin)
                 continue
             if ftype in (F_DATAGRAM, F_DATAGRAM | 1):
                 eliciting = True

@@ -348,3 +348,27 @@ def test_quic_retransmit_on_timeout():
     cli.on_timeout()
     out = cli.poll_transmit()
     assert out is None
+
+
+def test_quic_duplicate_and_reordered_stream_segments():
+    """Spurious retransmissions must not duplicate stream bytes, and
+    out-of-order segments reassemble in offset order."""
+    srv = QuicConnection(client=False)
+    cli = QuicConnection(client=True)
+    cli.connect()
+    _pump(cli, srv)
+    sid = cli.open_stream()
+    cli.send_stream(sid, b"AAAA")
+    p1 = cli.poll_transmit()
+    cli.send_stream(sid, b"BBBB", fin=True)
+    p2 = cli.poll_transmit()
+    # deliver out of order, then duplicate the first
+    srv.handle_datagram(p2)
+    assert not any(e[0] == "stream" for e in srv.events())
+    srv.handle_datagram(p1)
+    evs = [e for e in srv.events() if e[0] == "stream"]
+    assert b"".join(e[2] for e in evs) == b"AAAABBBB"
+    assert evs[-1][3] is True
+    srv.handle_datagram(p1)              # spurious retransmission
+    assert not any(e[0] == "stream" and e[2]
+                   for e in srv.events())
