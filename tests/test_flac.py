@@ -85,9 +85,9 @@ def test_corrupt_flac_errors():
         dec.poll()
 
 
-def test_hlscmafsink(tmp_path):
-    import os
-    os.chdir(tmp_path)
+def test_hlscmafsink(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)   # restored after the test (a bare
+    # os.chdir leaked the cwd into later tests: docs-cache/icecast)
     p = parse_launch(
         "appsrc name=src ! audio/x-opus, rate=48000, channels=2 ! "
         "cmafmux fragment-duration=100000000 ! "
