@@ -292,8 +292,11 @@ def test_awss3putobjectsink_uploads(mock_s3):
 def test_awss3sink_multipart_roundtrip(mock_s3):
     from gstpu.core.harness import Harness
     sink = _make_sink("awss3sink", mock_s3, "multi.bin")
-    # shrink the part size for the test (bypass the 5MiB S3 minimum)
-    type(sink).part_size.minimum = 1024
+    # shrink the part size for the test (bypass the 5MiB S3 minimum);
+    # restore the class descriptor afterwards — it's global state
+    prop = type(sink).part_size
+    orig_min = prop.minimum
+    prop.minimum = 1024
     sink.part_size = 1024
     h = Harness(sink)
     h.set_caps("application/x-test")
@@ -305,6 +308,7 @@ def test_awss3sink_multipart_roundtrip(mock_s3):
     assert mock_s3.objects["/bkt/multi.bin"] == payload
     assert not mock_s3.uploads        # completed, not dangling
     h.teardown()
+    prop.minimum = orig_min
 
 
 def test_awss3sink_abort_on_teardown_without_eos(mock_s3):

@@ -135,10 +135,13 @@ def test_icecastsink_reconnect_resends_headers():
     hb = Buffer(header)
     hb.set_flag(BufferFlags.HEADER)
     src.push_buffer(hb)
-    # enough data that the server drops mid-stream
-    for i in range(6):
-        src.push_buffer(Buffer(bytes([i]) * 64))
+    # push until the server has dropped us and we reconnected
+    # (bounded; under load the drop can take longer to surface)
+    for i in range(100):
+        src.push_buffer(Buffer(bytes([i % 256]) * 64))
         time.sleep(0.02)
+        if len(srv.requests) >= 2:
+            break
     src.end_of_stream()
     p.run()
     p.set_state(State.NULL)
