@@ -134,6 +134,7 @@ class QuinnQuicSink(BaseSink):
         super().__init__(name)
         self._ep: _Endpoint | None = None
         self._stream_id: int | None = None
+        self._mux_streams: dict[int, int] = {}   # flow id -> QUIC sid
         self.sent = 0
 
     def start(self) -> bool:
@@ -161,15 +162,24 @@ class QuinnQuicSink(BaseSink):
             raise FlowError(FlowReturn.ERROR,
                             "QUIC handshake timed out")
         data = buf.to_bytes()
-        if self.use_datagram:
+        meta = buf.get_meta(QuinnQuicMeta)
+        if self.use_datagram or (meta is not None
+                                 and meta.is_datagram):
             ep.conn.send_datagram(data)
         else:
-            if self._stream_id is None:
-                self._stream_id = ep.conn.open_stream()
-            # length-delimited so the src can re-frame buffers
             from gstpu.net.quic.packet import encode_varint
-            ep.conn.send_stream(self._stream_id,
-                                encode_varint(len(data)) + data)
+            if meta is not None:
+                # quinnquicmux tagged the buffer: route per stream id
+                sid = self._mux_streams.get(meta.stream_id)
+                if sid is None:
+                    sid = ep.conn.open_stream()
+                    self._mux_streams[meta.stream_id] = sid
+            else:
+                if self._stream_id is None:
+                    self._stream_id = ep.conn.open_stream()
+                sid = self._stream_id
+            # length-delimited so the src can re-frame buffers
+            ep.conn.send_stream(sid, encode_varint(len(data)) + data)
         ep.pump()
         self.sent += 1
         return FlowReturn.OK
@@ -213,9 +223,10 @@ class QuinnQuicSrc(PushSrc):
     def __init__(self, name=None):
         super().__init__(name)
         self._ep: _Endpoint | None = None
-        self._queue: list[bytes] = []
-        self._stream_buf = bytearray()
-        self._fin = False
+        self._queue: list[tuple[bytes, int | None]] = []
+        self._stream_bufs: dict[int, bytearray] = {}
+        self._fins: set[int] = set()
+        self._closed = False
         self.is_live = True
 
     def start(self) -> bool:
@@ -244,18 +255,18 @@ class QuinnQuicSrc(PushSrc):
         return self.caps if self.caps is not None \
             else Caps.new("application/octet-stream")
 
-    def _drain_stream_buf(self) -> None:
+    def _drain_stream_buf(self, sid: int) -> None:
         from gstpu.net.quic.packet import QuicError, decode_varint
-        while self._stream_buf:
+        buf = self._stream_bufs[sid]
+        while buf:
             try:
-                ln, pos = decode_varint(bytes(self._stream_buf), 0)
+                ln, pos = decode_varint(bytes(buf), 0)
             except QuicError:
                 return
-            if len(self._stream_buf) < pos + ln:
+            if len(buf) < pos + ln:
                 return
-            self._queue.append(
-                bytes(self._stream_buf[pos:pos + ln]))
-            del self._stream_buf[:pos + ln]
+            self._queue.append((bytes(buf[pos:pos + ln]), sid))
+            del buf[:pos + ln]
 
     def create(self) -> Buffer | None:
         ep = self._ep
@@ -263,21 +274,27 @@ class QuinnQuicSrc(PushSrc):
         for ev in ep.conn.events():
             kind = ev[0]
             if kind == "datagram":
-                self._queue.append(ev[1])
+                self._queue.append((ev[1], None))
             elif kind == "stream":
-                _, _sid, data, fin = ev
-                self._stream_buf += data
-                self._drain_stream_buf()
+                _, sid, data, fin = ev
+                self._stream_bufs.setdefault(sid, bytearray()) \
+                    .extend(data)
+                self._drain_stream_buf(sid)
                 if fin:
-                    self._fin = True
+                    self._fins.add(sid)
             elif kind == "closed":
-                self._fin = True
+                self._closed = True
         if self._queue:
-            buf = Buffer(self._queue.pop(0))
+            data, sid = self._queue.pop(0)
+            buf = Buffer(data)
             if self.clock is not None:
                 buf.pts = self.running_time()
+            # tag so quinnquicdemux can fan flows back out
+            buf.add_meta(QuinnQuicMeta(
+                sid if sid is not None else 0, sid is None))
             return buf
-        if self._fin:
+        if self._closed or (self._fins
+                            and self._fins >= set(self._stream_bufs)):
             return None                      # EOS
         raise FlowError(FlowReturn.FLUSHING, "no QUIC data yet")
 

@@ -372,3 +372,81 @@ def test_quic_duplicate_and_reordered_stream_segments():
     srv.handle_datagram(p1)              # spurious retransmission
     assert not any(e[0] == "stream" and e[2]
                    for e in srv.events())
+
+
+def test_quinn_mux_over_wire_to_demux():
+    """Full composition: quinnquicmux ! quinnquicsink over real UDP
+    to quinnquicsrc ! quinnquicdemux — two flows plus datagrams come
+    out on separate pads."""
+    src = make("quinnquicsrc")
+    src.port = 0
+    src.set_state(State.READY)
+    port = src.bound_port
+
+    sink = make("quinnquicsink")
+    sink.address, sink.port = "127.0.0.1", port
+    sink.certificate_fingerprint = src.local_fingerprint
+
+    mux = make("quinnquicmux")
+    mux.pads["src"].link(sink.pads["sink"])
+    s0 = mux.request_pad("stream_0")
+    s1 = mux.request_pad("stream_1")
+    dg = mux.request_pad("datagram")
+    for el in (mux, sink):
+        el.set_state(State.PLAYING)
+
+    demux = make("quinnquicdemux")
+    src.pads["src"].link(demux.pads["sink"])
+    outputs = {}
+
+    def on_pad_added(element, pad):
+        s = make("appsink")
+        s.set_state(State.PLAYING)
+        pad.link(s.pads["sink"])
+        outputs[pad.name] = s
+
+    demux.connect("pad-added", on_pad_added)
+    src.set_state(State.PLAYING)
+    demux.set_state(State.PLAYING)
+
+    # drive handshake
+    deadline = time.monotonic() + 5
+    while not sink._ep.conn.connected \
+            and time.monotonic() < deadline:
+        sink._ep.pump()
+        for task in src.iterate_tasks():
+            task.iterate()
+        time.sleep(0.002)
+    assert sink._ep.conn.connected
+
+    from gstpu.core.caps import Caps
+    from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                  StreamStartEvent)
+    for pad, payloads in ((s0, [b"a0", b"a1"]), (s1, [b"b0"]),
+                          (dg, [b"d0"])):
+        pad.send_event(StreamStartEvent("t"))
+        pad.send_event(CapsEvent(Caps.new("application/x-test")))
+        pad.send_event(SegmentEvent(Segment()))
+        for d in payloads:
+            pad.chain_function(pad, Buffer(d))
+
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline:
+        sink._ep.pump()
+        for task in src.iterate_tasks():
+            task.iterate()
+        total = sum(len(s.samples) for s in outputs.values())
+        if total >= 4:
+            break
+        time.sleep(0.002)
+
+    got = {name: [b.to_bytes() for b in s.samples]
+           for name, s in outputs.items()}
+    stream_pads = sorted(n for n in got if n.startswith("stream_"))
+    assert len(stream_pads) == 2       # two flows, two pads
+    datasets = [got[n] for n in stream_pads]
+    assert sorted(map(tuple, datasets)) == [(b"a0", b"a1"), (b"b0")] \
+        or sorted(map(tuple, datasets)) == [(b"a0", b"a1"), (b"b0",)]
+    assert got.get("datagram") == [b"d0"]
+    src.set_state(State.NULL)
+    sink.set_state(State.NULL)
