@@ -46,13 +46,22 @@ def test_inspect_lists_and_describes():
         assert main(["definitely-not-an-element"]) == 1
 
 
-def test_docs_cache_current():
+def test_docs_cache_current(tmp_path):
     """Checked-in docs cache must match a fresh regeneration
-    (reference: ci/check-documentation-diff.py)."""
-    from gstpu.tools.docs_cache import render
-    with open("docs/plugins/gstpu_plugins_cache.json") as f:
-        checked_in = f.read()
-    fresh = render()
+    (reference: ci/check-documentation-diff.py). Regenerates in a
+    SUBPROCESS: earlier tests may have registered mock elements in
+    this interpreter's registry."""
+    import pathlib
+    import subprocess
+    out = tmp_path / "cache.json"
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, "-m", "gstpu.tools.docs_cache",
+         "-o", str(out)], cwd=repo, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    checked_in = (repo / "docs/plugins/gstpu_plugins_cache.json") \
+        .read_text()
+    fresh = out.read_text()
     assert checked_in == fresh, \
         "docs cache stale: run python -m gstpu.tools.docs_cache"
     cache = json.loads(fresh)
