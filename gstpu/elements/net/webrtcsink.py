@@ -906,7 +906,38 @@ class WebRtcSrc(Element):
             if out is not None and out[0] == "rtp":
                 self.push_rtp(out[1])
             moved = True
+        tr = self._transport
+        if tr.connected and tr.sctp is not None:
+            for ev in tr.sctp.events:
+                if ev[0] == "message":
+                    self.post_element_message(
+                        "data-channel-message", stream=ev[1],
+                        data=ev[3].decode(errors="replace"))
+                elif ev[0] == "channel-open":
+                    self.post_element_message(
+                        "data-channel-open", stream=ev[1],
+                        label=ev[2])
+            tr.sctp.events.clear()
         return moved
+
+    def send_data_message(self, text: str,
+                          stream: int | None = None) -> bool:
+        """Send on the producer's data channel (the consumer side of
+        webrtcsink's control channel)."""
+        tr = self._transport
+        if tr is None or tr.sctp is None:
+            return False
+        if stream is None:
+            open_ids = [sid for sid, ch in tr.sctp.channels.items()
+                        if ch.open]
+            if not open_ids:
+                return False
+            stream = open_ids[0]
+        try:
+            tr.send_data(stream, text.encode(), binary=False)
+        except Exception:
+            return False
+        return True
 
     def iterate_tasks(self):
         if not self.enable_data_transport:

@@ -208,6 +208,9 @@ def test_webrtcsink_to_webrtcsrc_full_loop():
 
     sink = make("webrtcsink", enable_data_transport=True)
     src = make("webrtcsrc", enable_data_transport=True)
+    from gstpu.core.element import Bus
+    sink.bus = Bus()
+    src.bus = Bus()
     sink.set_state(State.PLAYING)
     src.set_state(State.PLAYING)
 
@@ -273,19 +276,27 @@ def test_webrtcsink_to_webrtcsrc_full_loop():
     assert (pkt[0] >> 6) == 2               # RTP v2
     assert pkt[12:] == bytes([0x55]) * 160  # decrypted alaw payload
 
-    # control data channel: SCTP over the same DTLS transport
+    # control data channel: SCTP over the same DTLS transport; the
+    # consumer surfaces channel events as bus element messages
+    def bus_msgs(el, name):
+        out = []
+        if el.bus is None:
+            return out
+        q = list(el.bus._queue) if hasattr(el.bus, "_queue") else []
+        return [m for m in q
+                if getattr(m, "fields", {}).get("name") == name]
+
+    src_open = []
     deadline = time.monotonic() + 10
-    while time.monotonic() < deadline and not any(
-            e[0] == "channel-open"
-            for e in (src._transport.sctp.events
-                      if src._transport.sctp else [])):
+    while time.monotonic() < deadline and not src_open:
         sink.pump()
         src.pump()
+        while (m := src.bus.pop()) is not None if src.bus else False:
+            if m.fields.get("name") == "data-channel-open":
+                src_open.append(m)
         time.sleep(0.001)
-    opens = [e for e in src._transport.sctp.events
-             if e[0] == "channel-open"]
-    assert opens and opens[0][2] == "control"
-    # wait for the DCEP ACK to reach the sink side
+    assert src_open and src_open[0].label == "control"
+    # wait for the DCEP ACK to reach the sink side, then message
     deadline = time.monotonic() + 10
     sent = False
     while time.monotonic() < deadline and not sent:
@@ -295,15 +306,27 @@ def test_webrtcsink_to_webrtcsrc_full_loop():
         time.sleep(0.001)
     assert sent, "control channel never acked"
     deadline = time.monotonic() + 10
-    got_msg = None
-    while time.monotonic() < deadline and got_msg is None:
+    got = []
+    while time.monotonic() < deadline and not got:
         sink.pump()
         src.pump()
-        got_msg = next((e for e in src._transport.sctp.events
-                        if e[0] == "message"), None)
+        while (m := src.bus.pop()) is not None if src.bus else False:
+            if m.fields.get("name") == "data-channel-message":
+                got.append(m)
         time.sleep(0.001)
-    assert got_msg is not None
-    assert got_msg[3] == b"hello consumer"
+    assert got and got[0].data == "hello consumer"
+    # consumer replies on the same channel
+    assert src.send_data_message("ack from consumer")
+    deadline = time.monotonic() + 10
+    reply = []
+    while time.monotonic() < deadline and not reply:
+        sink.pump()
+        src.pump()
+        while (m := sink.bus.pop()) is not None if sink.bus else False:
+            if m.fields.get("name") == "data-channel-message":
+                reply.append(m)
+        time.sleep(0.001)
+    assert reply and reply[0].data == "ack from consumer"
     sink.set_state(State.NULL)
     src.set_state(State.NULL)
 
