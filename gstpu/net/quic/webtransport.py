@@ -64,6 +64,8 @@ def _qpack_int(value: int, prefix_bits: int, first_byte: int) -> bytes:
 
 def _qpack_read_int(data: bytes, pos: int, prefix_bits: int) \
         -> tuple[int, int]:
+    if pos >= len(data):
+        raise WtError("truncated QPACK integer")
     limit = (1 << prefix_bits) - 1
     v = data[pos] & limit
     pos += 1
@@ -71,6 +73,8 @@ def _qpack_read_int(data: bytes, pos: int, prefix_bits: int) \
         return v, pos
     shift = 0
     while True:
+        if pos >= len(data) or shift > 62:
+            raise WtError("truncated QPACK integer")
         b = data[pos]
         pos += 1
         v += (b & 0x7F) << shift
@@ -102,11 +106,17 @@ def qpack_decode(data: bytes) -> list[tuple[str, str]]:
             if b & 0x08:
                 raise WtError("huffman QPACK not supported")
             nlen, pos = _qpack_read_int(data, pos, 3)
+            if pos + nlen > len(data):
+                raise WtError("truncated QPACK name")
             name = data[pos:pos + nlen].decode()
             pos += nlen
+            if pos >= len(data):
+                raise WtError("truncated QPACK field")
             if data[pos] & 0x80:
                 raise WtError("huffman QPACK not supported")
             vlen, pos = _qpack_read_int(data, pos, 7)
+            if pos + vlen > len(data):
+                raise WtError("truncated QPACK value")
             value = data[pos:pos + vlen].decode()
             pos += vlen
             fields.append((name, value))
