@@ -52,10 +52,97 @@ class HsvFilter(VideoFilter):
                               mutable=Mutability.PLAYING)
     value_mul = Property(float, default=1.0, mutable=Mutability.PLAYING)
     value_off = Property(float, default=0.0, mutable=Mutability.PLAYING)
+    context = Property(str, default=None, mutable=Mutability.READY,
+                       blurb="DeviceContext name: N video streams "
+                             "sharing it run as ONE batched frame "
+                             "dispatch (SURVEY L2', like rsaudioecho)")
+    fps = Property(int, default=30, minimum=1,
+                   mutable=Mutability.READY,
+                   blurb="frame rate used for batched pts spacing")
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._ctx = None
+
+    def start(self) -> bool:
+        if self.context:
+            from gstpu.runtime.device_batch import DeviceContext
+            # block is finalized once caps arrive (one frame)
+            self._ctx = DeviceContext.acquire(self.context, block=0)
+            self._ctx.add_member(self)
+        return True
+
+    def stop(self) -> bool:
+        if self._ctx is not None:
+            self._ctx.remove_member(self)
+            self._ctx = None
+        return super().stop()
+
+    def set_info(self, in_info, out_info) -> bool:
+        if self._ctx is not None:
+            nflat = in_info.height * in_info.width \
+                * len(in_info.format.replace("x", "A"))
+            if self._ctx.block in (0, nflat):
+                self._ctx.block = nflat
+            elif self._ctx.block != nflat:
+                self.post_error("hsvfilter: context members must "
+                                "share the frame geometry")
+                return False
+            self._ctx.finalize_member(self)
+        return True
+
+    # -- DeviceContext contract ------------------------------------------
+    def device_batch_spec(self) -> dict:
+        import jax
+        info = self.video_info
+        H, W = info.height, info.width
+        C = len(info.format)
+        (r, g, b), _ = _LAYOUTS[info.format]
+
+        def step(states, x, hue, smul, soff, vmul, voff):
+            B = x.shape[0]
+            f = x.reshape(B, H, W, C)
+            rgb = jnp.stack([f[..., r], f[..., g], f[..., b]],
+                            axis=-1)
+            out = jax.vmap(hsv_ops.hsv_filter)(
+                rgb, hue[:, 0].astype(jnp.float32),
+                smul[:, 0].astype(jnp.float32),
+                soff[:, 0].astype(jnp.float32),
+                vmul[:, 0].astype(jnp.float32),
+                voff[:, 0].astype(jnp.float32))
+            f = f.at[..., r].set(out[..., 0]) \
+                .at[..., g].set(out[..., 1]) \
+                .at[..., b].set(out[..., 2])
+            return states, f.reshape(B, -1)
+
+        return dict(key=("hsvfilter", H, W, info.format),
+                    step=step,
+                    init_state=lambda: (),
+                    uniforms=lambda: (self.hue_shift,
+                                      self.saturation_mul,
+                                      self.saturation_off,
+                                      self.value_mul,
+                                      self.value_off),
+                    compute_dtype=np.uint8)
+
+    def make_batch_buffer(self, flat: np.ndarray, pts, dur) -> Buffer:
+        return self.video_info.make_buffer(flat, pts=pts,
+                                           duration=dur)
+
+    def drain(self) -> list:
+        if self._ctx is not None:
+            return self._ctx.flush_member(self)
+        return []
 
     def transform_ip(self, buf: Buffer) -> None:
         import os
         info = self.video_info
+        if self._ctx is not None:
+            frame = info.view(buf)
+            # one frame per batch row; fps drives the pts spacing
+            self._ctx.submit(self, frame.reshape(-1), buf.pts,
+                             frame.size * self.fps)
+            return []                 # outputs flow from the batch
         frame = info.view(buf)
         (r, g, b), _ = _LAYOUTS[info.format]
         rgb = np.stack([frame[..., r], frame[..., g], frame[..., b]],

@@ -167,7 +167,8 @@ class DeviceContext:
             pts = m.pts
             if pts is not None:
                 m.pts = pts + self.block * SECOND // max(m.rate, 1)
-            rows.append(row.astype(np.float64, copy=False))
+            cdtype = spec.get("compute_dtype", np.float64)
+            rows.append(row.astype(cdtype, copy=False))
             metas.append((m, pts))
         x = jnp.asarray(np.stack(rows))
         states = jax.tree_util.tree_map(
@@ -216,15 +217,17 @@ class DeviceContext:
             self._pending_fire = None
         out = []
         item = np.dtype(m.dtype).itemsize if m.dtype else 8
-        n = len(m.pending) // item if m.dtype else 0
-        if n:
+        cdtype = m.spec.get("compute_dtype", np.float64)
+        while m.dtype is not None and m.pending:
             import jax
             import jax.numpy as jnp
-            pad = self.block - n
-            row = np.frombuffer(bytes(m.pending), dtype=m.dtype)
-            del m.pending[:]
-            x = jnp.asarray(np.pad(row.astype(np.float64),
-                                   (0, pad))[None])
+            avail = len(m.pending) // item
+            n = min(avail, self.block)
+            row = np.frombuffer(bytes(m.pending[:n * item]),
+                                dtype=m.dtype)
+            del m.pending[:n * item]
+            x = jnp.asarray(np.pad(row.astype(cdtype, copy=False),
+                                   (0, self.block - n))[None])
             state = jax.tree_util.tree_map(lambda l: l[None], m.state)
             uni = [jnp.asarray(np.asarray([u], np.float64)[:, None])
                    for u in m.spec["uniforms"]()]
@@ -232,8 +235,11 @@ class DeviceContext:
             m.state = jax.tree_util.tree_map(lambda l: l[0], state)
             host = np.asarray(dev_out)[0][:n]
             dur = n * SECOND // max(m.rate, 1)
+            pts = m.pts
+            if m.pts is not None:
+                m.pts += dur
             out.append(m.element.make_batch_buffer(
-                host.astype(m.dtype, copy=False), m.pts, dur))
+                host.astype(m.dtype, copy=False), pts, dur))
         m.active = False
         # remaining members may all be ready now
         self.try_fire()

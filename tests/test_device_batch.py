@@ -191,3 +191,56 @@ def test_depth2_overlapped_distribution():
     np.testing.assert_array_equal(np.concatenate(got), ref[0])
     p.set_state(State.NULL)
     DeviceContext.release("ctx-d2")
+
+
+def test_video_streams_batch_through_context():
+    """VIDEO extension of L2': N `appsrc ! hsvfilter ! appsink`
+    streams sharing a DeviceContext execute as ONE batched frame
+    dispatch, bit-identical to the per-stream path."""
+    import numpy as np
+
+    from gstpu.core.video import VideoInfo
+    from gstpu.runtime.device_batch import DeviceContext
+
+    W, H, N_FRAMES, N_STREAMS = 64, 32, 3, 8
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256,
+                          (N_STREAMS, N_FRAMES, H, W, 4),
+                          dtype=np.uint8)
+
+    def run(ctx_name=None):
+        outs = []
+        pipes = []
+        for s in range(N_STREAMS):
+            extra = f"context=v{ctx_name} " if ctx_name else ""
+            p = parse_launch(
+                f'appsrc name=src caps="video/x-raw, format=RGBA, '
+                f'width={W}, height={H}, framerate=30/1" ! '
+                f'hsvfilter hue_shift=42 saturation_mul=1.2 {extra}'
+                f'! appsink name=sink')
+            pipes.append(p)
+            p.set_state(State.PLAYING)
+        for s, p in enumerate(pipes):
+            src = p.get_by_name("src")
+            for f in range(N_FRAMES):
+                src.push_buffer(Buffer(frames[s, f]))
+            src.end_of_stream()
+        for p in pipes:
+            p.run()
+            sink = p.get_by_name("sink")
+            outs.append([np.array(
+                VideoInfo("RGBA", W, H).view(b))
+                for b in sink.pull_all()])
+            p.set_state(State.NULL)
+        return outs
+
+    batched = run("ideo")
+    single = run(None)
+    assert all(len(o) == N_FRAMES for o in batched)
+    for s in range(N_STREAMS):
+        for f in range(N_FRAMES):
+            np.testing.assert_array_equal(batched[s][f],
+                                          single[s][f])
+    # alpha passed through untouched
+    np.testing.assert_array_equal(batched[0][0][..., 3],
+                                  frames[0, 0][..., 3])
