@@ -36,6 +36,12 @@ class ColorLut(VideoFilter):
 
     location = Property(str, default=None, mutable=Mutability.READY,
                         blurb="Path to the .cube LUT file")
+    context = Property(str, default=None, mutable=Mutability.READY,
+                       blurb="DeviceContext name: N video streams "
+                             "with the SAME LUT run as one batched "
+                             "frame dispatch")
+    fps = Property(int, default=30, minimum=1,
+                   mutable=Mutability.READY)
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -43,6 +49,7 @@ class ColorLut(VideoFilter):
         self._dev_table = None
         self._dev_scale = None
         self._dev_offset = None
+        self._ctx = None
 
     def set_lut(self, lut: CubeLut) -> None:
         """Programmatic LUT injection (tests, in-memory LUTs)."""
@@ -60,11 +67,87 @@ class ColorLut(VideoFilter):
             self.post_error("colorlut: no LUT configured "
                             "(set `location` to a .cube file)")
             return False
+        if self.context:
+            from gstpu.runtime.device_batch import DeviceContext
+            self._ctx = DeviceContext.acquire(self.context, block=0)
+            self._ctx.add_member(self)
         return True
+
+    def stop(self) -> bool:
+        if self._ctx is not None:
+            self._ctx.remove_member(self)
+            self._ctx = None
+        return super().stop()
+
+    def set_info(self, in_info, out_info) -> bool:
+        if self._ctx is not None:
+            if in_info.format.startswith("RGBA64"):
+                self.post_error("colorlut: context batching is for "
+                                "8-bit formats")
+                return False
+            nflat = in_info.height * in_info.width \
+                * len(in_info.format)
+            if self._ctx.block in (0, nflat):
+                self._ctx.block = nflat
+            elif self._ctx.block != nflat:
+                self.post_error("colorlut: context members must "
+                                "share the frame geometry")
+                return False
+            self._ctx.finalize_member(self)
+        return True
+
+    # -- DeviceContext contract ------------------------------------------
+    def device_batch_spec(self) -> dict:
+        import hashlib
+
+        import jax
+        info = self.video_info
+        H, W = info.height, info.width
+        C = len(info.format)
+        table, scale, offset = (self._dev_table, self._dev_scale,
+                                self._dev_offset)
+        lut_id = hashlib.sha1(
+            np.asarray(table).tobytes()).hexdigest()[:12]
+        is_3d = self._lut.is_3d
+        fn = apply_lut_3d if jax.default_backend() == "cpu" or not is_3d \
+            else None
+        if not is_3d:
+            fn = apply_lut_1d
+        elif fn is None:
+            from gstpu.ops.lut_pallas import (apply_lut_3d_pallas,
+                                              pallas_available)
+            fn = (apply_lut_3d_pallas if pallas_available()
+                  else apply_lut_3d_mm)
+
+        def step(states, x, *_unused):
+            B = x.shape[0]
+            f = x.reshape(B, H, W, C)
+            out = fn(f.reshape(B * H, W, C), table, scale, offset,
+                     max_val=255)
+            return states, out.reshape(B, -1)
+
+        return dict(key=("colorlut", H, W, info.format, lut_id),
+                    step=step,
+                    init_state=lambda: (),
+                    uniforms=lambda: (),
+                    compute_dtype=np.uint8)
+
+    def make_batch_buffer(self, flat: np.ndarray, pts, dur):
+        return self.video_info.make_buffer(flat, pts=pts,
+                                           duration=dur)
+
+    def drain(self) -> list:
+        if self._ctx is not None:
+            return self._ctx.flush_member(self)
+        return []
 
     def transform(self, buf: Buffer) -> Buffer:
         info = self.video_info
         frame = info.view(buf)
+        if self._ctx is not None:
+            self._ctx.submit(self, np.asarray(frame).reshape(-1),
+                             buf.pts, frame.size * self.fps)
+            return []                 # outputs flow from the batch
         deep = info.format.startswith("RGBA64")
         if deep:
             # jax has no big-endian dtypes: normalise to native u16

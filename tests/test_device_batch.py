@@ -244,3 +244,51 @@ def test_video_streams_batch_through_context():
     # alpha passed through untouched
     np.testing.assert_array_equal(batched[0][0][..., 3],
                                   frames[0, 0][..., 3])
+
+
+def test_video_chain_batches_both_stages():
+    """hsvfilter AND colorlut each batch N streams (two contexts,
+    one per kernel): full chain output equals the per-stream path."""
+    import numpy as np
+
+    from gstpu.core.video import VideoInfo
+    from gstpu.ops.lut import identity_lut
+
+    W, H, N_STREAMS = 48, 24, 6
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (N_STREAMS, 2, H, W, 4),
+                          dtype=np.uint8)
+    lut = identity_lut(size=5)
+
+    def run(batched):
+        outs, pipes = [], []
+        for s in range(N_STREAMS):
+            extra_h = "context=vh " if batched else ""
+            extra_c = "context=vc " if batched else ""
+            p = parse_launch(
+                f'appsrc name=src caps="video/x-raw, format=RGBA, '
+                f'width={W}, height={H}, framerate=30/1" ! '
+                f'hsvfilter hue_shift=33 {extra_h}! '
+                f'colorlut name=cl {extra_c}! appsink name=sink')
+            p.get_by_name("cl").set_lut(lut)
+            pipes.append(p)
+            p.set_state(State.PLAYING)
+        for s, p in enumerate(pipes):
+            src = p.get_by_name("src")
+            for f in range(2):
+                src.push_buffer(Buffer(frames[s, f]))
+            src.end_of_stream()
+        for p in pipes:
+            p.run()
+            sink = p.get_by_name("sink")
+            outs.append([np.array(VideoInfo("RGBA", W, H).view(b))
+                         for b in sink.pull_all()])
+            p.set_state(State.NULL)
+        return outs
+
+    b = run(True)
+    u = run(False)
+    for s in range(N_STREAMS):
+        assert len(b[s]) == 2
+        for f in range(2):
+            np.testing.assert_array_equal(b[s][f], u[s][f])
