@@ -499,16 +499,40 @@ class WebRtcSink(Element):
         return True
 
     def _fanout(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        import time as _time
         ret = FlowReturn.OK
+        data = buf.to_bytes()
         for sid, spad in self._sessions.items():
             if spad.is_linked():
                 ret = spad.push(buf.copy())
             tr = self._transports.get(sid)
             if tr is not None and tr[0].connected:
-                tr[0].send_rtp(buf.to_bytes())
+                # transport-wide CC bookkeeping keyed on the RTP seq
+                # (single bundled stream; the reference carries the
+                # counter in a header extension)
+                if len(data) >= 4:
+                    seq = int.from_bytes(data[2:4], "big")
+                    self._twcc_sender()._sent[seq] = (
+                        _time.monotonic_ns(), len(data))
+                tr[0].send_rtp(data)
         if self._transports:
             self.pump()
         return ret
+
+    def _twcc_sender(self):
+        if getattr(self, "_twcc_tx", None) is None:
+            from gstpu.net.rtp.twcc import TwccSender
+            self._twcc_tx = TwccSender()
+        return self._twcc_tx
+
+    def handle_twcc_feedback(self, data: bytes) -> int | None:
+        """Feed a TWCC RTCP transport-feedback packet from a
+        consumer; runs GCC and re-distributes encoder bitrates
+        (reference: rtpgccbwe consumes these from webrtcbin)."""
+        packets = self._twcc_sender().on_feedback(data)
+        if not packets:
+            return None
+        return self.process_feedback(packets)
 
 
 _SRTP_CAPS = Caps.new("application/x-srtp")
@@ -904,7 +928,13 @@ class WebRtcSrc(Element):
                                           error=str(e))
                 continue
             if out is not None and out[0] == "rtp":
-                self.push_rtp(out[1])
+                plain = out[1]
+                if len(plain) >= 4:
+                    import time as _time
+                    self._twcc_receiver().record(
+                        int.from_bytes(plain[2:4], "big"),
+                        _time.monotonic_ns())
+                self.push_rtp(plain)
             moved = True
         tr = self._transport
         if tr.connected and tr.sctp is not None:
@@ -919,6 +949,18 @@ class WebRtcSrc(Element):
                         label=ev[2])
             tr.sctp.events.clear()
         return moved
+
+    def _twcc_receiver(self):
+        if getattr(self, "_twcc_rx", None) is None:
+            from gstpu.net.rtp.twcc import TwccReceiver
+            self._twcc_rx = TwccReceiver()
+        return self._twcc_rx
+
+    def build_twcc_feedback(self) -> bytes | None:
+        """TWCC RTCP transport feedback covering packets received
+        since the last call (apps shuttle it to the producer's
+        handle_twcc_feedback; over the network it would ride RTCP)."""
+        return self._twcc_receiver().build_feedback()
 
     def send_data_message(self, text: str,
                           stream: int | None = None) -> bool:

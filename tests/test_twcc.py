@@ -1,0 +1,172 @@
+"""TWCC transport feedback wire format (gstpu/net/rtp/twcc.py —
+draft-holmer-rmcat-transport-wide-cc-extensions-01, the format the
+reference's rtpgccbwe consumes)."""
+
+import pytest
+
+from gstpu.net.rtp.twcc import (DELTA_UNIT_NS, TwccError,
+                                TwccReceiver, TwccSender,
+                                parse_feedback)
+
+MS = 1_000_000
+
+
+def test_feedback_roundtrip_contiguous():
+    rx = TwccReceiver(sender_ssrc=0x11, media_ssrc=0x22)
+    t0 = 10_000 * MS
+    for i in range(10):
+        rx.record(i, t0 + i * 5 * MS)
+    fb = rx.build_feedback()
+    assert fb[1] == 205 and (fb[0] & 0x1F) == 15
+    parsed = parse_feedback(fb)
+    assert [s for s, _ in parsed] == list(range(10))
+    times = [t for _, t in parsed]
+    assert all(t is not None for t in times)
+    # deltas are 250us-quantized: spacing preserved to the unit
+    for i in range(1, 10):
+        assert abs((times[i] - times[i - 1]) - 5 * MS) \
+            <= DELTA_UNIT_NS
+
+
+def test_feedback_with_losses_and_reorder():
+    rx = TwccReceiver()
+    t0 = 64_000_000 * 3
+    rx.record(100, t0)
+    rx.record(103, t0 + 2 * MS)        # 101,102 lost
+    rx.record(102, t0 + 9 * MS)        # late arrival, recorded
+    fb = rx.build_feedback()
+    parsed = dict(parse_feedback(fb))
+    assert parsed[101] is None
+    assert parsed[100] is not None
+    assert parsed[102] is not None and parsed[103] is not None
+
+
+def test_large_negative_delta_uses_s16():
+    rx = TwccReceiver()
+    t0 = 64_000_000 * 5
+    rx.record(0, t0 + 50 * MS)
+    rx.record(1, t0 + 10 * MS)         # negative delta
+    fb = rx.build_feedback()
+    parsed = dict(parse_feedback(fb))
+    assert abs(parsed[1] - (t0 + 10 * MS)) <= DELTA_UNIT_NS
+
+
+def test_sender_feedback_drives_gcc():
+    """Full loop: sender stamps, receiver records arrival, RTCP
+    feedback bytes travel back, gcc gets PacketFeedback."""
+    from gstpu.net.rtp.gcc import GccEstimator
+
+    tx = TwccSender()
+    rx = TwccReceiver()
+    gcc = GccEstimator(start_bitrate=1_000_000)
+    send0 = 1_000_000 * MS
+    for i in range(50):
+        st = send0 + i * 5 * MS
+        seq = tx.stamp(st, 1200)
+        rx.record(seq, st + 20 * MS)   # constant 20ms path delay
+    fb = rx.build_feedback()
+    packets = tx.on_feedback(fb)
+    assert len(packets) == 50
+    assert all(p.size == 1200 for p in packets)
+    est = gcc.process_feedback(packets)
+    assert est > 0
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(TwccError):
+        parse_feedback(b"\x00" * 8)
+    with pytest.raises(TwccError):
+        parse_feedback(b"\x8f\xc8" + b"\x00" * 30)  # pt=200
+
+
+def test_run_length_chunk_parses():
+    # hand-built: 20 packets all received-small, run-length chunk
+    import struct
+    payload = struct.pack(">IIHH", 1, 2, 0, 20)
+    payload += struct.pack(">I", (5 << 8) | 0)
+    payload += struct.pack(">H", (RECEIVED_SMALL := 1) << 13 | 20)
+    payload += bytes([4] * 20)         # 1ms deltas
+    pad = (-len(payload)) % 4
+    payload += bytes(pad)
+    hdr = struct.pack(">BBH", 0x80 | 15, 205, len(payload) // 4 + 1)
+    parsed = parse_feedback(hdr + payload)
+    assert len(parsed) == 20
+    assert all(t is not None for _, t in parsed)
+
+
+def test_live_webrtc_loop_carries_twcc():
+    """Extends the live webrtcsink->webrtcsrc loop: the consumer
+    builds real TWCC feedback from SRTP arrivals and the producer's
+    GCC consumes it into encoder bitrates."""
+    import time
+
+    from gstpu import Buffer, Caps, State
+    from gstpu.core.caps import parse_caps
+    from gstpu.core.element import (Bus, Pad, PadDirection,
+                                    PadPresence, PadTemplate)
+    from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                  StreamStartEvent)
+    from gstpu.core.registry import make
+
+    sink = make("webrtcsink", enable_data_transport=True)
+    src = make("webrtcsrc", enable_data_transport=True)
+    sink.bus, src.bus = Bus(), Bus()
+    sink.set_state(State.PLAYING)
+    src.set_state(State.PLAYING)
+
+    pad = sink.request_pad()
+    feeder = Pad("feed", PadDirection.SRC,
+                 PadTemplate("src", PadDirection.SRC,
+                             PadPresence.ALWAYS, Caps.any()))
+    feeder.link(pad)
+    feeder.push_event(StreamStartEvent("a"))
+    feeder.push_event(CapsEvent(parse_caps(
+        "audio/x-alaw, rate=8000, channels=1")))
+    feeder.push_event(SegmentEvent(Segment()))
+
+    sink.signalling_connect({"peerId": "prod"})
+    src.signalling_connect({"peerId": "cons"})
+    src.handle_signalling({"type": "list",
+                           "producers": [{"id": "prod"}]})
+    offer = sink.handle_signalling({"type": "startSession",
+                                    "sessionId": "s1",
+                                    "peerId": "cons"})
+    answer = src.handle_signalling({**offer[0], "sessionId": "s1"})
+    sink.handle_signalling({**answer[0], "sessionId": "s1"})
+
+    tr = sink._transports["s1"][0]
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and not (
+            tr.connected and src._transport
+            and src._transport.connected):
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+    assert tr.connected
+
+    for i in range(30):
+        feeder.push(Buffer(bytes([0x55]) * 160,
+                           pts=i * 20_000_000, duration=20_000_000))
+        sink.pump()
+        src.pump()
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline \
+            and not src._twcc_receiver()._arrivals:
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+
+    fb = src.build_twcc_feedback()
+    assert fb is not None and fb[1] == 205
+    est = sink.handle_twcc_feedback(fb)
+    assert est is not None and est > 0
+    # bitrate distribution message landed on the bus
+    msgs = []
+    while (m := sink.bus.pop()) is not None:
+        if m.fields.get("name") == "webrtcsink-encoder-bitrates":
+            msgs.append(m)
+    # no video encoders in this chain: distribution may be a no-op,
+    # but the GCC estimate itself must be sane
+    assert 1000 <= est <= 100_000_000
+    sink.set_state(State.NULL)
+    src.set_state(State.NULL)
