@@ -285,10 +285,17 @@ class WebRtcSink(Element):
                         tr.create_data_channel("control")
                 for ev in tr.sctp.events:
                     if ev[0] == "message":
+                        data = ev[3]
+                        # binary TWCC feedback rides the control
+                        # channel (PPID 53): run it through GCC
+                        if ev[2] == 53 and len(data) >= 2 \
+                                and data[1] == 205:
+                            self.handle_twcc_feedback(data)
+                            continue
                         self.post_element_message(
                             "data-channel-message", session=sid,
                             stream=ev[1],
-                            data=ev[3].decode(errors="replace"))
+                            data=data.decode(errors="replace"))
                 tr.sctp.events.clear()
         return moved
 
@@ -935,6 +942,7 @@ class WebRtcSrc(Element):
                         int.from_bytes(plain[2:4], "big"),
                         _time.monotonic_ns())
                 self.push_rtp(plain)
+                self._maybe_send_twcc()
             moved = True
         tr = self._transport
         if tr.connected and tr.sctp is not None:
@@ -955,6 +963,26 @@ class WebRtcSrc(Element):
             from gstpu.net.rtp.twcc import TwccReceiver
             self._twcc_rx = TwccReceiver()
         return self._twcc_rx
+
+    twcc_feedback_interval = 16   # packets per feedback burst
+
+    def _maybe_send_twcc(self) -> None:
+        rx = self._twcc_receiver()
+        if len(rx._arrivals) < self.twcc_feedback_interval:
+            return
+        tr = self._transport
+        if tr is None or tr.sctp is None:
+            return
+        open_ids = [sid for sid, ch in tr.sctp.channels.items()
+                    if ch.open]
+        if not open_ids:
+            return
+        fb = rx.build_feedback()
+        if fb is not None:
+            try:
+                tr.send_data(open_ids[0], fb, binary=True)
+            except Exception:
+                pass
 
     def build_twcc_feedback(self) -> bytes | None:
         """TWCC RTCP transport feedback covering packets received

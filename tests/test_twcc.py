@@ -170,3 +170,70 @@ def test_live_webrtc_loop_carries_twcc():
     assert 1000 <= est <= 100_000_000
     sink.set_state(State.NULL)
     src.set_state(State.NULL)
+
+
+def test_twcc_flows_in_band_over_data_channel():
+    """Fully autonomous CC: the consumer automatically sends TWCC
+    feedback over the SCTP control channel and the producer's pump
+    routes it into GCC — no application shuttling."""
+    import time
+
+    from gstpu import Buffer, Caps, State
+    from gstpu.core.caps import parse_caps
+    from gstpu.core.element import (Bus, Pad, PadDirection,
+                                    PadPresence, PadTemplate)
+    from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                  StreamStartEvent)
+    from gstpu.core.registry import make
+
+    sink = make("webrtcsink", enable_data_transport=True)
+    src = make("webrtcsrc", enable_data_transport=True)
+    sink.bus, src.bus = Bus(), Bus()
+    sink.set_state(State.PLAYING)
+    src.set_state(State.PLAYING)
+    pad = sink.request_pad()
+    feeder = Pad("feed", PadDirection.SRC,
+                 PadTemplate("src", PadDirection.SRC,
+                             PadPresence.ALWAYS, Caps.any()))
+    feeder.link(pad)
+    feeder.push_event(StreamStartEvent("a"))
+    feeder.push_event(CapsEvent(parse_caps(
+        "audio/x-alaw, rate=8000, channels=1")))
+    feeder.push_event(SegmentEvent(Segment()))
+    sink.signalling_connect({"peerId": "prod"})
+    src.signalling_connect({"peerId": "cons"})
+    src.handle_signalling({"type": "list",
+                           "producers": [{"id": "prod"}]})
+    offer = sink.handle_signalling({"type": "startSession",
+                                    "sessionId": "s1",
+                                    "peerId": "cons"})
+    answer = src.handle_signalling({**offer[0], "sessionId": "s1"})
+    sink.handle_signalling({**answer[0], "sessionId": "s1"})
+
+    tr = sink._transports["s1"][0]
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and not (
+            tr.connected and src._transport
+            and src._transport.connected
+            and any(ch.open
+                    for ch in (src._transport.sctp.channels.values()
+                               if src._transport.sctp else []))):
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+
+    # push enough media that the consumer fires a feedback burst
+    for i in range(40):
+        feeder.push(Buffer(bytes([0x55]) * 160,
+                           pts=i * 20_000_000, duration=20_000_000))
+        sink.pump()
+        src.pump()
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline \
+            and sink._twcc_sender()._sent and sink._gcc is None:
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+    assert sink._gcc is not None, "GCC never saw in-band feedback"
+    sink.set_state(State.NULL)
+    src.set_state(State.NULL)
