@@ -187,6 +187,94 @@ class HsvDetector(VideoFilter):
     value_ref = Property(float, default=0.0, mutable=Mutability.PLAYING)
     value_var = Property(float, default=0.3, minimum=0.0, maximum=1.0,
                          mutable=Mutability.PLAYING)
+    context = Property(str, default=None, mutable=Mutability.READY,
+                       blurb="DeviceContext name for batched frame "
+                             "dispatch across streams")
+    fps = Property(int, default=30, minimum=1,
+                   mutable=Mutability.READY)
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._ctx = None
+
+    def start(self) -> bool:
+        if self.context:
+            from gstpu.runtime.device_batch import DeviceContext
+            self._ctx = DeviceContext.acquire(self.context, block=0)
+            self._ctx.add_member(self)
+        return True
+
+    def stop(self) -> bool:
+        if self._ctx is not None:
+            self._ctx.remove_member(self)
+            self._ctx = None
+        return super().stop()
+
+    def set_info(self, in_info, out_info) -> bool:
+        if self._ctx is not None:
+            if len(in_info.format) != 4:
+                # 3ch->4ch would change the row size mid-batch
+                self.post_error("hsvdetector: context batching needs "
+                                "a 4-channel input format")
+                return False
+            nflat = in_info.height * in_info.width \
+                * len(in_info.format)
+            if self._ctx.block in (0, nflat):
+                self._ctx.block = nflat
+            elif self._ctx.block != nflat:
+                self.post_error("hsvdetector: context members must "
+                                "share frame geometry")
+                return False
+            self._ctx.finalize_member(self)
+        return True
+
+    def device_batch_spec(self) -> dict:
+        import jax
+        in_info, out_info = self.video_info, self.out_video_info
+        H, W = in_info.height, in_info.width
+        C = len(in_info.format)
+        (r, g, b), _ = _LAYOUTS[in_info.format]
+        (ro, go, bo), ao = _LAYOUTS[out_info.format]
+
+        def step(states, x, h_ref, h_var, s_ref, s_var, v_ref,
+                 v_var):
+            B = x.shape[0]
+            f = x.reshape(B, H, W, C)
+            rgb = jnp.stack([f[..., r], f[..., g], f[..., b]],
+                            axis=-1)
+            alpha = jax.vmap(hsv_ops.hsv_detect)(
+                rgb, h_ref[:, 0].astype(jnp.float32),
+                h_var[:, 0].astype(jnp.float32),
+                s_ref[:, 0].astype(jnp.float32),
+                s_var[:, 0].astype(jnp.float32),
+                v_ref[:, 0].astype(jnp.float32),
+                v_var[:, 0].astype(jnp.float32))
+            out = jnp.zeros((B, H, W, 4), jnp.uint8)
+            out = out.at[..., ro].set(rgb[..., 0]) \
+                .at[..., go].set(rgb[..., 1]) \
+                .at[..., bo].set(rgb[..., 2]) \
+                .at[..., ao].set(alpha)
+            return states, out.reshape(B, -1)
+
+        return dict(key=("hsvdetector", H, W, in_info.format,
+                         out_info.format),
+                    step=step,
+                    init_state=lambda: (),
+                    uniforms=lambda: (self.hue_ref, self.hue_var,
+                                      self.saturation_ref,
+                                      self.saturation_var,
+                                      self.value_ref,
+                                      self.value_var),
+                    compute_dtype=np.uint8)
+
+    def make_batch_buffer(self, flat, pts, dur):
+        return self.out_video_info.make_buffer(flat, pts=pts,
+                                               duration=dur)
+
+    def drain(self) -> list:
+        if self._ctx is not None:
+            return self._ctx.flush_member(self)
+        return []
 
     def transform_caps(self, direction, caps, filter):
         def repl(s: Structure) -> Structure | None:
@@ -205,6 +293,10 @@ class HsvDetector(VideoFilter):
     def transform(self, buf: Buffer) -> Buffer:
         in_info, out_info = self.video_info, self.out_video_info
         frame = in_info.view(buf)
+        if self._ctx is not None:
+            self._ctx.submit(self, np.asarray(frame).reshape(-1),
+                             buf.pts, frame.size * self.fps)
+            return []
         (r, g, b), _ = _LAYOUTS[in_info.format]
         rgb = np.stack([frame[..., r], frame[..., g], frame[..., b]],
                        axis=-1)

@@ -292,3 +292,42 @@ def test_video_chain_batches_both_stages():
         assert len(b[s]) == 2
         for f in range(2):
             np.testing.assert_array_equal(b[s][f], u[s][f])
+
+
+def test_hsvdetector_batches_streams():
+    import numpy as np
+
+    from gstpu.core.video import VideoInfo
+
+    W, H, N = 32, 16, 4
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (N, 2, H, W, 4), dtype=np.uint8)
+
+    def run(batched):
+        outs, pipes = [], []
+        for s in range(N):
+            extra = "context=vdet " if batched else ""
+            p = parse_launch(
+                f'appsrc name=src caps="video/x-raw, format=RGBA, '
+                f'width={W}, height={H}, framerate=30/1" ! '
+                f'hsvdetector hue_ref=120 hue_var=60 {extra}! '
+                f'appsink name=sink')
+            pipes.append(p)
+            p.set_state(State.PLAYING)
+        for s, p in enumerate(pipes):
+            src = p.get_by_name("src")
+            for f in range(2):
+                src.push_buffer(Buffer(frames[s, f]))
+            src.end_of_stream()
+        for p in pipes:
+            p.run()
+            outs.append([np.array(VideoInfo("RGBA", W, H).view(b))
+                         for b in p.get_by_name("sink").pull_all()])
+            p.set_state(State.NULL)
+        return outs
+
+    b, u = run(True), run(False)
+    for s in range(N):
+        assert len(b[s]) == 2
+        for f in range(2):
+            np.testing.assert_array_equal(b[s][f], u[s][f])
