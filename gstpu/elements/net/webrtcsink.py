@@ -270,13 +270,18 @@ class WebRtcSink(Element):
                 except (BlockingIOError, OSError):
                     break
                 try:
-                    tr.handle_packet(data, src)
+                    out = tr.handle_packet(data, src)
                 except Exception as e:
                     # a malformed/forged datagram must not kill the
                     # transport task: log and drop
                     self.post_element_message(
                         "webrtc-transport-drop", session=sid,
                         error=str(e))
+                    out = None
+                if out is not None and out[0] == "rtcp" \
+                        and len(out[1]) >= 2 and out[1][1] == 205:
+                    # TWCC transport feedback over SRTCP -> GCC
+                    self.handle_twcc_feedback(out[1])
                 moved = True
             if tr.connected and tr.sctp is not None:
                 if tr._gstpu_control_channel is None \
@@ -971,18 +976,22 @@ class WebRtcSrc(Element):
         if len(rx._arrivals) < self.twcc_feedback_interval:
             return
         tr = self._transport
-        if tr is None or tr.sctp is None:
-            return
-        open_ids = [sid for sid, ch in tr.sctp.channels.items()
-                    if ch.open]
-        if not open_ids:
+        if tr is None:
             return
         fb = rx.build_feedback()
-        if fb is not None:
-            try:
-                tr.send_data(open_ids[0], fb, binary=True)
-            except Exception:
-                pass
+        if fb is None:
+            return
+        if tr.send_rtcp(fb):             # SRTCP (RFC 5761 muxed)
+            return
+        # fallback: the control data channel
+        if tr.sctp is not None:
+            open_ids = [sid for sid, ch in tr.sctp.channels.items()
+                        if ch.open]
+            if open_ids:
+                try:
+                    tr.send_data(open_ids[0], fb, binary=True)
+                except Exception:
+                    pass
 
     def build_twcc_feedback(self) -> bytes | None:
         """TWCC RTCP transport feedback covering packets received

@@ -132,3 +132,60 @@ class SrtpContext:
         ks = self._keystream(ssrc, index, len(pkt) - hdr_len)
         body = bytes(a ^ b for a, b in zip(pkt[hdr_len:], ks))
         return pkt[:hdr_len] + body
+
+
+class SrtcpContext:
+    """Per-direction SRTCP (RFC 3711 §3.4): the full RTCP packet
+    after the first 8 bytes is encrypted; a 4-byte E||index word and
+    the auth tag are appended. Keys derive with the RTCP labels
+    (3/4/5)."""
+
+    def __init__(self, master_key: bytes, master_salt: bytes):
+        if len(master_key) != 16 or len(master_salt) != 14:
+            raise ValueError("AES_CM_128 needs 16B key + 14B salt")
+        self.ck, self.ak, self.salt = derive_session_keys(
+            master_key, master_salt, rtcp=True)
+        self._send_index = 0
+        self._recv_seen: set[int] = set()
+
+    def _keystream(self, ssrc: int, index: int, n: int) -> bytes:
+        iv = ((int.from_bytes(self.salt, "big") << 16)
+              ^ (ssrc << 64) ^ (index << 16)).to_bytes(16, "big")
+        return _aes_ctr(self.ck, iv, n)
+
+    def protect(self, rtcp: bytes) -> bytes:
+        if len(rtcp) < 8:
+            raise ValueError("rtcp packet too short")
+        ssrc = int.from_bytes(rtcp[4:8], "big")
+        index = self._send_index
+        self._send_index = (self._send_index + 1) & 0x7FFFFFFF
+        ks = self._keystream(ssrc, index, len(rtcp) - 8)
+        body = bytes(a ^ b for a, b in zip(rtcp[8:], ks))
+        e_index = (0x80000000 | index).to_bytes(4, "big")
+        pkt = rtcp[:8] + body + e_index
+        tag = hmac.new(self.ak, pkt, hashlib.sha1) \
+            .digest()[:AUTH_TAG_LEN]
+        return pkt + tag
+
+    def unprotect(self, srtcp: bytes) -> bytes:
+        if len(srtcp) < 8 + 4 + AUTH_TAG_LEN:
+            raise ValueError("srtcp packet too short")
+        pkt, tag = srtcp[:-AUTH_TAG_LEN], srtcp[-AUTH_TAG_LEN:]
+        want = hmac.new(self.ak, pkt, hashlib.sha1) \
+            .digest()[:AUTH_TAG_LEN]
+        if not hmac.compare_digest(tag, want):
+            raise ValueError("srtcp auth failure")
+        e_index = int.from_bytes(pkt[-4:], "big")
+        encrypted = bool(e_index & 0x80000000)
+        index = e_index & 0x7FFFFFFF
+        if index in self._recv_seen:
+            raise ValueError("srtcp replay")
+        self._recv_seen.add(index)
+        if len(self._recv_seen) > 8192:
+            self._recv_seen.clear()
+        body = pkt[8:-4]
+        if encrypted:
+            ssrc = int.from_bytes(pkt[4:8], "big")
+            ks = self._keystream(ssrc, index, len(body))
+            body = bytes(a ^ b for a, b in zip(body, ks))
+        return pkt[:8] + body

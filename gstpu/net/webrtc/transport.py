@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from gstpu.net.srtp import SrtpContext
+from gstpu.net.srtp import SrtcpContext, SrtpContext
 from gstpu.net.webrtc.dtls import DtlsEndpoint, fingerprint
 from gstpu.net.webrtc.ice import Addr, Candidate, IceAgent
 
@@ -50,6 +50,8 @@ class WebRtcTransport:
         self.controlling = controlling
         self._srtp_tx: SrtpContext | None = None
         self._srtp_rx: SrtpContext | None = None
+        self._srtcp_tx: SrtcpContext | None = None
+        self._srtcp_rx: SrtcpContext | None = None
         self._dtls_started = False
         self._remote: RemoteDescription | None = None
         self.sctp = None                  # SctpAssociation when enabled
@@ -106,8 +108,10 @@ class WebRtcTransport:
         is_client = self.dtls.is_client
         k, s = keys.send_key_salt(is_client)
         self._srtp_tx = SrtpContext(k, s)
+        self._srtcp_tx = SrtcpContext(k, s)
         k, s = keys.recv_key_salt(is_client)
         self._srtp_rx = SrtpContext(k, s)
+        self._srtcp_rx = SrtcpContext(k, s)
         if self.sctp is not None and self.dtls.is_client:
             self.sctp.connect()
             self._pump_sctp()
@@ -159,11 +163,24 @@ class WebRtcTransport:
         if 128 <= b0 <= 191 and self._srtp_rx is not None:
             # RFC 5761 demux: RTCP packet types 192..223 in byte 1
             if 192 <= data[1] <= 223:
-                return ("rtcp", data)   # SRTCP not yet keyed here
+                try:
+                    return ("rtcp", self._srtcp_rx.unprotect(data))
+                except ValueError:
+                    return None         # forged/replayed SRTCP
             plain = self._srtp_rx.unprotect(data)
             if plain is not None:
                 return ("rtp", plain)
         return None
+
+    def send_rtcp(self, packet: bytes) -> bool:
+        """Protect + queue an RTCP packet (RFC 5761 muxed on the
+        same transport; SRTCP per RFC 3711 §3.4)."""
+        if self._srtcp_tx is None or self.peer_addr is None:
+            return False
+        self._outbox_media = getattr(self, "_outbox_media", [])
+        self._outbox_media.append(
+            (self._srtcp_tx.protect(packet), self.peer_addr))
+        return True
 
     def send_rtp(self, packet: bytes) -> bool:
         if self._srtp_tx is None or self.peer_addr is None:

@@ -237,3 +237,28 @@ def test_twcc_flows_in_band_over_data_channel():
     assert sink._gcc is not None, "GCC never saw in-band feedback"
     sink.set_state(State.NULL)
     src.set_state(State.NULL)
+
+
+def test_srtcp_roundtrip_and_replay():
+    """SRTCP protect/unprotect (RFC 3711 3.4): roundtrip, tamper
+    rejection, replay rejection."""
+    import os
+
+    import pytest as _pytest
+
+    from gstpu.net.srtp import SrtcpContext
+
+    key, salt = os.urandom(16), os.urandom(14)
+    tx = SrtcpContext(key, salt)
+    rx = SrtcpContext(key, salt)
+    rtcp = bytes([0x8F, 205, 0, 5]) + b"\x00\x00\x00\x01" \
+        + b"feedback-payload"
+    prot = tx.protect(rtcp)
+    assert prot != rtcp and len(prot) == len(rtcp) + 4 + 10
+    assert rx.unprotect(prot) == rtcp
+    with _pytest.raises(ValueError, match="replay"):
+        rx.unprotect(prot)
+    bad = bytearray(tx.protect(rtcp))
+    bad[10] ^= 0xFF
+    with _pytest.raises(ValueError, match="auth"):
+        rx.unprotect(bytes(bad))
