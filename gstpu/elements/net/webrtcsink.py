@@ -537,6 +537,38 @@ class WebRtcSink(Element):
             self._twcc_tx = TwccSender()
         return self._twcc_tx
 
+    def gather_stats(self) -> dict:
+        """Per-session + per-encoder statistics (reference
+        webrtcsink `stats` property, imp.rs:1600-1615: a structure
+        with consumer-stats carrying the video encoder states)."""
+        encoders = [
+            {"stream": e.stream_name, "bitrate": e.bitrate,
+             "mitigation": e.mitigation_mode,
+             "is_video": e.is_video}
+            for e in self._encoders.values()]
+        sessions = {}
+        for sid, pad in self._sessions.items():
+            ent = self._transports.get(sid)
+            tr = ent[0] if ent else None
+            sessions[sid] = {
+                "linked": pad.is_linked(),
+                "transport-connected": bool(tr and tr.connected),
+                "data-channel-open": bool(
+                    tr and tr.sctp is not None
+                    and any(ch.open
+                            for ch in tr.sctp.channels.values())),
+            }
+        return {
+            "consumer-stats": {"video-encoders": encoders},
+            "sessions": sessions,
+            "gcc-estimate": (self._gcc.bitrate
+                             if self._gcc is not None else None),
+        }
+
+    @property
+    def stats(self) -> dict:
+        return self.gather_stats()
+
     def handle_twcc_feedback(self, data: bytes) -> int | None:
         """Feed a TWCC RTCP transport-feedback packet from a
         consumer; runs GCC and re-distributes encoder bitrates

@@ -262,3 +262,18 @@ def test_srtcp_roundtrip_and_replay():
     bad[10] ^= 0xFF
     with _pytest.raises(ValueError, match="auth"):
         rx.unprotect(bytes(bad))
+
+
+def test_webrtcsink_stats_surface():
+    from gstpu import State
+    from gstpu.core.registry import make
+    sink = make("webrtcsink", enable_data_transport=True)
+    sink.set_state(State.PLAYING)
+    sink.handle_signalling({"type": "startSession",
+                            "sessionId": "s9", "peerId": "p"})
+    st = sink.stats
+    assert "s9" in st["sessions"]
+    assert st["sessions"]["s9"]["transport-connected"] is False
+    assert st["consumer-stats"]["video-encoders"] == []
+    assert st["gcc-estimate"] is None
+    sink.set_state(State.NULL)
