@@ -878,6 +878,13 @@ class WebRtcSrc(Element):
         blurb="Answer offers carrying ICE/DTLS attributes with a "
               "real local transport and surface the decrypted RTP "
               "on the src pad")
+    latency = Property(int, default=0, minimum=0,
+                       mutable=Mutability.READY,
+                       blurb="Receive jitterbuffer latency (ns); 0 = "
+                             "immediate delivery. Uses rtpbin2's "
+                             "sans-IO jitterbuffer: reordering is "
+                             "fixed up and losses surface as "
+                             "webrtcsrc-lost-packet messages")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -973,14 +980,20 @@ class WebRtcSrc(Element):
                 continue
             if out is not None and out[0] == "rtp":
                 plain = out[1]
+                import time as _time
+                now = _time.monotonic_ns()
                 if len(plain) >= 4:
-                    import time as _time
                     self._twcc_receiver().record(
-                        int.from_bytes(plain[2:4], "big"),
-                        _time.monotonic_ns())
-                self.push_rtp(plain)
+                        int.from_bytes(plain[2:4], "big"), now)
+                if self.latency > 0 and len(plain) >= 4:
+                    self._jb_queue(plain, now)
+                else:
+                    self.push_rtp(plain)
                 self._maybe_send_twcc()
             moved = True
+        if self.latency > 0:
+            import time as _time
+            self._jb_drain(_time.monotonic_ns())
         tr = self._transport
         if tr.connected and tr.sctp is not None:
             for ev in tr.sctp.events:
@@ -994,6 +1007,39 @@ class WebRtcSrc(Element):
                         label=ev[2])
             tr.sctp.events.clear()
         return moved
+
+    # -- receive-side jitterbuffer (rtpbin2's sans-IO machine) -----------
+    def _jb(self):
+        if getattr(self, "_jbuf", None) is None:
+            from gstpu.net.rtp.jitterbuffer import JitterBuffer
+            self._jbuf = JitterBuffer(latency=self.latency)
+            self._jb_payloads = {}
+        return self._jbuf
+
+    def _jb_queue(self, plain: bytes, now: int) -> None:
+        from gstpu.net.rtp.jitterbuffer import QueueResult
+        jb = self._jb()
+        seq = int.from_bytes(plain[2:4], "big")
+        res, pid = jb.queue_packet(seq, now)
+        if pid is not None:
+            self._jb_payloads[pid] = plain
+        elif res is QueueResult.LATE:
+            self.post_element_message("webrtcsrc-late-packet",
+                                      seqnum=seq)
+
+    def _jb_drain(self, now: int) -> None:
+        from gstpu.net.rtp.jitterbuffer import PollOutcome
+        jb = self._jb()
+        while True:
+            r = jb.poll(now)
+            if r.outcome is not PollOutcome.FORWARD:
+                break
+            for lost in r.lost_seqnums:
+                self.post_element_message("webrtcsrc-lost-packet",
+                                          seqnum=lost)
+            data = self._jb_payloads.pop(r.id, None)
+            if data is not None:
+                self.push_rtp(data)
 
     def _twcc_receiver(self):
         if getattr(self, "_twcc_rx", None) is None:

@@ -277,3 +277,55 @@ def test_webrtcsink_stats_surface():
     assert st["consumer-stats"]["video-encoders"] == []
     assert st["gcc-estimate"] is None
     sink.set_state(State.NULL)
+
+
+def test_webrtcsrc_jitterbuffer_reorders():
+    """With latency > 0 the consumer's receive path runs rtpbin2's
+    jitterbuffer: out-of-order SRTP arrivals are re-sequenced and a
+    loss surfaces as an element message."""
+    import time
+
+    from gstpu import Buffer, Caps, State
+    from gstpu.core.caps import parse_caps
+    from gstpu.core.element import (Bus, Pad, PadDirection,
+                                    PadPresence, PadTemplate)
+    from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                  StreamStartEvent)
+    from gstpu.core.registry import make
+
+    src = make("webrtcsrc", enable_data_transport=True)
+    src.latency = 30 * 1_000_000
+    src.bus = Bus()
+    src.set_state(State.PLAYING)
+
+    out = []
+    cap = Pad("cap", PadDirection.SINK,
+              PadTemplate("sink", PadDirection.SINK,
+                          PadPresence.ALWAYS, Caps.any()))
+    import gstpu as _g
+    cap.chain_function = lambda p, b: (out.append(b)
+                                       or _g.FlowReturn.OK)
+    cap.event_function = lambda p, e: True
+    src.srcpad.link(cap)
+
+    # inject decrypted-path packets through the jb machinery directly
+    now = time.monotonic_ns()
+
+    def rtp(seq):
+        return (b"\x80\x08" + seq.to_bytes(2, "big")
+                + b"\x00\x00\x00\x01" + b"\x00\x00\x00\x22"
+                + bytes([seq & 0xFF]) * 8)
+
+    for seq in (1, 2, 4, 3, 6):          # 3 late, 5 lost
+        src._jb_queue(rtp(seq), now)
+        now += 1_000_000
+    src._jb_drain(now + src.latency + 1_000_000)
+
+    seqs = [int.from_bytes(b.to_bytes()[2:4], "big") for b in out]
+    assert seqs == [1, 2, 3, 4, 6]
+    lost = []
+    while (m := src.bus.pop()) is not None:
+        if m.fields.get("name") == "webrtcsrc-lost-packet":
+            lost.append(m.seqnum)
+    assert lost == [5]
+    src.set_state(State.NULL)
