@@ -450,3 +450,47 @@ def test_quinn_mux_over_wire_to_demux():
     assert got.get("datagram") == [b"d0"]
     src.set_state(State.NULL)
     sink.set_state(State.NULL)
+
+
+def test_roq_rides_real_quic_datagrams():
+    """quinnroqmux framing over the real QUIC DATAGRAM transport:
+    flow-id-prefixed RTP packets cross the wire and demux back."""
+    from gstpu.net.roq import demux_datagram, mux_datagram
+
+    src = make("quinnquicsrc")
+    src.port = 0
+    src.set_state(State.READY)
+    port = src.bound_port
+    sink = make("quinnquicsink")
+    sink.address, sink.port = "127.0.0.1", port
+    sink.use_datagram = True
+    sink.certificate_fingerprint = src.local_fingerprint
+
+    h = Harness(sink)
+    h.set_caps("application/x-roq")
+    recv = parse_launch("appsink name=out")
+    out = recv.get_by_name("out")
+    src.pads["src"].link(out.pads["sink"])
+    src.set_state(State.PLAYING)
+    out.set_state(State.PLAYING)
+    deadline = time.monotonic() + 5
+    while not sink._ep.conn.connected \
+            and time.monotonic() < deadline:
+        sink._ep.pump()
+        for t in src.iterate_tasks():
+            t.iterate()
+        time.sleep(0.002)
+
+    rtp = b"\x80\x60\x00\x01" + b"\x00" * 8 + b"payload"
+    for flow in (0, 7, 300):
+        h.push(Buffer(mux_datagram(flow, rtp)))
+    deadline = time.monotonic() + 5
+    while len(out.samples) < 3 and time.monotonic() < deadline:
+        for t in src.iterate_tasks():
+            t.iterate()
+        time.sleep(0.002)
+    got = [demux_datagram(b.to_bytes()) for b in out.samples]
+    assert sorted(f for f, _ in got) == [0, 7, 300]
+    assert all(p == rtp for _, p in got)
+    h.teardown()
+    src.set_state(State.NULL)
