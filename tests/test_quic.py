@@ -494,3 +494,32 @@ def test_roq_rides_real_quic_datagrams():
     assert all(p == rtp for _, p in got)
     h.teardown()
     src.set_state(State.NULL)
+
+
+def test_quic_sustained_load_soak():
+    """2,000 buffers through the stream path without loss, stall, or
+    memory growth in the unacked buffer (acks prune it)."""
+    srv = QuicConnection(client=False)
+    cli = QuicConnection(client=True)
+    cli.connect()
+    _pump(cli, srv)
+    sid = cli.open_stream()
+    total = 0
+    received = bytearray()
+    for i in range(2000):
+        payload = bytes([i & 0xFF]) * 50
+        cli.send_stream(sid, payload)
+        total += len(payload)
+        if i % 20 == 19:
+            _pump(cli, srv)
+            for e in srv.events():
+                if e[0] == "stream":
+                    received += e[2]
+    _pump(cli, srv)
+    for e in srv.events():
+        if e[0] == "stream":
+            received += e[2]
+    assert len(received) == total
+    # acks pruned the retransmission buffer
+    app = cli._spaces[max(cli._spaces)]
+    assert len(app.unacked) < 64
