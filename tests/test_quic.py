@@ -523,3 +523,44 @@ def test_quic_sustained_load_soak():
     # acks pruned the retransmission buffer
     app = cli._spaces[max(cli._spaces)]
     assert len(app.unacked) < 64
+
+
+def test_quinnquic_reverse_roles():
+    """sink as server, src as client (the reference supports both
+    role assignments on each element)."""
+    sink = make("quinnquicsink")
+    sink.role = "server"
+    sink.address, sink.port = "127.0.0.1", 0
+    h = Harness(sink)
+    h.set_caps("application/x-test")
+    port = sink._ep.sock.getsockname()[1]
+
+    src = make("quinnquicsrc")
+    src.role = "client"
+    src.address, src.port = "127.0.0.1", port
+    recv = parse_launch("appsink name=out")
+    out = recv.get_by_name("out")
+    src.set_state(State.READY)
+    src.pads["src"].link(out.pads["sink"])
+    src.set_state(State.PLAYING)
+    out.set_state(State.PLAYING)
+
+    deadline = time.monotonic() + 5
+    while not sink._ep.conn.connected \
+            and time.monotonic() < deadline:
+        sink._ep.pump()
+        for t in src.iterate_tasks():
+            t.iterate()
+        time.sleep(0.002)
+    assert sink._ep.conn.connected
+
+    h.push(Buffer(b"server-to-client"))
+    deadline = time.monotonic() + 5
+    while not out.samples and time.monotonic() < deadline:
+        sink._ep.pump()
+        for t in src.iterate_tasks():
+            t.iterate()
+        time.sleep(0.002)
+    assert [b.to_bytes() for b in out.samples] == [b"server-to-client"]
+    h.teardown()
+    src.set_state(State.NULL)
