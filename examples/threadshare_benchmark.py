@@ -1,8 +1,10 @@
-"""Port of the reference threadshare benchmark
-(generic/threadshare/examples/benchmark.rs): N parallel UDP stream
-pipelines, throughput counted over a steady-state window, comparing
-the shared-context scheduler (ts-udpsrc, one epoll thread for all
-streams) against per-stream dispatch.
+"""Port of the reference threadshare benchmarks
+(generic/threadshare/examples/benchmark.rs + the standalone sink's
+stats accounting, examples/standalone/sink/stats.rs:11-39): N
+parallel UDP stream pipelines, throughput counted over a steady-state
+window, per-buffer latency mean/sigma/min/max, comparing the
+shared-context scheduler (ts-udpsrc, one epoll thread for all
+streams) against thread-per-stream dispatch.
 
     python examples/threadshare_benchmark.py [n_streams] [seconds]
 """
@@ -63,15 +65,32 @@ def run(context: str | None) -> tuple[int, int]:
                 ports.append(el.bound_port)
                 break
     sinks = [p.get_by_name("sink") for p in pipes]
+    # latency accounting (stats.rs): sender stamps monotonic ns in
+    # the payload; a pad probe measures arrival latency
+    latencies: list[int] = []
+    lat_lock = threading.Lock()
+
+    def probe(pad, item):
+        from gstpu.core.buffer import Buffer as _B
+        if isinstance(item, _B):
+            t = int.from_bytes(item.to_bytes()[:8], "big")
+            with lat_lock:
+                latencies.append(time.monotonic_ns() - t)
+        return "ok"
+
+    for p in pipes:
+        p.get_by_name("sink").static_pad("sink").add_probe(probe)
 
     stop = False
 
     def blast():
         tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         k = 0
+        pad = b"x" * 180
         while not stop:
             for port in ports:
-                tx.sendto(b"x" * 188, ("127.0.0.1", port))
+                stamp = time.monotonic_ns().to_bytes(8, "big")
+                tx.sendto(stamp + pad, ("127.0.0.1", port))
             k += 1
             if k % 50 == 0:
                 time.sleep(0.001)     # let the receivers breathe
@@ -84,6 +103,15 @@ def run(context: str | None) -> tuple[int, int]:
     stop = True
     tx_thread.join()
     got = sum(s.rendered - c for s, c in zip(sinks, start_counts))
+    with lat_lock:
+        lat = list(latencies)
+    if lat:
+        import statistics
+        ms = 1_000_000
+        print(f"    latency: mean {statistics.mean(lat)/ms:7.2f} ms  "
+              f"sigma {statistics.pstdev(lat)/ms:6.2f}  "
+              f"min {min(lat)/ms:6.2f}  max {max(lat)/ms:7.2f}  "
+              f"({len(lat)} samples)")
     stop_driving = True
     for th in drivers:
         th.join(timeout=1)
