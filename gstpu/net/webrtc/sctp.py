@@ -100,6 +100,8 @@ class SctpAssociation:
         self._next_ssn: dict[int, int] = {}
         self._reasm: dict[int, list[bytes]] = {}   # sid -> fragments
         self._cookie_secret = os.urandom(8)
+        # tsn -> DATA chunk bytes, held until the peer's SACK covers
+        self._unacked: dict[int, bytes] = {}
 
     # -- wire helpers -----------------------------------------------------
     def _packet(self, chunks: bytes, vtag: int | None = None) -> bytes:
@@ -163,7 +165,20 @@ class SctpAssociation:
             tsn = self._next_tsn
             self._next_tsn = (self._next_tsn + 1) & 0xFFFFFFFF
             value = struct.pack(">IHHI", tsn, sid, ssn, ppid) + piece
-            self._send(self._chunk(CT_DATA, flags, value))
+            chunk = self._chunk(CT_DATA, flags, value)
+            self._unacked[tsn] = chunk
+            if len(self._unacked) > 4096:
+                self._unacked.pop(min(self._unacked))
+            self._send(chunk)
+
+    def on_timeout(self) -> None:
+        """Probe timeout: resend every DATA chunk not yet covered by
+        a SACK (mirrors the QUIC endpoint's PTO; the receiver's TSN
+        dedup makes spurious retransmissions harmless)."""
+        if not self._unacked or not self.established:
+            return
+        for tsn in sorted(self._unacked):
+            self._send(self._unacked[tsn])
 
     # -- receive ----------------------------------------------------------
     def handle_packet(self, data: bytes) -> None:
@@ -223,7 +238,9 @@ class SctpAssociation:
         elif ctype == CT_DATA:
             self._handle_data(flags, value)
         elif ctype == CT_SACK:
-            pass                        # no retransmission queue yet
+            cum_tsn, = struct.unpack_from(">I", value, 0)
+            for tsn in [t for t in self._unacked if t <= cum_tsn]:
+                del self._unacked[tsn]
         elif ctype == CT_HEARTBEAT:
             self._send(self._chunk(CT_HEARTBEAT_ACK, 0, value))
         elif ctype == CT_ABORT:
@@ -238,6 +255,19 @@ class SctpAssociation:
     def _handle_data(self, flags: int, value: bytes) -> None:
         tsn, sid, ssn, ppid = struct.unpack_from(">IHHI", value, 0)
         payload = value[12:]
+        seen = getattr(self, "_seen_tsns", None)
+        if seen is None:
+            seen = self._seen_tsns = set()
+        if tsn in seen:
+            # duplicate (spurious retransmission): re-SACK, don't
+            # re-deliver
+            sack = struct.pack(">IIHH", self._cum_tsn or tsn,
+                               1 << 16, 0, 0)
+            self._send(self._chunk(CT_SACK, 0, sack))
+            return
+        seen.add(tsn)
+        if len(seen) > 16384:
+            seen.clear()
         # in-order bookkeeping with immediate SACK
         if self._cum_tsn is not None:
             expected = (self._cum_tsn + 1) & 0xFFFFFFFF

@@ -144,3 +144,28 @@ def test_spoofed_vtag_discarded():
     struct.pack_into("<I", pkt, 8, crc32c(bytes(pkt)))
     with pytest.raises(SctpError, match="verification tag"):
         srv.handle_packet(bytes(pkt))
+
+
+def test_retransmit_on_timeout_after_loss():
+    srv = SctpAssociation(client=False)
+    cli = SctpAssociation(client=True)
+    cli.connect()
+    _pump(cli, srv)
+    sid = cli.create_channel("r")
+    _pump(cli, srv)
+    cli.send(sid, b"will be dropped")
+    lost = cli.poll_transmit()
+    assert lost is not None              # dropped on the floor
+    assert not [e for e in srv.events if e[0] == "message"]
+    cli.on_timeout()
+    _pump(cli, srv)
+    msgs = [e for e in srv.events if e[0] == "message"]
+    assert msgs and msgs[-1][3] == b"will be dropped"
+    # spurious retransmission doesn't double-deliver
+    n = len([e for e in srv.events if e[0] == "message"])
+    cli.on_timeout()
+    _pump(cli, srv)
+    assert len([e for e in srv.events
+                if e[0] == "message"]) == n
+    # SACKs pruned the buffer
+    assert not cli._unacked
