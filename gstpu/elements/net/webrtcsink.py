@@ -284,6 +284,13 @@ class WebRtcSink(Element):
                     self.handle_twcc_feedback(out[1])
                 moved = True
             if tr.connected and tr.sctp is not None:
+                import time as _time
+                now = _time.monotonic()
+                last = getattr(tr, "_gstpu_sctp_pto", 0.0)
+                if now - last > 0.2:
+                    tr._gstpu_sctp_pto = now
+                    tr.sctp.on_timeout()     # resend unacked DATA
+                    tr._pump_sctp()
                 if tr._gstpu_control_channel is None \
                         and tr.sctp.established:
                     tr._gstpu_control_channel = \
