@@ -105,3 +105,22 @@ def test_ws_frame_decoder_survives_garbage():
                 break
     finally:
         b.close()
+
+
+def test_twcc_rejects_garbage():
+    from gstpu.net.rtp.twcc import TwccError, parse_feedback
+    for seed in range(200):
+        try:
+            parse_feedback(_garbage(seed, 64))
+        except TwccError:
+            pass
+
+
+def test_srtcp_rejects_garbage():
+    from gstpu.net.srtp import SrtcpContext
+    ctx = SrtcpContext(bytes(16), bytes(14))
+    for seed in range(200):
+        try:
+            ctx.unprotect(_garbage(seed, 64))
+        except ValueError:
+            pass
