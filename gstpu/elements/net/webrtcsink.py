@@ -531,8 +531,10 @@ class WebRtcSink(Element):
                 # counter in a header extension)
                 if len(data) >= 4:
                     seq = int.from_bytes(data[2:4], "big")
-                    self._twcc_sender()._sent[seq] = (
-                        _time.monotonic_ns(), len(data))
+                    tx = self._twcc_sender()
+                    tx._sent[seq] = (_time.monotonic_ns(), len(data))
+                    if len(tx._sent) > 4096:
+                        tx._sent.pop(min(tx._sent))
                 tr[0].send_rtp(data)
         if self._transports:
             self.pump()
