@@ -276,7 +276,8 @@ class QuicConnection:
         if end <= st["next"] and not (fin and end == st["next"]):
             return                       # pure duplicate
         if off > st["next"]:
-            st["ooo"][off] = data        # hole before this segment
+            if len(st["ooo"]) < 4096:    # bound: drop beyond window
+                st["ooo"][off] = data    # hole before this segment
             return
         if off < st["next"]:             # partial overlap: trim
             data = data[st["next"] - off:]
