@@ -244,3 +244,44 @@ class DeviceContext:
         # remaining members may all be ready now
         self.try_fire()
         return out
+
+
+# ---------------------------------------------------------------------------
+# checkpoint/resume (SURVEY §5.4: resumable stream state — a
+# replacement process/chip restores member states and continues
+# bit-exact; gstpu/parallel/checkpoint.py does the array IO)
+# ---------------------------------------------------------------------------
+
+def snapshot_context(ctx: DeviceContext, path: str) -> None:
+    """Checkpoint every finalized member's carried kernel state plus
+    its pending re-block bytes."""
+    from gstpu.parallel.checkpoint import checkpoint
+    states = [m.state for m in ctx.members if m.spec is not None]
+    checkpoint(path, states, step=ctx.fire_count)
+    import pickle
+    with open(path + ".pending", "wb") as f:
+        pickle.dump([(bytes(m.pending), m.pts, m.rate,
+                      np.dtype(m.dtype).str if m.dtype else None)
+                     for m in ctx.members if m.spec is not None], f)
+
+
+def restore_context(ctx: DeviceContext, path: str) -> None:
+    """Restore member states into an equally-shaped context (same
+    members in the same order, finalized)."""
+    import pickle
+
+    from gstpu.parallel.checkpoint import restore
+    members = [m for m in ctx.members if m.spec is not None]
+    like = [m.state for m in members]
+    states, _step = restore(path, like)
+    with open(path + ".pending", "rb") as f:
+        pendings = pickle.load(f)
+    if len(pendings) != len(members):
+        raise ValueError("checkpoint member count mismatch")
+    for m, st, (pend, pts, rate, dt) in zip(members, states,
+                                            pendings):
+        m.state = st
+        m.pending = bytearray(pend)
+        m.pts = pts
+        m.rate = rate
+        m.dtype = np.dtype(dt) if dt else None

@@ -331,3 +331,64 @@ def test_hsvdetector_batches_streams():
         assert len(b[s]) == 2
         for f in range(2):
             np.testing.assert_array_equal(b[s][f], u[s][f])
+
+
+def test_context_checkpoint_resume_bit_exact():
+    """SURVEY 5.4: snapshot a live batched context mid-stream, build
+    a fresh context (replacement process), restore, continue — the
+    outputs equal the uninterrupted run bit-for-bit."""
+    import numpy as np
+
+    from gstpu.runtime.device_batch import (DeviceContext,
+                                            restore_context,
+                                            snapshot_context)
+
+    signals = [np.random.default_rng(s).uniform(-0.5, 0.5,
+                                                (6, BLOCK))
+               for s in range(4)]
+
+    def run(tmpdir, interrupt):
+        DeviceContext.release("ckpt-ctx")
+        pipes = [_mk_pipeline(i, "ckpt-ctx") for i in range(4)]
+        for p in pipes:
+            p.set_state(State.PLAYING)
+        outs = [[] for _ in range(4)]
+
+        def push_block(k):
+            for i, p in enumerate(pipes):
+                p.get_by_name("src").push_buffer(
+                    Buffer(signals[i][k].reshape(-1, 1)))
+            for p in pipes:
+                p.iterate()
+
+        for k in range(3):
+            push_block(k)
+        if interrupt:
+            ctx = DeviceContext.acquire("ckpt-ctx", BLOCK)
+            path = f"{tmpdir}/ctx.ckpt.npz"
+            snapshot_context(ctx, path)
+            # simulate replacement: wipe states, then restore
+            import jax.numpy as jnp
+            for m in ctx.members:
+                if m.spec is not None:
+                    m.state = m.spec["init_state"]()
+            restore_context(ctx, path)
+        for k in range(3, 6):
+            push_block(k)
+        for i, p in enumerate(pipes):
+            p.get_by_name("src").end_of_stream()
+            p.run()
+            outs[i] = np.concatenate(
+                [_flat(b) for b in
+                 p.get_by_name("sink").pull_all()])
+            p.set_state(State.NULL)
+        DeviceContext.release("ckpt-ctx")
+        return outs
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        a = run(d, interrupt=False)
+    with tempfile.TemporaryDirectory() as d:
+        b = run(d, interrupt=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
