@@ -283,6 +283,8 @@ class WebRtcSink(Element):
                     # TWCC transport feedback over SRTCP -> GCC
                     self.handle_twcc_feedback(out[1])
                 moved = True
+            if tr.connected:
+                self._maybe_send_sr(tr)
             if tr.connected and tr.sctp is not None:
                 import time as _time
                 now = _time.monotonic()
@@ -521,6 +523,15 @@ class WebRtcSink(Element):
         import time as _time
         ret = FlowReturn.OK
         data = buf.to_bytes()
+        if len(data) >= 12:
+            # SR accounting: ssrc -> (packets, octets, last rtp ts)
+            acct = getattr(self, "_sr_acct", None)
+            if acct is None:
+                acct = self._sr_acct = {}
+            ssrc = int.from_bytes(data[8:12], "big")
+            p, o, _ = acct.get(ssrc, (0, 0, 0))
+            acct[ssrc] = (p + 1, o + len(data) - 12,
+                          int.from_bytes(data[4:8], "big"))
         for sid, spad in self._sessions.items():
             if spad.is_linked():
                 ret = spad.push(buf.copy())
@@ -539,6 +550,26 @@ class WebRtcSink(Element):
         if self._transports:
             self.pump()
         return ret
+
+    def _maybe_send_sr(self, tr) -> None:
+        """Emit an RTCP Sender Report per media SSRC every ~1 s over
+        SRTCP (the NTP<->RTP mapping receivers need for inter-stream
+        sync; reference: rtpbin2 sync.rs consumes these)."""
+        import time as _time
+        acct = getattr(self, "_sr_acct", None)
+        if not acct:
+            return
+        now = _time.monotonic()
+        last = getattr(tr, "_gstpu_last_sr", 0.0)
+        if now - last < 1.0:
+            return
+        tr._gstpu_last_sr = now
+        from gstpu.net.rtp.packet import SenderReport, ntp_from_ns
+        unix_ns = _time.time_ns()
+        for ssrc, (pkts, octets, rtp_ts) in acct.items():
+            sr = SenderReport(ssrc, ntp_from_ns(unix_ns), rtp_ts,
+                              pkts, octets)
+            tr.send_rtcp(sr.to_bytes())
 
     def _twcc_sender(self):
         if getattr(self, "_twcc_tx", None) is None:
@@ -987,6 +1018,8 @@ class WebRtcSrc(Element):
                 self.post_element_message("webrtc-transport-drop",
                                           error=str(e))
                 continue
+            if out is not None and out[0] == "rtcp":
+                self._handle_rtcp(out[1])
             if out is not None and out[0] == "rtp":
                 plain = out[1]
                 import time as _time
@@ -1016,6 +1049,24 @@ class WebRtcSrc(Element):
                         label=ev[2])
             tr.sctp.events.clear()
         return moved
+
+    def _handle_rtcp(self, data: bytes) -> None:
+        """Ingest SRTCP-decrypted RTCP: Sender Reports feed the
+        NTP<->RTP sync mapping (reference rtpbin2 sync.rs)."""
+        from gstpu.net.rtp.packet import SenderReport, parse_rtcp
+        try:
+            pkts = parse_rtcp(data)
+        except Exception:
+            return
+        for p in pkts:
+            if isinstance(p, SenderReport):
+                maps = getattr(self, "sync_maps", None)
+                if maps is None:
+                    maps = self.sync_maps = {}
+                maps[p.ssrc] = (p.ntp_timestamp, p.rtp_timestamp)
+                self.post_element_message(
+                    "webrtcsrc-sender-report", ssrc=p.ssrc,
+                    ntp=p.ntp_timestamp, rtp=p.rtp_timestamp)
 
     # -- receive-side jitterbuffer (rtpbin2's sans-IO machine) -----------
     def _jb(self):

@@ -329,3 +329,67 @@ def test_webrtcsrc_jitterbuffer_reorders():
             lost.append(m.seqnum)
     assert lost == [5]
     src.set_state(State.NULL)
+
+
+def test_sender_reports_flow_over_srtcp():
+    """The producer emits periodic RTCP SRs over SRTCP and the
+    consumer builds the NTP<->RTP sync mapping from them."""
+    import time
+
+    from gstpu import Buffer, Caps, State
+    from gstpu.core.caps import parse_caps
+    from gstpu.core.element import (Bus, Pad, PadDirection,
+                                    PadPresence, PadTemplate)
+    from gstpu.core.event import (CapsEvent, Segment, SegmentEvent,
+                                  StreamStartEvent)
+    from gstpu.core.registry import make
+
+    sink = make("webrtcsink", enable_data_transport=True)
+    src = make("webrtcsrc", enable_data_transport=True)
+    sink.bus, src.bus = Bus(), Bus()
+    sink.set_state(State.PLAYING)
+    src.set_state(State.PLAYING)
+    pad = sink.request_pad()
+    feeder = Pad("feed", PadDirection.SRC,
+                 PadTemplate("src", PadDirection.SRC,
+                             PadPresence.ALWAYS, Caps.any()))
+    feeder.link(pad)
+    feeder.push_event(StreamStartEvent("a"))
+    feeder.push_event(CapsEvent(parse_caps(
+        "audio/x-alaw, rate=8000, channels=1")))
+    feeder.push_event(SegmentEvent(Segment()))
+    sink.signalling_connect({"peerId": "prod"})
+    src.signalling_connect({"peerId": "cons"})
+    src.handle_signalling({"type": "list",
+                           "producers": [{"id": "prod"}]})
+    offer = sink.handle_signalling({"type": "startSession",
+                                    "sessionId": "s1",
+                                    "peerId": "cons"})
+    answer = src.handle_signalling({**offer[0], "sessionId": "s1"})
+    sink.handle_signalling({**answer[0], "sessionId": "s1"})
+    tr = sink._transports["s1"][0]
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and not (
+            tr.connected and src._transport
+            and src._transport.connected):
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+    assert tr.connected
+
+    # media makes SR accounting non-empty; the 1s SR timer fires
+    # immediately on the first pump after media (last_sr == 0)
+    for i in range(3):
+        feeder.push(Buffer(bytes([0x55]) * 160,
+                           pts=i * 20_000_000, duration=20_000_000))
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline \
+            and not getattr(src, "sync_maps", None):
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+    assert getattr(src, "sync_maps", None), "no SR arrived"
+    (ssrc, (ntp, rtp)), = list(src.sync_maps.items())
+    assert ntp > 0
+    sink.set_state(State.NULL)
+    src.set_state(State.NULL)
