@@ -278,10 +278,12 @@ class WebRtcSink(Element):
                         "webrtc-transport-drop", session=sid,
                         error=str(e))
                     out = None
-                if out is not None and out[0] == "rtcp" \
-                        and len(out[1]) >= 2 and out[1][1] == 205:
-                    # TWCC transport feedback over SRTCP -> GCC
-                    self.handle_twcc_feedback(out[1])
+                if out is not None and out[0] == "rtcp":
+                    if len(out[1]) >= 2 and out[1][1] == 205:
+                        # TWCC transport feedback over SRTCP -> GCC
+                        self.handle_twcc_feedback(out[1])
+                    else:
+                        self._handle_consumer_rtcp(sid, out[1])
                 moved = True
             if tr.connected:
                 self._maybe_send_sr(tr)
@@ -570,6 +572,21 @@ class WebRtcSink(Element):
             sr = SenderReport(ssrc, ntp_from_ns(unix_ns), rtp_ts,
                               pkts, octets)
             tr.send_rtcp(sr.to_bytes())
+
+    def _handle_consumer_rtcp(self, sid: str, data: bytes) -> None:
+        from gstpu.net.rtp.packet import ReceiverReport, parse_rtcp
+        try:
+            pkts = parse_rtcp(data)
+        except Exception:
+            return
+        for p in pkts:
+            if isinstance(p, ReceiverReport) and p.reports:
+                rb = p.reports[0]
+                self.post_element_message(
+                    "webrtcsink-receiver-report", session=sid,
+                    ssrc=rb.ssrc, fraction_lost=rb.fraction_lost,
+                    cumulative_lost=rb.cumulative_lost,
+                    highest_seq=rb.ext_highest_seq)
 
     def _twcc_sender(self):
         if getattr(self, "_twcc_tx", None) is None:
@@ -1024,9 +1041,15 @@ class WebRtcSrc(Element):
                 plain = out[1]
                 import time as _time
                 now = _time.monotonic_ns()
-                if len(plain) >= 4:
-                    self._twcc_receiver().record(
-                        int.from_bytes(plain[2:4], "big"), now)
+                if len(plain) >= 12:
+                    seq = int.from_bytes(plain[2:4], "big")
+                    self._twcc_receiver().record(seq, now)
+                    ssrc = int.from_bytes(plain[8:12], "big")
+                    st = getattr(self, "_rx_stats", None)
+                    if st is None:
+                        st = self._rx_stats = {}
+                    rec, hi = st.get(ssrc, (0, 0))
+                    st[ssrc] = (rec + 1, max(hi, seq))
                 if self.latency > 0 and len(plain) >= 4:
                     self._jb_queue(plain, now)
                 else:
@@ -1052,8 +1075,11 @@ class WebRtcSrc(Element):
 
     def _handle_rtcp(self, data: bytes) -> None:
         """Ingest SRTCP-decrypted RTCP: Sender Reports feed the
-        NTP<->RTP sync mapping (reference rtpbin2 sync.rs)."""
-        from gstpu.net.rtp.packet import SenderReport, parse_rtcp
+        NTP<->RTP sync mapping (reference rtpbin2 sync.rs) and are
+        answered with a Receiver Report carrying our reception
+        stats."""
+        from gstpu.net.rtp.packet import (ReceiverReport, ReportBlock,
+                                          SenderReport, parse_rtcp)
         try:
             pkts = parse_rtcp(data)
         except Exception:
@@ -1067,6 +1093,18 @@ class WebRtcSrc(Element):
                 self.post_element_message(
                     "webrtcsrc-sender-report", ssrc=p.ssrc,
                     ntp=p.ntp_timestamp, rtp=p.rtp_timestamp)
+                stats = getattr(self, "_rx_stats", {}).get(p.ssrc)
+                if stats and self._transport is not None:
+                    received, highest = stats
+                    expected = max(received, 1)
+                    rb = ReportBlock(
+                        ssrc=p.ssrc, fraction_lost=0,
+                        cumulative_lost=max(0, expected - received),
+                        ext_highest_seq=highest, jitter=0,
+                        last_sr=(p.ntp_timestamp >> 16) & 0xFFFFFFFF,
+                        delay_since_last_sr=0)
+                    rr = ReceiverReport(ssrc=1, reports=[rb])
+                    self._transport.send_rtcp(rr.to_bytes())
 
     # -- receive-side jitterbuffer (rtpbin2's sans-IO machine) -----------
     def _jb(self):

@@ -391,5 +391,18 @@ def test_sender_reports_flow_over_srtcp():
     assert getattr(src, "sync_maps", None), "no SR arrived"
     (ssrc, (ntp, rtp)), = list(src.sync_maps.items())
     assert ntp > 0
+    # the consumer answers with a Receiver Report; the producer posts
+    # it on the bus
+    deadline = time.monotonic() + 5
+    rr_msgs = []
+    while time.monotonic() < deadline and not rr_msgs:
+        sink.pump()
+        src.pump()
+        while (m := sink.bus.pop()) is not None:
+            if m.fields.get("name") == "webrtcsink-receiver-report":
+                rr_msgs.append(m)
+        time.sleep(0.001)
+    assert rr_msgs and rr_msgs[0].ssrc == ssrc
+    assert rr_msgs[0].highest_seq > 0
     sink.set_state(State.NULL)
     src.set_state(State.NULL)
