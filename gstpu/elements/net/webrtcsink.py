@@ -1048,8 +1048,9 @@ class WebRtcSrc(Element):
                     st = getattr(self, "_rx_stats", None)
                     if st is None:
                         st = self._rx_stats = {}
-                    rec, hi = st.get(ssrc, (0, 0))
-                    st[ssrc] = (rec + 1, max(hi, seq))
+                    rec, hi, first = st.get(ssrc,
+                                            (0, 0, seq))
+                    st[ssrc] = (rec + 1, max(hi, seq), first)
                 if self.latency > 0 and len(plain) >= 4:
                     self._jb_queue(plain, now)
                 else:
@@ -1095,11 +1096,14 @@ class WebRtcSrc(Element):
                     ntp=p.ntp_timestamp, rtp=p.rtp_timestamp)
                 stats = getattr(self, "_rx_stats", {}).get(p.ssrc)
                 if stats and self._transport is not None:
-                    received, highest = stats
-                    expected = max(received, 1)
+                    received, highest, first = stats
+                    expected = highest - first + 1
+                    lost = max(0, expected - received)
+                    frac = min(255, (lost * 256) // expected) \
+                        if expected > 0 else 0
                     rb = ReportBlock(
-                        ssrc=p.ssrc, fraction_lost=0,
-                        cumulative_lost=max(0, expected - received),
+                        ssrc=p.ssrc, fraction_lost=frac,
+                        cumulative_lost=lost,
                         ext_highest_seq=highest, jitter=0,
                         last_sr=(p.ntp_timestamp >> 16) & 0xFFFFFFFF,
                         delay_since_last_sr=0)
