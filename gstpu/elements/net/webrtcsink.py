@@ -1143,6 +1143,26 @@ class WebRtcSrc(Element):
             if data is not None:
                 self.push_rtp(data)
 
+    def gather_stats(self) -> dict:
+        """Consumer-side statistics: per-SSRC reception counters,
+        SR sync mappings, jitterbuffer state."""
+        rx = {ssrc: {"received": r, "highest-seq": h,
+                     "first-seq": f}
+              for ssrc, (r, h, f) in
+              getattr(self, "_rx_stats", {}).items()}
+        return {
+            "rx": rx,
+            "sync-maps": dict(getattr(self, "sync_maps", {})),
+            "transport-connected": bool(self._transport
+                                        and self._transport.connected),
+            "jitterbuffer-depth": len(getattr(self, "_jb_payloads",
+                                              {})),
+        }
+
+    @property
+    def stats(self) -> dict:
+        return self.gather_stats()
+
     def _twcc_receiver(self):
         if getattr(self, "_twcc_rx", None) is None:
             from gstpu.net.rtp.twcc import TwccReceiver

@@ -406,3 +406,14 @@ def test_sender_reports_flow_over_srtcp():
     assert rr_msgs[0].highest_seq > 0
     sink.set_state(State.NULL)
     src.set_state(State.NULL)
+
+
+def test_webrtcsrc_stats_surface():
+    from gstpu import State
+    from gstpu.core.registry import make
+    src = make("webrtcsrc", enable_data_transport=True)
+    src.set_state(State.PLAYING)
+    st = src.stats
+    assert st["rx"] == {} and st["sync-maps"] == {}
+    assert st["transport-connected"] is False
+    src.set_state(State.NULL)
