@@ -65,5 +65,8 @@ while len(got) < 20 and time.monotonic() < deadline:
     src.pump()
     time.sleep(0.001)
 print(f"{len(got)} SRTP-protected RTP packets decrypted end to end")
+print("producer stats:", sink.stats["sessions"])
+print("consumer stats:", {k: v for k, v in src.stats.items()
+                          if k != "sync-maps"})
 sink.set_state(State.NULL)
 src.set_state(State.NULL)
