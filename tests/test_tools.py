@@ -95,3 +95,15 @@ def test_signalling_server_binary_serves():
         conn.close()
     finally:
         server.stop()
+
+
+def test_examples_compile():
+    """Every example script must at least parse (they are user-facing
+    documentation; a syntax rot here is a docs bug)."""
+    import pathlib
+    import py_compile
+    root = pathlib.Path(__file__).resolve().parent.parent / "examples"
+    scripts = sorted(root.glob("*.py"))
+    assert scripts, "no example scripts found"
+    for p in scripts:
+        py_compile.compile(str(p), doraise=True)
