@@ -107,3 +107,15 @@ def test_examples_compile():
     assert scripts, "no example scripts found"
     for p in scripts:
         py_compile.compile(str(p), doraise=True)
+
+
+def test_launch_messages_flag_tees_bus():
+    from gstpu.tools.launch import main
+    err = io.StringIO()
+    with redirect_stderr(err):
+        assert main(["-m", "audiotestsrc num-buffers=3 ! "
+                     "ebur128level interval=10000000 ! fakesink"]) \
+            == 0
+    text = err.getvalue()
+    assert "[bus]" in text          # messages were printed
+    assert "Execution ended" in text
