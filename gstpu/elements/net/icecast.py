@@ -159,6 +159,20 @@ class IcecastSink(BaseSink):
             self._sock = None
         return True
 
+    def _peer_closed(self) -> bool:
+        """A source-client server never sends data: readability
+        means FIN/RST. Writes into a half-closed socket succeed
+        silently until the RST arrives, so poll before sending
+        (otherwise a dropped connection eats buffers)."""
+        import select
+        try:
+            r, _, _ = select.select([self._sock], [], [], 0)
+            if r:
+                return self._sock.recv(1, socket.MSG_PEEK) == b""
+        except OSError:
+            return True
+        return False
+
     def render(self, buf: Buffer):
         if self._sock is None and not self._connect():
             return FlowReturn.ERROR
@@ -166,6 +180,8 @@ class IcecastSink(BaseSink):
         if buf.has_flag(BufferFlags.HEADER):
             self._stream_headers.append(data)
         try:
+            if self._peer_closed():
+                raise OSError("peer closed")
             self._sock.sendall(data)
         except OSError:
             if not self.auto_reconnect:
