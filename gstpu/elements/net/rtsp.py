@@ -47,22 +47,80 @@ def parse_sdp_media(sdp: str) -> list[dict]:
 
 
 class RtspConnection:
-    """Blocking RTSP control connection + interleaved data demux."""
+    """Blocking RTSP control connection + interleaved data demux.
+
+    Authentication (reference rtspsrc2 0.15.3 feature set): URL
+    userinfo credentials drive automatic Basic and Digest
+    (RFC 7616, MD5) retries on 401."""
 
     def __init__(self, url: str, timeout: float = 5.0):
         self.url = url
         u = urlparse(url)
+        self.username = u.username
+        self.password = u.password
+        if u.username:
+            # strip userinfo from the request URL
+            netloc = u.hostname + (f":{u.port}" if u.port else "")
+            self.url = u._replace(netloc=netloc).geturl()
         self.sock = socket.create_connection(
             (u.hostname, u.port or 554), timeout=timeout)
         self._cseq = 0
         self._buf = b""
         self.session: str | None = None
+        self._auth_header: str | None = None
+        self._digest_challenge: dict | None = None
+
+    def _authorization(self, method: str, url: str) -> str | None:
+        if self._digest_challenge is not None:
+            import hashlib
+            ch = self._digest_challenge
+            realm, nonce = ch.get("realm", ""), ch.get("nonce", "")
+            ha1 = hashlib.md5(
+                f"{self.username}:{realm}:{self.password}"
+                .encode()).hexdigest()
+            ha2 = hashlib.md5(f"{method}:{url}".encode()).hexdigest()
+            resp = hashlib.md5(
+                f"{ha1}:{nonce}:{ha2}".encode()).hexdigest()
+            return (f'Digest username="{self.username}", '
+                    f'realm="{realm}", nonce="{nonce}", '
+                    f'uri="{url}", response="{resp}"')
+        return self._auth_header
+
+    def _parse_challenge(self, www: str) -> None:
+        if www.lower().startswith("basic"):
+            import base64
+            tok = base64.b64encode(
+                f"{self.username}:{self.password}".encode()).decode()
+            self._auth_header = f"Basic {tok}"
+            self._digest_challenge = None
+        elif www.lower().startswith("digest"):
+            fields = {}
+            for part in www[7:].split(","):
+                k, _, v = part.strip().partition("=")
+                fields[k.lower()] = v.strip('"')
+            self._digest_challenge = fields
 
     def request(self, method: str, url: str | None = None,
                 headers: dict | None = None) -> tuple[int, dict, bytes]:
+        status, rhdrs, body = self._request_once(method, url, headers)
+        if status == 401 and self.username \
+                and "www-authenticate" in rhdrs:
+            self._parse_challenge(rhdrs["www-authenticate"])
+            status, rhdrs, body = self._request_once(method, url,
+                                                     headers)
+        return status, rhdrs, body
+
+    def _request_once(self, method: str, url: str | None = None,
+                      headers: dict | None = None) \
+            -> tuple[int, dict, bytes]:
         self._cseq += 1
-        lines = [f"{method} {url or self.url} RTSP/1.0",
+        target = url or self.url
+        lines = [f"{method} {target} RTSP/1.0",
                  f"CSeq: {self._cseq}"]
+        auth = self._authorization(method, target) \
+            if self.username else None
+        if auth:
+            lines.append(f"Authorization: {auth}")
         if self.session:
             lines.append(f"Session: {self.session}")
         for k, v in (headers or {}).items():

@@ -381,3 +381,77 @@ def test_rtspsrc2_seek_sends_range():
     srv.stop()
     pkts = [RtpPacket.parse(b.to_bytes()) for b in sink.pull_all()]
     assert any(q.seqnum >= 100 for q in pkts)
+
+
+class AuthRtspServer(MiniRtspServer):
+    """Challenges with Digest, accepts a correct response."""
+
+    REALM, NONCE = "gstpu-test", "abc123nonce"
+
+    def __init__(self):
+        self.requests = []
+        super().__init__()
+
+    def _run(self):
+        import hashlib
+        conn, _ = self._srv.accept()
+        conn.settimeout(5)
+        buf = b""
+        authed = False
+        while True:
+            while b"\r\n\r\n" not in buf:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    return
+                buf += chunk
+            head, buf = buf.split(b"\r\n\r\n", 1)
+            lines = head.decode().split("\r\n")
+            method, url = lines[0].split()[0], lines[0].split()[1]
+            hdrs = {l.split(":")[0].lower(): l.partition(":")[2].strip()
+                    for l in lines[1:] if ":" in l}
+            cseq = hdrs.get("cseq", "1")
+            self.requests.append((method, hdrs))
+            if not authed:
+                auth = hdrs.get("authorization", "")
+                ok = False
+                if auth.startswith("Digest"):
+                    fields = {}
+                    for part in auth[7:].split(","):
+                        k, _, v = part.strip().partition("=")
+                        fields[k.lower()] = v.strip('"')
+                    ha1 = hashlib.md5(
+                        f"user:{self.REALM}:pw".encode()).hexdigest()
+                    ha2 = hashlib.md5(
+                        f"{method}:{fields.get('uri')}".encode()
+                    ).hexdigest()
+                    want = hashlib.md5(
+                        f"{ha1}:{self.NONCE}:{ha2}".encode()
+                    ).hexdigest()
+                    ok = fields.get("response") == want
+                if not ok:
+                    conn.sendall(
+                        (f"RTSP/1.0 401 Unauthorized\r\n"
+                         f"CSeq: {cseq}\r\n"
+                         f'WWW-Authenticate: Digest realm="'
+                         f'{self.REALM}", nonce="{self.NONCE}"'
+                         f"\r\n\r\n").encode())
+                    continue
+                authed = True
+            conn.sendall((f"RTSP/1.0 200 OK\r\nCSeq: {cseq}\r\n"
+                          f"Public: OPTIONS, DESCRIBE\r\n\r\n")
+                         .encode())
+            if method == "OPTIONS" and authed:
+                return
+
+
+def test_rtsp_digest_authentication():
+    from gstpu.elements.net.rtsp import RtspConnection
+    srv = AuthRtspServer()
+    c = RtspConnection(f"rtsp://user:pw@127.0.0.1:{srv.port}/s")
+    status, hdrs, _ = c.request("OPTIONS")
+    assert status == 200
+    # first request was challenged, retry carried a valid digest
+    methods = [m for m, h in srv.requests]
+    assert methods == ["OPTIONS", "OPTIONS"]
+    assert "authorization" in srv.requests[1][1]
+    assert srv.requests[1][1]["authorization"].startswith("Digest")
