@@ -69,6 +69,11 @@ class RtspConnection:
         self.session: str | None = None
         self._auth_header: str | None = None
         self._digest_challenge: dict | None = None
+        # interleaved frames that arrive while waiting for a control
+        # response are queued, not dropped (keep-alive/seek must not
+        # eat media)
+        from collections import deque
+        self._pending_frames: deque = deque()
 
     def _authorization(self, method: str, url: str) -> str | None:
         if self._digest_challenge is not None:
@@ -162,13 +167,17 @@ class RtspConnection:
     def _skip_data_frame(self) -> None:
         while len(self._buf) < 4:
             self._fill()
+        ch = self._buf[1]
         n = int.from_bytes(self._buf[2:4], "big")
         while len(self._buf) < 4 + n:
             self._fill()
+        self._pending_frames.append((ch, self._buf[4:4 + n]))
         self._buf = self._buf[4 + n:]
 
     def read_data_frame(self, blocking: bool) -> tuple[int, bytes] | None:
         """Next interleaved frame (channel, payload), or None."""
+        if self._pending_frames:
+            return self._pending_frames.popleft()
         while True:
             if len(self._buf) >= 4 and self._buf[:1] == b"$":
                 ch = self._buf[1]
@@ -208,6 +217,11 @@ class RtspSrc(PushSrc):
     location = Property(str, default=None, mutable=Mutability.READY,
                         blurb="rtsp:// URL")
     timeout_s = Property(float, default=5.0, minimum=0.1)
+    keep_alive_interval = Property(
+        float, default=30.0, minimum=0.0,
+        blurb="seconds between session keep-alive requests "
+              "(GET_PARAMETER; 0 disables — reference rtspsrc2 "
+              "0.15.3 keep-alive support)")
     protocols = Property(str, default="tcp", mutable=Mutability.READY,
                          enum_values=("tcp", "udp"),
                          blurb="Transport: tcp (interleaved) or udp "
@@ -400,7 +414,29 @@ class RtspSrc(PushSrc):
         s["clock-rate"] = m.get("clock-rate", 90000)
         return Caps([s])
 
+    def _maybe_keep_alive(self) -> None:
+        if not self.keep_alive_interval or self._conn is None:
+            return
+        import time as _time
+        now = _time.monotonic()
+        last = getattr(self, "_last_keepalive", None)
+        if last is None:
+            self._last_keepalive = now
+            return
+        if now - last < self.keep_alive_interval:
+            return
+        self._last_keepalive = now
+        try:
+            # GET_PARAMETER with no body is the standard ping; some
+            # servers only accept OPTIONS — fall back on error status
+            status, _, _ = self._conn.request("GET_PARAMETER")
+            if status >= 400:
+                self._conn.request("OPTIONS")
+        except (ConnectionError, OSError):
+            pass
+
     def create(self) -> Buffer | None:
+        self._maybe_keep_alive()
         if self._rtp_sock is not None:
             if self._rtcp_sock is not None:
                 try:

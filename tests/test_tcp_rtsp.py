@@ -455,3 +455,40 @@ def test_rtsp_digest_authentication():
     assert methods == ["OPTIONS", "OPTIONS"]
     assert "authorization" in srv.requests[1][1]
     assert srv.requests[1][1]["authorization"].startswith("Digest")
+
+
+def test_control_response_does_not_eat_interleaved_media():
+    """Frames arriving while a control request waits for its reply
+    are queued and delivered afterwards (keep-alive/seek must not
+    drop media)."""
+    import socket as _socket
+    import threading as _threading
+
+    from gstpu.elements.net.rtsp import RtspConnection
+
+    srv = _socket.socket()
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+
+    def run():
+        conn, _ = srv.accept()
+        data = b""
+        while b"\r\n\r\n" not in data:
+            data += conn.recv(4096)
+        # media frame FIRST, then the control reply
+        frame = b"$" + bytes([0]) + (5).to_bytes(2, "big") + b"MEDIA"
+        conn.sendall(frame +
+                     b"RTSP/1.0 200 OK\r\nCSeq: 1\r\n\r\n")
+        import time as _t
+        _t.sleep(0.5)
+        conn.close()
+
+    _threading.Thread(target=run, daemon=True).start()
+    c = RtspConnection(f"rtsp://127.0.0.1:{srv.getsockname()[1]}/s",
+                       timeout=5)
+    status, _, _ = c.request("OPTIONS")
+    assert status == 200
+    got = c.read_data_frame(blocking=False)
+    assert got == (0, b"MEDIA")
+    srv.close()
