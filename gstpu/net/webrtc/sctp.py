@@ -45,6 +45,17 @@ class SctpError(ValueError):
     pass
 
 
+# RFC 1982 serial-number arithmetic on 32-bit TSNs (RFC 4960 §1.6):
+# plain integer compares break when the randomly-seeded TSN wraps.
+
+def tsn_lt(a: int, b: int) -> bool:
+    return 0 < ((b - a) & 0xFFFFFFFF) < 0x80000000
+
+
+def tsn_lte(a: int, b: int) -> bool:
+    return a == b or tsn_lt(a, b)
+
+
 # ---------------------------------------------------------------------------
 # CRC32c (Castagnoli), table-based — SCTP checksum (RFC 4960 App. B)
 # ---------------------------------------------------------------------------
@@ -95,10 +106,14 @@ class SctpAssociation:
         self._peer_vtag = 0
         self._next_tsn = struct.unpack(">I", os.urandom(4))[0]
         self._cum_tsn: int | None = None       # last in-order peer TSN
-        self._out_of_order: dict[int, bytes] = {}
+        # tsn -> (flags, sid, ssn, ppid, payload); delivery is gated on
+        # cumulative-TSN absorption, never on arrival order
+        self._out_of_order: dict[int, tuple] = {}
         self._next_sid = 0 if client else 1
         self._next_ssn: dict[int, int] = {}
-        self._reasm: dict[int, list[bytes]] = {}   # sid -> fragments
+        # (sid, ssn) -> ordered fragment payloads of one user message
+        self._reasm: dict[tuple[int, int], list[bytes]] = {}
+        self._reasm_ppid: dict[tuple[int, int], int] = {}
         self._cookie_secret = os.urandom(8)
         # tsn -> DATA chunk bytes, held until the peer's SACK covers
         self._unacked: dict[int, bytes] = {}
@@ -239,7 +254,8 @@ class SctpAssociation:
             self._handle_data(flags, value)
         elif ctype == CT_SACK:
             cum_tsn, = struct.unpack_from(">I", value, 0)
-            for tsn in [t for t in self._unacked if t <= cum_tsn]:
+            for tsn in [t for t in self._unacked
+                        if tsn_lte(t, cum_tsn)]:
                 del self._unacked[tsn]
         elif ctype == CT_HEARTBEAT:
             self._send(self._chunk(CT_HEARTBEAT_ACK, 0, value))
@@ -252,47 +268,55 @@ class SctpAssociation:
             self.established = True
             self.events.append(("established",))
 
+    _OOO_CAP = 8192       # out-of-order buffer bound (peer OOM guard)
+
     def _handle_data(self, flags: int, value: bytes) -> None:
         tsn, sid, ssn, ppid = struct.unpack_from(">IHHI", value, 0)
         payload = value[12:]
-        seen = getattr(self, "_seen_tsns", None)
-        if seen is None:
-            seen = self._seen_tsns = set()
-        if tsn in seen:
+        if self._cum_tsn is None:       # DATA before INIT seeded it
+            self._cum_tsn = (tsn - 1) & 0xFFFFFFFF
+        if tsn_lte(tsn, self._cum_tsn) or tsn in self._out_of_order:
             # duplicate (spurious retransmission): re-SACK, don't
             # re-deliver
-            sack = struct.pack(">IIHH", self._cum_tsn or tsn,
-                               1 << 16, 0, 0)
-            self._send(self._chunk(CT_SACK, 0, sack))
+            self._send_sack()
             return
-        seen.add(tsn)
-        if len(seen) > 16384:
-            seen.clear()
-        # in-order bookkeeping with immediate SACK
-        if self._cum_tsn is not None:
-            expected = (self._cum_tsn + 1) & 0xFFFFFFFF
-            if tsn == expected:
-                self._cum_tsn = tsn
-                # absorb any queued successors
-                while ((self._cum_tsn + 1) & 0xFFFFFFFF) \
-                        in self._out_of_order:
-                    self._cum_tsn = (self._cum_tsn + 1) & 0xFFFFFFFF
-                    self._out_of_order.pop(self._cum_tsn)
-            elif tsn > expected:
-                self._out_of_order[tsn] = payload
-        sack = struct.pack(">IIHH", self._cum_tsn or tsn, 1 << 16,
-                           0, 0)
+        # buffer, then absorb strictly in TSN order — out-of-order
+        # chunks are never delivered on arrival (fragments of one
+        # message must reassemble in TSN order, RFC 4960 §6.9)
+        self._out_of_order[tsn] = (flags, sid, ssn, ppid, payload)
+        if len(self._out_of_order) > self._OOO_CAP:
+            # drop the chunk serially furthest from cum_tsn
+            far = max(self._out_of_order,
+                      key=lambda t: (t - self._cum_tsn) & 0xFFFFFFFF)
+            self._out_of_order.pop(far)
+        while ((self._cum_tsn + 1) & 0xFFFFFFFF) in self._out_of_order:
+            self._cum_tsn = (self._cum_tsn + 1) & 0xFFFFFFFF
+            self._absorb(*self._out_of_order.pop(self._cum_tsn))
+        self._send_sack()
+
+    def _send_sack(self) -> None:
+        sack = struct.pack(">IIHH", self._cum_tsn, 1 << 16, 0, 0)
         self._send(self._chunk(CT_SACK, 0, sack))
-        # fragment reassembly: B=0x02, E=0x01
+
+    def _absorb(self, flags: int, sid: int, ssn: int, ppid: int,
+                payload: bytes) -> None:
+        """Process one DATA chunk in cumulative TSN order."""
         begin, end = flags & 0x02, flags & 0x01
-        if not (begin and end):
-            frags = self._reasm.setdefault(sid, [])
-            frags.append(payload)
-            if not end:
-                return
-            payload = b"".join(frags)
-            self._reasm.pop(sid, None)
-        self._deliver(sid, ppid, payload)
+        if begin and end:
+            self._deliver(sid, ppid, payload)
+            return
+        key = (sid, ssn)
+        if begin:
+            self._reasm[key] = [payload]
+            self._reasm_ppid[key] = ppid
+            return
+        frags = self._reasm.get(key)
+        if frags is None:
+            return              # middle/end without a begin: drop
+        frags.append(payload)
+        if end:
+            ppid0 = self._reasm_ppid.pop(key, ppid)
+            self._deliver(sid, ppid0, b"".join(self._reasm.pop(key)))
 
     def _deliver(self, sid: int, ppid: int, payload: bytes) -> None:
         if ppid == PPID_DCEP:

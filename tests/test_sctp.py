@@ -169,3 +169,61 @@ def test_retransmit_on_timeout_after_loss():
                 if e[0] == "message"]) == n
     # SACKs pruned the buffer
     assert not cli._unacked
+
+
+def test_fragment_loss_no_corruption():
+    """Advisor r2 scenario: drop one datagram of a 2-fragment
+    message, retransmit on timeout — the receiver must deliver the
+    ORIGINAL message intact (delivery gated on cumulative TSN order,
+    reassembly keyed by (sid, ssn)), and a following message must not
+    be corrupted by a stranded head fragment."""
+    srv = SctpAssociation(client=False)
+    cli = SctpAssociation(client=True)
+    cli.connect()
+    _pump(cli, srv)
+    sid = cli.create_channel("frag")
+    _pump(cli, srv)
+    big = bytes(1300)                    # 2 fragments (1200 + 100)
+    cli.send(sid, big)
+    first = cli.poll_transmit()          # drop the head fragment
+    assert first is not None
+    _pump(cli, srv)                      # tail arrives out of order
+    assert not [e for e in srv.events if e[0] == "message"]
+    cli.on_timeout()                     # retransmits both fragments
+    _pump(cli, srv)
+    msgs = [e for e in srv.events if e[0] == "message"]
+    assert len(msgs) == 1 and msgs[0][3] == big
+    # the next message is intact too (no stranded fragment state)
+    cli.send(sid, b"next message")
+    _pump(cli, srv)
+    msgs = [e for e in srv.events if e[0] == "message"]
+    assert msgs[-1][3] == b"next message"
+
+
+def test_tsn_wraparound():
+    """32-bit TSN wrap (initial TSN is random): serial arithmetic
+    must keep SACK pruning and in-order delivery working across the
+    0xFFFFFFFF -> 0 boundary."""
+    srv = SctpAssociation(client=False)
+    cli = SctpAssociation(client=True)
+    cli._next_tsn = 0xFFFFFFFE           # wraps during the session
+    cli.connect()
+    _pump(cli, srv)
+    sid = cli.create_channel("wrap")
+    _pump(cli, srv)
+    for i in range(6):
+        cli.send(sid, b"m%d" % i)
+        _pump(cli, srv)
+    msgs = [e[3] for e in srv.events if e[0] == "message"]
+    assert msgs == [b"m%d" % i for i in range(6)]
+    assert not cli._unacked              # SACK pruning crossed the wrap
+    assert cli._next_tsn < 16            # we really did wrap
+
+
+def test_serial_arithmetic():
+    from gstpu.net.webrtc.sctp import tsn_lt, tsn_lte
+    assert tsn_lt(5, 6) and not tsn_lt(6, 5) and not tsn_lt(5, 5)
+    assert tsn_lte(5, 5)
+    # across the wrap: 0xFFFFFFFF precedes 0
+    assert tsn_lt(0xFFFFFFFF, 0) and not tsn_lt(0, 0xFFFFFFFF)
+    assert tsn_lt(0xFFFFFFF0, 0x10)
