@@ -15,6 +15,8 @@ import hashlib
 from cryptography.hazmat.primitives.ciphers import (Cipher,
                                                     algorithms, modes)
 
+from gstpu.net.replay import ReplayWindow
+
 AUTH_TAG_LEN = 10                      # HMAC-SHA1-80
 
 
@@ -52,6 +54,9 @@ class SrtpContext:
             master_key, master_salt)
         self._roc: dict[int, int] = {}     # ssrc -> rollover counter
         self._last_seq: dict[int, int] = {}
+        # RFC 3711 §3.3.2 mandates a replay list per SSRC; indices
+        # are accepted into the window only after authentication
+        self._replay: dict[int, ReplayWindow] = {}
 
     # -- packet index -----------------------------------------------------
     def _index(self, ssrc: int, seq: int, *, sender: bool) -> int:
@@ -119,11 +124,15 @@ class SrtpContext:
         ssrc = int.from_bytes(pkt[8:12], "big")
         seq = int.from_bytes(pkt[2:4], "big")
         index = self._estimate_index(ssrc, seq)
+        window = self._replay.setdefault(ssrc, ReplayWindow())
+        if window.is_replay(index):
+            raise ValueError("srtp replay")
         roc = index >> 16
         want = hmac.new(self.ak, pkt + roc.to_bytes(4, "big"),
                         hashlib.sha1).digest()[:AUTH_TAG_LEN]
         if not hmac.compare_digest(tag, want):
             raise ValueError("srtp auth failure")
+        window.accept(index)
         self._commit_recv(ssrc, seq, index)
         hdr_len = 12 + 4 * (pkt[0] & 0x0F)
         if pkt[0] & 0x10:
@@ -146,7 +155,7 @@ class SrtcpContext:
         self.ck, self.ak, self.salt = derive_session_keys(
             master_key, master_salt, rtcp=True)
         self._send_index = 0
-        self._recv_seen: set[int] = set()
+        self._replay = ReplayWindow()
 
     def _keystream(self, ssrc: int, index: int, n: int) -> bytes:
         iv = ((int.from_bytes(self.salt, "big") << 16)
@@ -171,18 +180,16 @@ class SrtcpContext:
         if len(srtcp) < 8 + 4 + AUTH_TAG_LEN:
             raise ValueError("srtcp packet too short")
         pkt, tag = srtcp[:-AUTH_TAG_LEN], srtcp[-AUTH_TAG_LEN:]
+        e_index = int.from_bytes(pkt[-4:], "big")
+        encrypted = bool(e_index & 0x80000000)
+        index = e_index & 0x7FFFFFFF
+        if self._replay.is_replay(index):
+            raise ValueError("srtcp replay")
         want = hmac.new(self.ak, pkt, hashlib.sha1) \
             .digest()[:AUTH_TAG_LEN]
         if not hmac.compare_digest(tag, want):
             raise ValueError("srtcp auth failure")
-        e_index = int.from_bytes(pkt[-4:], "big")
-        encrypted = bool(e_index & 0x80000000)
-        index = e_index & 0x7FFFFFFF
-        if index in self._recv_seen:
-            raise ValueError("srtcp replay")
-        self._recv_seen.add(index)
-        if len(self._recv_seen) > 8192:
-            self._recv_seen.clear()
+        self._replay.accept(index)
         body = pkt[8:-4]
         if encrypted:
             ssrc = int.from_bytes(pkt[4:8], "big")

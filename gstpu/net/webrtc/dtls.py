@@ -36,6 +36,8 @@ from cryptography.hazmat.primitives.asymmetric.utils import (
     decode_dss_signature, encode_dss_signature)
 from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
+from gstpu.net.replay import ReplayWindow
+
 DTLS12 = 0xFEFD
 CT_CCS, CT_ALERT, CT_HANDSHAKE, CT_APPDATA = 20, 21, 22, 23
 HT_CLIENT_HELLO = 1
@@ -170,7 +172,9 @@ class DtlsEndpoint:
         self._cookie_secret = os.urandom(16)
         self._state = "new"
         self._keys = None          # (write_key, write_iv, read_key, read_iv)
-        self._read_seq_filter: set[tuple[int, int]] = set()
+        # per-epoch sliding replay window (advisor r2: a cleared-when-
+        # full set re-enabled replay of every previously seen record)
+        self._read_replay: dict[int, ReplayWindow] = {}
 
     @property
     def local_fingerprint(self) -> str:
@@ -278,7 +282,9 @@ class DtlsEndpoint:
             ln, = struct.unpack_from(">H", datagram, pos + 11)
             payload = datagram[pos + 13:pos + 13 + ln]
             pos += 13 + ln
-            if (epoch, rseq) in self._read_seq_filter:
+            window = self._read_replay.setdefault(
+                epoch, ReplayWindow(size=1024))
+            if window.is_replay(rseq):
                 continue            # replayed record
             if epoch == 1:
                 if self._keys is None:
@@ -286,9 +292,7 @@ class DtlsEndpoint:
                 # authenticate BEFORE marking the seq seen, so a
                 # spoofed record can't block the genuine one
                 payload = self._decrypt(ctype, payload)
-            self._read_seq_filter.add((epoch, rseq))
-            if len(self._read_seq_filter) > 8192:
-                self._read_seq_filter.clear()
+            window.accept(rseq)
             if ctype == CT_CCS:
                 self._peer_epoch_1 = True
                 continue

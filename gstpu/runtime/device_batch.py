@@ -258,30 +258,35 @@ def snapshot_context(ctx: DeviceContext, path: str) -> None:
     from gstpu.parallel.checkpoint import checkpoint
     states = [m.state for m in ctx.members if m.spec is not None]
     checkpoint(path, states, step=ctx.fire_count)
-    import pickle
-    with open(path + ".pending", "wb") as f:
-        pickle.dump([(bytes(m.pending), m.pts, m.rate,
-                      np.dtype(m.dtype).str if m.dtype else None)
-                     for m in ctx.members if m.spec is not None], f)
+    # JSON + base64 sidecar (NOT pickle: a checkpoint from an
+    # untrusted source must not execute code on restore)
+    import base64
+    import json
+    recs = [{"pending": base64.b64encode(bytes(m.pending)).decode(),
+             "pts": m.pts, "rate": m.rate,
+             "dtype": np.dtype(m.dtype).str if m.dtype else None}
+            for m in ctx.members if m.spec is not None]
+    with open(path + ".pending", "w") as f:
+        json.dump(recs, f)
 
 
 def restore_context(ctx: DeviceContext, path: str) -> None:
     """Restore member states into an equally-shaped context (same
     members in the same order, finalized)."""
-    import pickle
+    import base64
+    import json
 
     from gstpu.parallel.checkpoint import restore
     members = [m for m in ctx.members if m.spec is not None]
     like = [m.state for m in members]
     states, _step = restore(path, like)
-    with open(path + ".pending", "rb") as f:
-        pendings = pickle.load(f)
+    with open(path + ".pending") as f:
+        pendings = json.load(f)
     if len(pendings) != len(members):
         raise ValueError("checkpoint member count mismatch")
-    for m, st, (pend, pts, rate, dt) in zip(members, states,
-                                            pendings):
+    for m, st, rec in zip(members, states, pendings):
         m.state = st
-        m.pending = bytearray(pend)
-        m.pts = pts
-        m.rate = rate
-        m.dtype = np.dtype(dt) if dt else None
+        m.pending = bytearray(base64.b64decode(rec["pending"]))
+        m.pts = rec["pts"]
+        m.rate = rec["rate"]
+        m.dtype = np.dtype(rec["dtype"]) if rec["dtype"] else None

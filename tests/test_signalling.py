@@ -333,6 +333,10 @@ def test_srtp_protect_roundtrip_and_tamper():
         assert prot[:12] == pkt[:12]        # header in clear
         assert prot[12:-AUTH_TAG_LEN] != pkt[12:]
         assert rx.unprotect(prot) == pkt
+    # tamper a FRESH seq (a replayed index is rejected as replay
+    # before the auth check even runs)
+    pkt = RtpPacket(payload_type=96, seqnum=3, timestamp=0,
+                    ssrc=7, payload=bytes(range(32))).to_bytes()
     bad = bytearray(tx.protect(pkt))
     bad[-1] ^= 0xFF
     with pytest.raises(ValueError, match="auth"):
