@@ -12,7 +12,8 @@ from __future__ import annotations
 import numpy as np
 
 from gstpu.core.adapter import SampleAdapter
-from gstpu.core.audio import AUDIO_FORMATS, AudioInfo, audio_caps
+from gstpu.core.audio import (ALL_AUDIO_FORMATS, AUDIO_FORMATS,
+                              AudioInfo, audio_caps, unpack_s24)
 from gstpu.core.base import Aggregator, AggregatorPad, BaseTransform
 from gstpu.core.buffer import Buffer
 from gstpu.core.caps import AnyList, Caps, IntRange, Structure
@@ -25,6 +26,9 @@ SECOND = 1_000_000_000
 
 
 def _to_float(arr: np.ndarray, fmt: str) -> np.ndarray:
+    if fmt in ("S24BE", "S24LE"):
+        return unpack_s24(arr.tobytes(), fmt).astype(np.float64) \
+            / float(1 << 23)
     dt = AUDIO_FORMATS[fmt]
     x = arr.view(dt).astype(np.float64)
     if dt.kind == "f":
@@ -36,6 +40,11 @@ def _to_float(arr: np.ndarray, fmt: str) -> np.ndarray:
 
 
 def _from_float(x: np.ndarray, fmt: str) -> np.ndarray:
+    if fmt in ("S24BE", "S24LE"):
+        # logical int32 samples; AudioInfo.make_buffer packs to 3B
+        scale = float(1 << 23)
+        return np.clip(np.round(x * scale), -scale, scale - 1) \
+            .astype(np.int32)
     dt = AUDIO_FORMATS[fmt]
     if dt.kind == "f":
         return x.astype(dt)
@@ -60,7 +69,7 @@ class AudioConvert(BaseTransform):
         def repl(s: Structure):
             if s.name != "audio/x-raw":
                 return None
-            s["format"] = AnyList(tuple(AUDIO_FORMATS))
+            s["format"] = AnyList(ALL_AUDIO_FORMATS)
             s["channels"] = IntRange(1, 64)
             return s
         out = caps.map_structures(repl)

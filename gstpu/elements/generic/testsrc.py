@@ -106,8 +106,9 @@ class AudioTestSrc(PushSrc):
         dt = info.dtype
         if dt.kind == "f":
             return frames.astype(dt)
-        # integer formats: scale to full range
-        scale = float(2 ** (8 * dt.itemsize - 1) - 1)
+        # integer formats: scale to full range (wire sample width, so
+        # packed 24-bit scales to 2^23, not the i4 working dtype)
+        scale = float(2 ** (8 * info.sample_size - 1) - 1)
         return np.clip(np.round(frames * scale),
                        -scale - 1, scale).astype(dt)
 
@@ -118,8 +119,11 @@ class AudioTestSrc(PushSrc):
         n = self.samplesperbuffer
         frames = self._generate(n)
         pts = frames_to_ns(self._sample_offset, info.rate)
-        buf = Buffer(frames, pts=pts,
-                     duration=frames_to_ns(self._sample_offset + n, info.rate) - pts)
+        dur = frames_to_ns(self._sample_offset + n, info.rate) - pts
+        if info.packed24:
+            buf = info.make_buffer(frames, pts=pts, duration=dur)
+        else:
+            buf = Buffer(frames, pts=pts, duration=dur)
         buf.offset = self._sample_offset
         buf.offset_end = self._sample_offset + n
         self._sample_offset += n

@@ -97,6 +97,30 @@ def _linear_pair(bits: int, fmt: str):
                   rtp_caps(enc, **{"encoding-params": None})),
         ]
 
+        _bpf = bits // 8        # frame size; * channels in set caps
+
+        def set_sink_caps(self, caps) -> bool:
+            s = caps[0]
+            self._bpf = (bits // 8) * int(s.get("channels", 1))
+            return True
+
+        def handle_buffer(self, buf) -> None:
+            """MTU-fragment on FRAME boundaries with the RTP
+            timestamp advancing per packet (reference
+            linear_audio/pay/imp.rs: each packet's ts covers the
+            frames it carries)."""
+            data = buf.to_bytes()
+            rtp_ts = self.rtp_timestamp_for(buf)
+            frames_per_pkt = max(1, (self.mtu - 12) // self._bpf)
+            step = frames_per_pkt * self._bpf
+            chunks = [data[i:i + step]
+                      for i in range(0, len(data), step)] or [b""]
+            for i, c in enumerate(chunks):
+                self.queue_packet(
+                    c, marker=(i == len(chunks) - 1),
+                    rtp_ts=(rtp_ts + i * frames_per_pkt) & 0xFFFFFFFF,
+                    pts=buf.pts)
+
         def transform_caps(self, direction, caps, filter):
             if direction is PadDirection.SINK:
                 out = []
@@ -138,6 +162,9 @@ def _linear_pair(bits: int, fmt: str):
 
 _linear_pair(8, "U8")
 _linear_pair(16, "S16BE")
+# RFC 3551 §4.5.10 L24: packed S24BE linear audio (reference registers
+# L8/L16/L24 — net/rtp/src/linear_audio/pay/mod.rs:59-62)
+_linear_pair(24, "S24BE")
 
 
 # ---------------------------------------------------------------------------

