@@ -104,6 +104,11 @@ class Buffer:
         d = self.data
         if isinstance(d, (bytes, bytearray, memoryview)):
             return len(d)
+        # jax.Array / DeviceRow expose nbytes without a transfer —
+        # np.asarray here would download the payload just to size it
+        nbytes = getattr(d, "nbytes", None)
+        if nbytes is not None:
+            return int(nbytes)
         return int(np.asarray(d).nbytes) if d is not None else 0
 
     def to_bytes(self) -> bytes:

@@ -57,10 +57,11 @@ class AudioEcho(AudioFilter):
                        blurb="DeviceContext name: elements sharing it "
                              "execute as ONE batched device dispatch "
                              "(threadshare context analogue)")
-    context_block = Property(int, default=19_200, minimum=64,
+    context_block = Property(int, default=None, minimum=64,
                              mutable=Mutability.READY,
                              blurb="Batch block size in flattened "
-                                   "samples (context members agree)")
+                                   "samples (context members agree; "
+                                   "default 19200)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -105,7 +106,11 @@ class AudioEcho(AudioFilter):
         return dict(key=("rsaudioecho", d, size),
                     step=step,
                     init_state=lambda: echo_ops.make_state((), size),
-                    uniforms=lambda: (self.intensity, self.feedback))
+                    uniforms=lambda: (self.intensity, self.feedback),
+                    # echo_block handles any width: required when this
+                    # element feeds a priming stage (audioloudnorm's
+                    # 3 s first frame) in a fused chain
+                    wide_ok=True)
 
     def make_batch_buffer(self, flat: np.ndarray, pts, dur) -> Buffer:
         return Buffer(flat.reshape(-1, self.audio_info.channels),

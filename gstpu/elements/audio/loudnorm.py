@@ -543,6 +543,19 @@ class AudioLoudNorm(Element):
                              mutable=Mutability.READY)
     offset = Property(float, default=0.0, minimum=-99.0, maximum=99.0,
                       mutable=Mutability.READY)
+    context = Property(str, default=None, mutable=Mutability.READY,
+                       blurb="DeviceContext name: run the device "
+                             "loudnorm core (ops/loudnorm_dev) batched "
+                             "with other members / fused with linked "
+                             "chain members")
+    context_block = Property(int, default=None, minimum=64,
+                             mutable=Mutability.READY,
+                             blurb="Batch block in flattened samples "
+                                   "(default FRAME*channels)")
+    device_gating_blocks = Property(
+        int, default=4096, minimum=16, mutable=Mutability.READY,
+        blurb="Device-core gated-loudness history capacity in 400 ms "
+              "blocks (409.6 s default; the host path is unbounded)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -552,14 +565,108 @@ class AudioLoudNorm(Element):
         self.sinkpad.event_function = self._sink_event
         self.srcpad.query_function = self._src_query
         self._state: _LoudNormState | None = None
+        self._ctx = None
+        self._info: AudioInfo | None = None
 
     def _settings(self) -> dict:
         return dict(loudness_target=self.loudness_target,
                     loudness_range_target=self.loudness_range_target,
                     max_true_peak=self.max_true_peak, offset=self.offset)
 
+    # -- DeviceContext contract (runtime/device_batch.py) ---------------
+    # The device core is gstpu/ops/loudnorm_dev — the same math this
+    # element's host path implements (control-flow-exact vs the
+    # reference, imp.rs:845-1437; parity gated in
+    # tests/test_loudnorm_device.py).  In context mode the element is
+    # a chain stage: 100 ms inner steps after a 3 s priming frame.
+    def start(self) -> bool:
+        if self.context:
+            from gstpu.runtime.device_batch import DeviceContext
+            self._ctx = DeviceContext.acquire(self.context,
+                                              self.context_block)
+            self._ctx.add_member(self)
+        return True
+
+    # loudnorm_dev state layout vs the context's per-stream pytrees:
+    # the kernel flattens the biquad states to (B*C, 2) and keeps a
+    # few frame counters UNBATCHED (identical across lanes by
+    # construction); the context stacks per-chain per-stream states,
+    # so adapt by key name in both directions.
+    _Z_KEYS = ("z_in1", "z_in2", "z_out1", "z_out2")
+    _SCALAR_KEYS = ("nsub_in", "nsub_out", "gidx")
+
+    def device_batch_spec(self) -> dict:
+        import jax.numpy as jnp
+
+        from gstpu.ops.loudnorm_dev import (LoudnormParams, init_state,
+                                            make_steps)
+        info = self._info
+        params = LoudnormParams(
+            channels=info.channels,
+            loudness_target=self.loudness_target,
+            loudness_range_target=self.loudness_range_target,
+            max_true_peak=self.max_true_peak,
+            max_blocks=self.device_gating_blocks)
+        first_step, inner_step = make_steps(params)
+        offset_db = self.offset
+        C = info.channels
+        Z, S = self._Z_KEYS, self._SCALAR_KEYS
+
+        def init_nobatch():
+            st = init_state(params, 1, offset_db=offset_db)
+            return {k: (v if k in S else v[0] if k not in Z
+                        else v)                    # z: keep (C, 2)
+                    for k, v in st.items()}
+
+        def _rebatch(fn):
+            def wrapped(st, x, *unis):
+                B = x.shape[0]
+                st = {k: (v[0] if k in S else
+                          v.reshape(B * C, 2) if k in Z else v)
+                      for k, v in st.items()}
+                res = fn(st, x)
+                st2 = {k: (jnp.broadcast_to(v, (B,)) if k in S else
+                           v.reshape(B, C, 2) if k in Z else v)
+                       for k, v in res[0].items()}
+                return (st2,) + res[1:]
+            return wrapped
+
+        return dict(
+            key=("audioloudnorm", params),
+            step=_rebatch(inner_step),
+            prime=_rebatch(first_step),
+            prime_blocks=30,
+            init_state=init_nobatch,
+            uniforms=lambda: (),
+            compute_dtype=np.float64)
+
+    def make_batch_buffer(self, flat, pts, dur) -> Buffer:
+        from gstpu.runtime.device_batch import DeviceRow
+        if isinstance(flat, DeviceRow):
+            return Buffer(flat, pts=pts, duration=dur)
+        return Buffer(np.asarray(flat).reshape(-1, self._info.channels),
+                      pts=pts, duration=dur)
+
+    def stop(self) -> bool:
+        if self._ctx is not None:
+            self._ctx.remove_member(self)
+            self._ctx = None
+        self._state = None
+        return True
+
     # -- dataflow ------------------------------------------------------
     def _sink_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        if self._ctx is not None:
+            # chain-head submission (standalone context member); when
+            # an upstream element of the same context feeds this one,
+            # data enters at THAT head and this pad carries only events
+            info = self._info
+            from gstpu.runtime.device_batch import DeviceRow, _is_device
+            data = buf.data if _is_device(buf.data) \
+                else info.view(buf).astype(np.float64).reshape(-1)
+            self._ctx.submit(self, data, buf.pts,
+                             info.rate * info.channels)
+            return FlowReturn.OK
         st = self._state
         if st is None:
             return FlowReturn.NOT_NEGOTIATED
@@ -609,6 +716,27 @@ class AudioLoudNorm(Element):
 
     # -- events --------------------------------------------------------
     def _sink_event(self, pad: Pad, ev: Event) -> bool:
+        if self._ctx is not None:
+            if isinstance(ev, CapsEvent):
+                self._info = AudioInfo.from_caps(ev.caps)
+                if self._info.rate != 192_000:
+                    self.post_error("audioloudnorm requires 192 kHz")
+                    return False
+                want = FRAME_SIZE * self._info.channels
+                if self._ctx.block != want:
+                    raise ValueError(
+                        f"audioloudnorm needs context-block={want} "
+                        f"(100 ms of flattened samples), context "
+                        f"{self._ctx.name!r} has {self._ctx.block}: "
+                        f"set context-block={want} on every chain "
+                        f"member")
+                self._ctx.finalize_member(self)
+            elif isinstance(ev, EosEvent):
+                # drain this chain if we are its head (mid-chain
+                # members were already drained when their head was)
+                for b in self._ctx.flush_member(self):
+                    self.srcpad.push(b)
+            return self.srcpad.push_event(ev)
         if isinstance(ev, CapsEvent):
             info = AudioInfo.from_caps(ev.caps)
             outbuf = self._drain()
@@ -675,6 +803,20 @@ class EbuR128Level(BaseTransform):
     interval = Property(int, default=SECOND, minimum=1,
                         mutable=Mutability.READY,
                         blurb="Message interval (ns)")
+    context = Property(str, default=None, mutable=Mutability.READY,
+                       blurb="DeviceContext name: meter on device, "
+                             "batched/fused with chain members "
+                             "(modes momentary/short-term/global/"
+                             "sample-peak)")
+    context_block = Property(int, default=None, minimum=64,
+                             mutable=Mutability.READY)
+    device_gating_blocks = Property(int, default=4096, minimum=16,
+                                    mutable=Mutability.READY)
+
+    # modes the device meter stage supports (LRA percentile history
+    # and 4x-oversampled true peak stay host-side)
+    _DEVICE_MODES = frozenset(("momentary", "short-term", "global",
+                               "sample-peak"))
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -683,14 +825,47 @@ class EbuR128Level(BaseTransform):
         self._interval_frames = 0
         self._interval_remaining = 0
         self._num_frames = 0
+        self._ctx = None
 
     def _modes(self) -> tuple[str, ...]:
         if self.mode == "all":
             return ALL_MODES
         return tuple(m.strip() for m in self.mode.split(","))
 
+    def start(self) -> bool:
+        if self.context:
+            bad = set(self._modes()) - self._DEVICE_MODES
+            if bad:
+                raise ValueError(
+                    f"ebur128level context mode supports "
+                    f"{sorted(self._DEVICE_MODES)}; unsupported: "
+                    f"{sorted(bad)} (unset `context` for the host "
+                    f"meter)")
+            from gstpu.runtime.device_batch import DeviceContext
+            self._ctx = DeviceContext.acquire(self.context,
+                                              self.context_block)
+            self._ctx.add_member(self)
+        return True
+
+    def stop(self) -> bool:
+        if self._ctx is not None:
+            self._ctx.remove_member(self)
+            self._ctx = None
+        return True
+
     def set_caps(self, incaps: Caps, outcaps: Caps) -> bool:
         self._info = AudioInfo.from_caps(incaps)
+        if self._ctx is not None:
+            if self._info.rate != 192_000:
+                self.post_error("ebur128level device metering runs at "
+                                "192 kHz (the loudnorm-chain rate)")
+                return False
+            self._interval_frames = (self.interval * self._info.rate) \
+                // SECOND
+            self._interval_remaining = self._interval_frames
+            self._num_frames = 0
+            self._ctx.finalize_member(self)
+            return True
         m = set()
         for mm in self._modes():
             m.add({"momentary": "M", "short-term": "S", "global": "I",
@@ -703,13 +878,99 @@ class EbuR128Level(BaseTransform):
         self._num_frames = 0
         return True
 
+    # -- DeviceContext contract -----------------------------------------
+    def device_batch_spec(self) -> dict:
+        from gstpu.ops.loudnorm_dev import (LoudnormParams,
+                                            init_meter_state,
+                                            make_meter_step)
+        import jax.numpy as jnp
+        C = self._info.channels
+        params = LoudnormParams(channels=C,
+                                max_blocks=self.device_gating_blocks)
+        meter = make_meter_step(params)
+        Z, S = ("z_in1", "z_in2"), ("nsub_in",)
+
+        def init_nobatch():
+            st = init_meter_state(params, 1)
+            return {k: (v if k in S else v if k in Z else v[0])
+                    for k, v in st.items()}
+
+        def step(st, x):
+            B = x.shape[0]
+            st = {k: (v[0] if k in S else
+                      v.reshape(B * C, 2) if k in Z else v)
+                  for k, v in st.items()}
+            st2, out, aux = meter(st, x)
+            st2 = {k: (jnp.broadcast_to(v, (B,)) if k in S else
+                       v.reshape(B, C, 2) if k in Z else v)
+                   for k, v in st2.items()}
+            return st2, out, aux
+
+        return dict(key=("ebur128level", params), step=step,
+                    init_state=init_nobatch, uniforms=lambda: (),
+                    wide_ok=True, compute_dtype=np.float64)
+
+    def make_batch_buffer(self, flat, pts, dur) -> Buffer:
+        from gstpu.runtime.device_batch import DeviceRow
+        if isinstance(flat, DeviceRow):
+            return Buffer(flat, pts=pts, duration=dur)
+        return Buffer(np.asarray(flat).reshape(-1, self._info.channels),
+                      pts=pts, duration=dur)
+
+    def consume_batch_aux(self, aux, lane: int, pts) -> None:
+        """Per-fire metering values from the device stage; post
+        `ebur128-level` messages at interval boundaries (interval is
+        block-quantized in context mode)."""
+        # frames covered by this fire = the chain's output block
+        block_frames = (self._ctx.block // self._info.channels)
+        self._num_frames += block_frames
+        self._interval_remaining -= block_frames
+        if self._interval_remaining > 0:
+            return
+        self._interval_remaining = self._interval_frames
+        if not self.post_messages:
+            return
+        modes = self._modes()
+        fields = {"timestamp": pts}
+        if "momentary" in modes:
+            fields["momentary-loudness"] = float(
+                np.asarray(aux["momentary"])[lane])
+        if "short-term" in modes:
+            fields["shortterm-loudness"] = float(
+                np.asarray(aux["shortterm"])[lane])
+        if "global" in modes:
+            fields["global-loudness"] = float(
+                np.asarray(aux["global_"])[lane])
+            fields["relative-threshold"] = float(
+                np.asarray(aux["relative_threshold"])[lane])
+        if "sample-peak" in modes:
+            fields["sample-peak"] = tuple(
+                np.asarray(aux["speak"])[lane].tolist())
+        self.post_element_message("ebur128-level", **fields)
+
+    def transform_ip_context(self, buf: Buffer):
+        from gstpu.runtime.device_batch import _is_device
+        info = self._info
+        data = buf.data if _is_device(buf.data) \
+            else info.view(buf).astype(np.float64).reshape(-1)
+        self._ctx.submit(self, data, buf.pts,
+                         info.rate * info.channels)
+        return []
+
+    def drain(self) -> list[Buffer]:
+        if self._ctx is not None:
+            return self._ctx.flush_member(self)
+        return []
+
     def _to_float(self, arr: np.ndarray) -> np.ndarray:
         if arr.dtype.kind == "f":
             return arr.astype(np.float64)
         scale = float(2 ** (8 * arr.dtype.itemsize - 1))
         return arr.astype(np.float64) / scale
 
-    def transform_ip(self, buf: Buffer) -> None:
+    def transform_ip(self, buf: Buffer):
+        if self._ctx is not None:
+            return self.transform_ip_context(buf)
         info, meter = self._info, self._meter
         frames = self._to_float(info.view(buf))
         pts = buf.pts

@@ -3,12 +3,13 @@ signalling protocol.
 
 Rebuilds the reference webrtcsink's control plane (net/webrtc/src/
 webrtcsink: announce as producer, accept startSession, exchange SDP
-through `peer` messages, payload media as RTP per consumer).  The
-ICE/DTLS transport the reference gets from webrtcbin has no
-counterpart in this zero-egress environment; instead each consumer
-session exposes an RTP src pad (`session_%s`) the application routes
-over its own transport (udpsink, intersink, quinnroq framing...) —
-that boundary is the documented env gate in PARITY.md.
+through `peer` messages, payload media as RTP per consumer) AND, with
+`enable-data-transport=true`, the full data plane: each session runs
+gstpu's own sans-IO ICE+DTLS+SRTP stack over live UDP sockets
+(`WebRtcTransport`, wired below) — the role webrtcbin/str0m plays for
+the reference.  Without it, each consumer session instead exposes an
+RTP src pad (`session_%s`) the application routes over its own
+transport (udpsink, intersink, quinnroq framing...).
 """
 
 from __future__ import annotations

@@ -7,8 +7,11 @@ K-weighting as exact block state-space biquads (gstpu.ops.biquad.
 make_block_biquad).
 
 This is ONE implementation shared by the `audioloudnorm` element's
-device engine (B=1) and the batched bench/parallel chain (B=N):
-element == chain bit-identity is structural, not asserted.
+DeviceContext execution path (elements/audio/loudnorm.py
+device_batch_spec — chains of pipelines batch through it via
+runtime/device_batch.py) and the batched bench/parallel chain
+(parallel/chains.py, bench.py): element == chain bit-identity is
+structural, not asserted.
 
 Exactness ledger (vs the host numpy element, which is sample-exact
 against the literal reference transcription in tests/literal_loudnorm):
@@ -483,6 +486,58 @@ def _limiter_first_special(params: LoudnormParams, lim, gr1, lstate,
 # ---------------------------------------------------------------------------
 
 from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def make_meter_step(params: LoudnormParams):
+    """Standalone ebur128level device stage (reference audio/audiofx/
+    src/ebur128level/imp.rs metering modes M/S/I/sample-peak): a
+    passthrough step for DeviceContext chains returning (state, x,
+    aux) with aux = dict(momentary, shortterm, global_,
+    relative_threshold (B,) LUFS; speak (B, C) linear).
+
+    Wide-capable: x may be any multiple of FRAME*C (needed when the
+    stage sits upstream of a priming stage or runs the 3 s prime
+    output).  LRA and oversampled true-peak stay host-side (the
+    element falls back when those modes are requested)."""
+    C = params.channels
+    measure, window_energy = _make_measure(params)
+
+    @jax.jit
+    def meter_step(st, x):
+        z1, z2, e = measure(st["z_in1"], st["z_in2"], x)
+        ring, nsub = st["ring_in"], st["nsub_in"]
+        blocks, bcount = st["blocks"], st["bcount"]
+        for k in range(e.shape[1]):                 # static unroll
+            ring = jnp.concatenate([ring[:, 1:, :], e[:, k:k + 1, :]],
+                                   axis=1)
+            nsub = nsub + 1
+            eb = window_energy(ring, 4)
+            blocks, bcount = jax.lax.cond(
+                nsub >= 4, _gating_append,
+                lambda b, c, v: (b, c), blocks, bcount, eb)
+        speak = jnp.maximum(
+            st["speak"],
+            jnp.max(jnp.abs(x.reshape(x.shape[0], -1, C)), axis=1))
+        global_, rel_th = _global_and_threshold(blocks, bcount)
+        aux = dict(
+            momentary=_loudness(window_energy(ring, 4)),
+            shortterm=_loudness(window_energy(ring, 30)),
+            global_=global_, relative_threshold=rel_th, speak=speak)
+        st = dict(st, z_in1=z1, z_in2=z2, ring_in=ring, nsub_in=nsub,
+                  blocks=blocks, bcount=bcount, speak=speak)
+        return st, x, aux
+    return meter_step
+
+
+def init_meter_state(params: LoudnormParams, batch: int) -> dict:
+    C = params.channels
+    z = lambda *s: jnp.zeros(s, jnp.float64)  # noqa: E731
+    return dict(z_in1=z(batch * C, 2), z_in2=z(batch * C, 2),
+                ring_in=z(batch, 30, C), nsub_in=jnp.int32(0),
+                blocks=z(batch, params.max_blocks),
+                bcount=jnp.zeros(batch, jnp.int32),
+                speak=z(batch, C))
 
 
 @lru_cache(maxsize=None)

@@ -7,9 +7,25 @@ The TPU analogue (SURVEY §7 L2', §2.8 P2): elements that expose a
 device kernel JOIN a named DeviceContext; the context is the batching
 window — it re-blocks each member stream to the kernel block size,
 and when every active member has a block it runs ONE jitted step over
-the stacked (B, block) batch and distributes the outputs to every
-member's src pad.  N streams -> one device dispatch, instead of N
-per-buffer dispatches.
+the stacked (B, block) batch and distributes the outputs.
+N streams -> one device dispatch, instead of N per-buffer dispatches.
+
+CHAIN FUSION (the L2' "a chain of elements becomes one jitted
+function" — as the execution path, not just ops/parallel/chains.py):
+when members of one context are LINKED through pads (e.g. every
+pipeline runs `rsaudioecho ! audioloudnorm ! ebur128level`, all three
+naming the same context), the context discovers the chains from pad
+topology and compiles the stage kernels into ONE fused jitted step.
+Data enters at each chain's head element and leaves from its tail
+element's src pad; the intermediate pads carry only events.  One
+dispatch per block round covers every stage of every stream.
+
+Device-resident dataflow: a member may submit jax arrays (or
+DeviceRow views of a shared (B, n) bank) instead of host samples; the
+batch is then assembled on device and outputs are distributed as lazy
+DeviceRow buffers — no host<->device transfer in the steady state
+(how the real chip is fed in production; the dev tunnel's ~45 MB/s
+would otherwise be the measurement).
 
 Overlap: with depth=2 the context submits batch k and only then
 materializes batch k-1's outputs (JAX dispatch is async), so host
@@ -17,15 +33,25 @@ demux/distribution overlaps device compute — the double-buffered
 H2D/D2H executor of SURVEY §7 L2'.  depth=1 distributes immediately.
 
 Usage (element side): implement `device_batch_spec()` returning
-  dict(key=<hashable kernel identity: members must match>,
-       step=f(states, x (B, N), *uniform_arrays) -> (states, out),
+  dict(key=<hashable kernel identity: stage members must match>,
+       step=f(states, x (B, N), *uniform_arrays) -> (states, out)
+            or -> (states, out, aux)   # aux: metering pytree, (B,...)
        init_state=f() -> per-stream state pytree (no batch dim),
-       uniforms=f() -> tuple of per-stream uniform scalars)
-and call DeviceContext.acquire(name).add_member(element) in setup().
-Elements with a `context` property (rsaudioecho) wire this up
+       uniforms=f() -> tuple of per-stream uniform scalars,
+       # optional:
+       prime=f(states, x (B, prime_blocks*N)) -> like step
+            — a first-fire priming phase (audioloudnorm's 3 s
+              lookahead frame); output is ONE block
+       prime_blocks=int,
+       wide_ok=True   # step accepts arbitrary-width x (an element
+                      # upstream of a priming stage needs this)
+       )
+and call DeviceContext.acquire(name).add_member(element) in start().
+Elements with a `context` property (rsaudioecho, audioloudnorm,
+ebur128level, audiornnoise, hsvfilter, colorlut, ...) wire this up
 automatically.  Per-stream outputs are bit-identical to the unbatched
-path: kernels are batched elementwise and state rows are masked, so
-batching never mixes streams.
+B=1 path on the same backend: kernels are batched elementwise and
+state rows are independent, so batching never mixes streams.
 """
 
 from __future__ import annotations
@@ -42,16 +68,93 @@ CAT = debug_category("devicebatch")
 SECOND = 1_000_000_000
 
 
+class DeviceRow:
+    """Lazy view of row `idx` of a device-resident (B, n) array.
+
+    Used both for zero-RPC submission (rows of a pre-uploaded bank)
+    and for lazy output distribution (slicing every row eagerly would
+    issue B device ops per fire over the tunnel)."""
+
+    __slots__ = ("parent", "idx", "n")
+
+    def __init__(self, parent, idx: int, n: int | None = None):
+        self.parent = parent
+        self.idx = idx
+        self.n = int(parent.shape[1] if n is None else n)
+
+    @property
+    def shape(self):
+        return (self.n,)
+
+    @property
+    def dtype(self):
+        return self.parent.dtype
+
+    @property
+    def nbytes(self) -> int:
+        return self.n * np.dtype(self.parent.dtype).itemsize
+
+    def jax(self):
+        row = self.parent[self.idx]
+        return row[: self.n] if self.n != self.parent.shape[1] else row
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self.jax())
+        return a.astype(dtype) if dtype is not None else a
+
+
+def _is_device(x) -> bool:
+    """jax.Array or DeviceRow (duck-typed; avoids importing jax at
+    module load)."""
+    return isinstance(x, DeviceRow) or type(x).__module__.startswith(
+        ("jax", "jaxlib"))
+
+
 @dataclass
 class _Member:
     element: object
-    spec: dict
+    spec: dict | None
     state: object            # per-stream device pytree (no batch dim)
     pending: bytearray = field(default_factory=bytearray)
+    dev_rows: list = field(default_factory=list)   # device submissions
+    dev_avail: int = 0       # flattened samples queued in dev_rows
     dtype: object = None
     pts: int | None = None
     rate: int = 0            # flattened samples per second (for pts)
     active: bool = True
+    primed: bool = False     # chain-head flag: priming fire done
+    out_pts: int | None = None   # chain-head output pts cursor
+
+
+@dataclass
+class _Chain:
+    members: list            # [_Member] head..tail
+
+    @property
+    def head(self):
+        return self.members[0]
+
+    @property
+    def tail(self):
+        return self.members[-1]
+
+    # chain-level state lives on the head member so that topology
+    # rebuilds (late joiners) never lose it
+    @property
+    def primed(self):
+        return self.head.primed
+
+    @primed.setter
+    def primed(self, v):
+        self.head.primed = v
+
+    @property
+    def out_pts(self):
+        return self.head.out_pts
+
+    @out_pts.setter
+    def out_pts(self, v):
+        self.head.out_pts = v
 
 
 class DeviceContext:
@@ -60,12 +163,19 @@ class DeviceContext:
     _registry: dict[str, "DeviceContext"] = {}
 
     @classmethod
-    def acquire(cls, name: str, block: int = 19_200,
+    def acquire(cls, name: str, block: int | None = None,
                 depth: int = 1) -> "DeviceContext":
         ctx = cls._registry.get(name)
         if ctx is None:
-            ctx = cls._registry[name] = DeviceContext(name, block,
-                                                      depth)
+            # block 0 = "sized from negotiated caps" (video elements
+            # set it at finalize); None = default audio block
+            ctx = cls._registry[name] = DeviceContext(
+                name, 19_200 if block is None else block, depth)
+        elif block and ctx.block != block:
+            raise ValueError(
+                f"device-context {name!r} exists with block "
+                f"{ctx.block}, requested {block} (set the same "
+                f"context-block on every member)")
         return ctx
 
     @classmethod
@@ -77,10 +187,11 @@ class DeviceContext:
         self.block = block            # flattened samples per fire
         self.depth = depth            # 1 = immediate, 2 = overlapped
         self.members: list[_Member] = []
-        self.key = None
+        self.chains: list[_Chain] | None = None
+        self.key = None               # tuple of stage keys
         self.fire_count = 0
-        self._step = None
-        self._pending_fire = None     # (device outs, members, metas)
+        self._fused = None            # (step_fn, prime_fn, n_stages)
+        self._pending_fire = None     # (outs, chains, metas, device)
 
     # -- membership -----------------------------------------------------
     def add_member(self, element) -> _Member:
@@ -93,20 +204,14 @@ class DeviceContext:
         if m is None:
             m = _Member(element=element, spec=None, state=None)
             self.members.append(m)
+            self.chains = None        # topology changed
         return m
 
     def finalize_member(self, element) -> _Member:
         m = self.add_member(element)
-        spec = element.device_batch_spec()
-        if self.key is None:
-            self.key = spec["key"]
-        elif spec["key"] != self.key:
-            raise ValueError(
-                f"device-context {self.name!r}: kernel {spec['key']!r} "
-                f"does not match the context's {self.key!r} (members "
-                f"of one context must share static kernel parameters)")
-        m.spec = spec
-        m.state = spec["init_state"]()
+        m.spec = element.device_batch_spec()
+        m.state = m.spec["init_state"]()
+        self.chains = None
         return m
 
     def member_for(self, element) -> _Member | None:
@@ -119,131 +224,348 @@ class DeviceContext:
         m = self.member_for(element)
         if m is not None:
             self.members.remove(m)
+            self.chains = None
         if not self.members:
             DeviceContext._registry.pop(self.name, None)
 
+    # -- chain discovery --------------------------------------------------
+    def _build_chains(self) -> bool:
+        """Group FINALIZED members into pad-linked chains.  Unfinalized
+        members hold the batch window open (try_fire waits) but do not
+        block chain construction — an EOS drain of a finalized chain
+        must proceed regardless.  Returns False if nothing usable."""
+        fin = [m for m in self.members if m.spec is not None]
+        self._has_unfinalized = len(fin) != len(self.members)
+        if not fin:
+            return False
+        by_el = {id(m.element): m for m in fin}
+
+        def downstream(m):
+            src = getattr(m.element, "srcpad", None)
+            peer = getattr(src, "peer", None)
+            el = getattr(peer, "element", None)
+            return by_el.get(id(el)) if el is not None else None
+
+        downs = {id(m): downstream(m) for m in fin}
+        tails = {id(d) for d in downs.values() if d is not None}
+        heads = [m for m in fin if id(m) not in tails]
+        chains = []
+        seen = set()
+        for h in heads:
+            links, m = [], h
+            while m is not None and id(m) not in seen:
+                seen.add(id(m))
+                links.append(m)
+                m = downs[id(m)]
+            chains.append(_Chain(members=links))
+        if len(seen) != len(fin):
+            raise ValueError(
+                f"device-context {self.name!r}: members form a cycle")
+        key = tuple(tuple(s.spec["key"] for s in c.members)
+                    for c in chains)
+        if len(set(key)) != 1:
+            raise ValueError(
+                f"device-context {self.name!r}: chains differ: "
+                f"{sorted(set(key))} (all chains of one context must "
+                f"run the same kernel sequence)")
+        self.key = key[0]
+        self.chains = chains
+        self._fused = self._compose([s.spec for s in chains[0].members])
+        return True
+
+    def _compose(self, specs: list[dict]):
+        """Fuse the stage kernels of one chain shape into single
+        jitted step/prime functions over (B, n) batches."""
+        import jax
+
+        prime_idx = [j for j, s in enumerate(specs)
+                     if s.get("prime") is not None]
+        if len(prime_idx) > 1:
+            raise ValueError("at most one priming stage per chain")
+        pj = prime_idx[0] if prime_idx else None
+        if pj is not None:
+            for j in range(pj):
+                if not specs[j].get("wide_ok"):
+                    raise ValueError(
+                        f"stage {specs[j]['key']!r} is upstream of a "
+                        f"priming stage but not wide_ok")
+        n_stages = len(specs)
+
+        def run(states, x, unis, priming):
+            aux = [None] * n_stages
+            new_states = []
+            for j, spec in enumerate(specs):
+                fn = spec["prime"] if (priming and j == pj) \
+                    else spec["step"]
+                res = fn(states[j], x, *unis[j])
+                if len(res) == 3:
+                    st, x, aux[j] = res
+                else:
+                    st, x = res
+                new_states.append(st)
+            return tuple(new_states), x, aux
+
+        step = jax.jit(lambda states, x, unis: run(states, x, unis,
+                                                   False))
+        prime = jax.jit(lambda states, x, unis: run(states, x, unis,
+                                                    True)) \
+            if pj is not None else step
+        return step, prime, n_stages
+
+    def _prime_blocks(self) -> int:
+        return max((s.spec.get("prime_blocks", 1)
+                    for s in self.chains[0].members), default=1)
+
     # -- dataflow ---------------------------------------------------------
-    def submit(self, element, samples: np.ndarray, pts, rate) -> None:
-        """Append one stream's interleaved flat samples (host view)."""
+    def submit(self, element, samples, pts, rate) -> None:
+        """Append one stream's flat samples — a host ndarray, a jax
+        array, or a DeviceRow of a shared bank — at the chain's head
+        element."""
         m = self.member_for(element)
-        if m.pts is None and pts is not None:
-            m.pts = pts - (len(m.pending) // samples.dtype.itemsize
-                           * SECOND // max(rate, 1))
-        m.dtype = samples.dtype
-        m.rate = rate
-        m.pending.extend(samples.tobytes())
+        if _is_device(samples):
+            n = int(samples.shape[-1])
+            if m.pts is None and pts is not None:
+                m.pts = pts - m.dev_avail * SECOND // max(rate, 1)
+            m.dtype = np.dtype(samples.dtype)
+            m.rate = rate
+            m.dev_rows.append(samples)
+            m.dev_avail += n
+        else:
+            if m.pts is None and pts is not None:
+                m.pts = pts - (len(m.pending) // samples.dtype.itemsize
+                               * SECOND // max(rate, 1))
+            m.dtype = samples.dtype
+            m.rate = rate
+            m.pending.extend(samples.tobytes())
         self.try_fire()
 
-    def _ready(self, m: _Member) -> bool:
-        if m.spec is None:
-            return False
+    def _avail(self, m: _Member) -> int:
+        if m.dev_rows:
+            return m.dev_avail
         item = np.dtype(m.dtype).itemsize if m.dtype else 8
-        return len(m.pending) >= self.block * item
+        return len(m.pending) // item
+
+    def _need(self, c: _Chain) -> int:
+        return self.block * (1 if c.primed else self._prime_blocks())
 
     def try_fire(self, force: bool = False) -> None:
-        active = [m for m in self.members if m.active]
+        if self.chains is None and not self._build_chains():
+            return
+        if getattr(self, "_has_unfinalized", False) and not force:
+            return                    # membership still incomplete
+        active = [c for c in self.chains if c.head.active]
         if not active:
             return
         while True:
-            ready = [m for m in active if self._ready(m)]
-            if not ready or (not force and len(ready) != len(active)):
+            ready = [c for c in active
+                     if self._avail(c.head) >= self._need(c)]
+            # chains must fire in phase lockstep: a mixed
+            # primed/unprimed set fires the unprimed group first
+            if ready:
+                unprimed = [c for c in ready if not c.primed]
+                ready = unprimed or ready
+                want = ([c for c in active if not c.primed]
+                        if unprimed else active)
+            else:
+                want = active
+            if not ready or (not force and len(ready) != len(want)):
                 break
             self._fire(ready)
             if force:
                 break
 
-    def _fire(self, ready: list[_Member]) -> None:
+    def _take_input(self, m: _Member, n: int):
+        """Pop n flattened samples from a member; returns
+        (host_row | device_obj, device?)."""
+        if m.dev_rows:
+            if m.dev_rows and isinstance(m.dev_rows[0], DeviceRow) \
+                    and m.dev_rows[0].n == n:
+                row = m.dev_rows.pop(0)
+                m.dev_avail -= n
+                return row, True
+            import jax.numpy as jnp
+            rows, have = [], 0
+            while have < n and m.dev_rows:
+                r = m.dev_rows.pop(0)
+                rj = r.jax() if isinstance(r, DeviceRow) else r
+                rows.append(rj)
+                have += int(rj.shape[-1])
+            m.dev_avail -= n
+            cat = rows[0] if len(rows) == 1 else jnp.concatenate(rows)
+            if have > n:                      # push back the excess
+                m.dev_rows.insert(0, cat[n:])
+                cat = cat[:n]
+            return cat, True
+        item = np.dtype(m.dtype).itemsize
+        row = np.frombuffer(bytes(m.pending[:n * item]), dtype=m.dtype)
+        del m.pending[:n * item]
+        return row, False
+
+    def _stack_states(self, chains, stage_j):
+        import jax
+        return jax.tree_util.tree_map(
+            lambda *leaves: jax.numpy.stack(leaves),
+            *[c.members[stage_j].state for c in chains])
+
+    def _fire(self, ready: list[_Chain]) -> None:
         import jax
         import jax.numpy as jnp
 
-        spec = ready[0].spec
-        rows, metas = [], []
-        for m in ready:
-            item = np.dtype(m.dtype).itemsize
-            nbytes = self.block * item
-            row = np.frombuffer(bytes(m.pending[:nbytes]),
-                                dtype=m.dtype)
-            del m.pending[:nbytes]
-            pts = m.pts
+        priming = not ready[0].primed
+        n = self.block * (self._prime_blocks() if priming else 1)
+        step, prime, n_stages = self._fused
+        specs = [s.spec for s in ready[0].members]
+
+        rows, metas, dev_in = [], [], False
+        for c in ready:
+            h = c.head
+            row, is_dev = self._take_input(h, n)
+            dev_in = dev_in or is_dev
+            pts = h.pts
             if pts is not None:
-                m.pts = pts + self.block * SECOND // max(m.rate, 1)
-            cdtype = spec.get("compute_dtype", np.float64)
-            rows.append(row.astype(cdtype, copy=False))
-            metas.append((m, pts))
-        x = jnp.asarray(np.stack(rows))
-        states = jax.tree_util.tree_map(
-            lambda *leaves: jnp.stack(leaves),
-            *[m.state for m in ready])
-        uniforms = [jnp.asarray(np.asarray(u, np.float64)[:, None])
-                    for u in zip(*[m.spec["uniforms"]() for m in ready])]
-        states, out = spec["step"](states, x, *uniforms)
-        for i, m in enumerate(ready):
-            m.state = jax.tree_util.tree_map(lambda l: l[i], states)
+                h.pts = pts + n * SECOND // max(h.rate, 1)
+            if c.out_pts is None:
+                c.out_pts = pts
+            rows.append(row)
+            metas.append((c, pts))
+
+        # fast path: every row is DeviceRow i of the same (B, n) bank
+        if dev_in and all(isinstance(r, DeviceRow) for r in rows) \
+                and len({id(r.parent) for r in rows}) == 1 \
+                and [r.idx for r in rows] == list(range(len(rows))) \
+                and rows[0].parent.shape[0] == len(rows):
+            x = rows[0].parent
+        elif dev_in:
+            x = jnp.stack([r.jax() if isinstance(r, DeviceRow) else r
+                           for r in rows])
+        else:
+            cdtype = specs[0].get("compute_dtype", np.float64)
+            x = jnp.asarray(np.stack(
+                [r.astype(cdtype, copy=False) for r in rows]))
+
+        states = tuple(self._stack_states(ready, j)
+                       for j in range(n_stages))
+        unis = tuple(
+            tuple(jnp.asarray(np.asarray(u, np.float64)[:, None])
+                  for u in zip(*[c.members[j].spec["uniforms"]()
+                                 for c in ready]))
+            for j in range(n_stages))
+        fn = prime if priming else step
+        states, out, aux = fn(states, x, unis)
+        for j in range(n_stages):
+            for i, c in enumerate(ready):
+                c.members[j].state = jax.tree_util.tree_map(
+                    lambda leaf: leaf[i], states[j])
+        for c in ready:
+            c.primed = True
         self.fire_count += 1
         CAT.log(f"context {self.name}: fired batch of {len(ready)} "
-                f"x {self.block} (total {self.fire_count})")
+                f"chains x {n} ({'prime' if priming else 'step'}, "
+                f"total {self.fire_count})")
+        packet = (out, aux, metas, dev_in)
         if self.depth <= 1:
-            self._distribute(out, metas)
+            self._distribute(*packet)
         else:
-            prev, self._pending_fire = self._pending_fire, (out, metas)
+            prev, self._pending_fire = self._pending_fire, packet
             if prev is not None:
                 self._distribute(*prev)
 
-    def _distribute(self, out, metas) -> None:
-        host = np.asarray(out)
-        for i, (m, pts) in enumerate(metas):
-            if not m.active:
+    def _distribute(self, out, aux, metas, device: bool) -> None:
+        out_n = int(out.shape[1])
+        host = None if device else np.asarray(out)
+        for i, (c, _pts) in enumerate(metas):
+            if not c.head.active:
                 continue
-            el = m.element
-            dur = self.block * SECOND // max(m.rate, 1)
-            buf = m.element.make_batch_buffer(
-                host[i].astype(m.dtype, copy=False), pts, dur)
-            el.srcpad.push(buf)
+            # per-stage aux (metering) to the owning elements
+            for j, m in enumerate(c.members):
+                if aux[j] is not None and hasattr(m.element,
+                                                  "consume_batch_aux"):
+                    m.element.consume_batch_aux(aux[j], i, c.out_pts)
+            tail = c.tail
+            dur = out_n * SECOND // max(c.head.rate, 1)
+            pts = c.out_pts
+            if pts is not None:
+                c.out_pts = pts + dur
+            payload = DeviceRow(out, i) if device \
+                else host[i].astype(c.head.dtype, copy=False)
+            buf = tail.element.make_batch_buffer(payload, pts, dur)
+            tail.element.srcpad.push(buf)
 
     # -- EOS / flush ------------------------------------------------------
-    def flush_member(self, element) -> list[Buffer]:
-        """Drain a member at EOS: flush any overlapped batch, then run
-        the member's padded tail (other members' states are untouched
-        because state rows are independent)."""
-        m = self.member_for(element)
-        if m is None:
-            return []
-        if m.spec is None:
-            m.active = False
-            self.try_fire()
-            return []
+    def flush_pending(self) -> None:
         if self._pending_fire is not None:
             self._distribute(*self._pending_fire)
             self._pending_fire = None
-        out = []
-        item = np.dtype(m.dtype).itemsize if m.dtype else 8
-        cdtype = m.spec.get("compute_dtype", np.float64)
-        while m.dtype is not None and m.pending:
-            import jax
-            import jax.numpy as jnp
-            avail = len(m.pending) // item
-            n = min(avail, self.block)
-            row = np.frombuffer(bytes(m.pending[:n * item]),
-                                dtype=m.dtype)
-            del m.pending[:n * item]
-            x = jnp.asarray(np.pad(row.astype(cdtype, copy=False),
-                                   (0, self.block - n))[None])
-            state = jax.tree_util.tree_map(lambda l: l[None], m.state)
-            uni = [jnp.asarray(np.asarray([u], np.float64)[:, None])
-                   for u in m.spec["uniforms"]()]
-            state, dev_out = m.spec["step"](state, x, *uni)
-            m.state = jax.tree_util.tree_map(lambda l: l[0], state)
-            host = np.asarray(dev_out)[0][:n]
-            dur = n * SECOND // max(m.rate, 1)
-            pts = m.pts
-            if m.pts is not None:
-                m.pts += dur
-            out.append(m.element.make_batch_buffer(
+
+    def flush_member(self, element) -> list[Buffer]:
+        """Drain a chain at EOS (called with its HEAD element): flush
+        any overlapped batch, then run the chain's padded tail at B=1
+        (other chains' states are untouched — state rows are
+        independent).  A trailing partial block is zero-padded and the
+        output truncated to the real sample count."""
+        m = self.member_for(element)
+        if m is None:
+            return []
+        if self.chains is None and not self._build_chains():
+            m.active = False
+            return []
+        chain = next((c for c in self.chains if c.head is m), None)
+        if chain is None or m.spec is None:
+            m.active = False
+            self.try_fire()
+            return []
+        self.flush_pending()
+        import jax
+        import jax.numpy as jnp
+        step, prime, n_stages = self._fused
+        out_bufs: list[Buffer] = []
+        while self._avail(m) > 0:
+            need = self._need(chain)
+            avail = self._avail(m)
+            n = min(avail, need)
+            row, is_dev = self._take_input(m, n)
+            if is_dev:
+                xr = row.jax() if isinstance(row, DeviceRow) else row
+                xr = jnp.pad(xr, (0, need - n)) if n < need else xr
+                x = xr[None]
+            else:
+                cdtype = m.spec.get("compute_dtype", np.float64)
+                x = jnp.asarray(np.pad(
+                    row.astype(cdtype, copy=False), (0, need - n))[None])
+            states = tuple(
+                jax.tree_util.tree_map(lambda leaf: leaf[None],
+                                       chain.members[j].state)
+                for j in range(n_stages))
+            unis = tuple(
+                tuple(jnp.asarray(np.asarray([u], np.float64)[:, None])
+                      for u in chain.members[j].spec["uniforms"]())
+                for j in range(n_stages))
+            fn = prime if not chain.primed else step
+            states, out, aux = fn(states, x, unis)
+            chain.primed = True
+            for j in range(n_stages):
+                chain.members[j].state = jax.tree_util.tree_map(
+                    lambda leaf: leaf[0], states[j])
+            emit = min(int(out.shape[1]), n) \
+                if int(out.shape[1]) == need else int(out.shape[1])
+            host = np.asarray(out)[0][:emit]
+            dur = emit * SECOND // max(m.rate, 1)
+            pts = chain.out_pts
+            if pts is not None:
+                chain.out_pts = pts + dur
+            out_bufs.append(chain.tail.element.make_batch_buffer(
                 host.astype(m.dtype, copy=False), pts, dur))
         m.active = False
-        # remaining members may all be ready now
+        # remaining chains may all be ready now
         self.try_fire()
-        return out
+        if len(chain.members) > 1:
+            # multi-element chain: outputs belong at the TAIL's src
+            # pad (returning them would re-enter the chain's own
+            # intermediate elements as input)
+            for b in out_bufs:
+                chain.tail.element.srcpad.push(b)
+            return []
+        return out_bufs
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,19 @@ import jax  # noqa: E402
 # fast tests
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compile cache (same dir bench.py uses; entries are
+# keyed by platform so CPU test entries coexist with TPU bench ones).
+# The heavy f64 loudnorm chain compiles once per machine, not per run.
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+try:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 import gstpu  # noqa: E402

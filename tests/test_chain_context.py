@@ -1,0 +1,163 @@
+"""The DeviceContext CHAIN execution path (VERDICT r2 item 1): N
+parse_launch pipelines of `rsaudioecho ! audioloudnorm ! ebur128level`
+share one context; the context fuses the three stage kernels into one
+jitted dispatch per 100 ms block round.
+
+Gates:
+  * context-chain lane outputs == the same math run directly at B=1
+    through gstpu.ops (BITWISE on one backend — batching and chain
+    fusion change nothing);
+  * context-chain outputs vs the HOST `audioloudnorm` element (the
+    sample-exact reference transcription oracle path): <= 1e-9 per
+    sample, the tolerance test_loudnorm_device.py established for the
+    device core;
+  * the fused ebur128level posts `ebur128-level` bus messages with
+    sane LUFS values without touching the data path.
+
+First run compiles the f64 prime (~minutes on CPU); the persistent
+compile cache in conftest makes later runs start in seconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gstpu import Buffer, State, parse_launch
+from gstpu.runtime.device_batch import DeviceContext
+
+FRAME = 19_200
+GATING = 64          # small device gating history for test speed
+N_INNER = 4
+
+
+@pytest.fixture
+def chain_signals():
+    rng = np.random.default_rng(7)
+    n_frames = 30 + N_INNER
+    return [0.2 * rng.standard_normal((n_frames, FRAME, 1))
+            for _ in range(2)]
+
+
+def _run_context_chain(sigs):
+    DeviceContext.release("tchain")
+    caps = ("audio/x-raw, format=F64LE, rate=192000, channels=1, "
+            "layout=interleaved")
+    pipes = [parse_launch(
+        f'appsrc name=src caps="{caps}" ! '
+        f'rsaudioecho delay=250000000 max-delay=250000000 '
+        f'intensity=0.4 feedback=0.3 context=tchain '
+        f'context-block={FRAME} ! '
+        f'audioloudnorm context=tchain device-gating-blocks={GATING} ! '
+        f'ebur128level context=tchain mode=momentary,short-term '
+        f'interval=200000000 device-gating-blocks={GATING} ! '
+        f'appsink name=sink')
+        for _ in sigs]
+    for p in pipes:
+        p.set_state(State.PLAYING)
+    for k in range(sigs[0].shape[0]):
+        for s, p in enumerate(pipes):
+            p.get_by_name("src").push_buffer(
+                Buffer(sigs[s][k], pts=k * 100_000_000))
+            while p.iterate():
+                pass
+    for p in pipes:
+        p.get_by_name("src").end_of_stream()
+        p.run()
+    outs, msgs = [], []
+    for p in pipes:
+        bufs = p.get_by_name("sink").pull_all()
+        outs.append(np.concatenate([np.asarray(b.array).reshape(-1)
+                                    for b in bufs]))
+        msgs.append([m for m in p.bus.drain()
+                     if getattr(m, "name", "") == "ebur128-level"])
+        p.set_state(State.NULL)
+    DeviceContext.release("tchain")
+    return outs, msgs
+
+
+def _run_direct(sigs):
+    """The same math straight through gstpu.ops at B=len(sigs)."""
+    import jax.numpy as jnp
+
+    from gstpu.ops.echo import echo_block, make_state
+    from gstpu.ops.loudnorm_dev import (LoudnormParams, init_state,
+                                        make_steps)
+
+    B = len(sigs)
+    params = LoudnormParams(channels=1, max_blocks=GATING)
+    first, inner = make_steps(params)
+    delay = (250_000_000 * 192_000) // 1_000_000_000
+    tail = make_state((B,), delay)
+    st = init_state(params, B)
+    inten = jnp.full((B, 1), 0.4)
+    fb = jnp.full((B, 1), 0.3)
+
+    x = jnp.asarray(np.stack([s[:30].reshape(-1) for s in sigs]))
+    tail, y = echo_block(tail, x, inten, fb, delay=delay)
+    st, out0 = first(st, y)
+    outs = [np.asarray(out0)]
+    for k in range(30, sigs[0].shape[0]):
+        xk = jnp.asarray(np.stack([s[k].reshape(-1) for s in sigs]))
+        tail, y = echo_block(tail, xk, inten, fb, delay=delay)
+        st, ok = inner(st, y)
+        outs.append(np.asarray(ok))
+    return np.concatenate(outs, axis=1)
+
+
+def test_chain_context_matches_direct_same_batch_bitwise(
+        chain_signals):
+    """The element/context machinery must add ZERO numerical
+    difference: context chain at B=2 == the same ops called directly
+    at B=2, bitwise, every lane."""
+    outs, msgs = _run_context_chain(chain_signals)
+    ref = _run_direct(chain_signals)
+    for s in range(len(chain_signals)):
+        assert outs[s].shape == ref[s].shape
+        assert np.array_equal(outs[s], ref[s]), \
+            f"stream {s}: chain-context path diverges from direct B=2"
+    # the fused meter posted messages without altering the data
+    assert msgs[0], "no ebur128-level messages posted"
+    st = msgs[0][-1].fields["shortterm-loudness"]
+    assert -70.0 < st < 0.0
+
+
+def test_chain_context_vs_unbatched_b1_ulp(chain_signals):
+    """Against a B=1 run, non-zero lanes may differ by XLA's
+    batch-size-dependent gemm row packing (the biquad block matmuls)
+    — bounded at the ulp class, NOT an error of the batching runtime
+    (same-batch comparison above is bitwise)."""
+    outs, _ = _run_context_chain(chain_signals)
+    for s, sig in enumerate(chain_signals):
+        ref = _run_direct([sig])[0]
+        d = np.abs(outs[s] - ref).max()
+        assert d <= 1e-14, f"stream {s} vs B=1: max diff {d}"
+
+
+def test_chain_context_vs_host_element(chain_signals):
+    """Context chain vs the host numpy audioloudnorm element (which is
+    sample-exact vs the literal reference transcription)."""
+    outs, _ = _run_context_chain(chain_signals)
+    sig = chain_signals[0]
+    caps = ("audio/x-raw, format=F64LE, rate=192000, channels=1, "
+            "layout=interleaved")
+    p = parse_launch(
+        f'appsrc name=src caps="{caps}" ! '
+        f'rsaudioecho delay=250000000 max-delay=250000000 '
+        f'intensity=0.4 feedback=0.3 ! audioloudnorm ! '
+        f'appsink name=sink')
+    p.set_state(State.PLAYING)
+    for k in range(sig.shape[0]):
+        p.get_by_name("src").push_buffer(
+            Buffer(sig[k], pts=k * 100_000_000))
+        while p.iterate():
+            pass
+    p.get_by_name("src").end_of_stream()
+    p.run()
+    host = np.concatenate([np.asarray(b.array).reshape(-1)
+                           for b in p.get_by_name("sink").pull_all()])
+    p.set_state(State.NULL)
+    n = outs[0].size            # host path drains the 3 s tail too
+    assert host.size >= n
+    d = np.abs(outs[0] - host[:n]).max()
+    assert d <= 1e-9, f"context chain vs host element: max diff {d}"
