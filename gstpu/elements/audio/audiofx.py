@@ -118,11 +118,14 @@ class AudioEcho(AudioFilter):
 
     def transform_ip(self, buf: Buffer):
         info = self.audio_info
-        x = info.view(buf).reshape(-1)  # flattened interleaved
         if self._ctx is not None:
-            self._ctx.submit(self, x, buf.pts,
+            from gstpu.runtime.device_batch import _is_device
+            data = buf.data if _is_device(buf.data) \
+                else info.view(buf).reshape(-1)
+            self._ctx.submit(self, data, buf.pts,
                              info.rate * info.channels)
             return []                   # outputs flow from the batch
+        x = info.view(buf).reshape(-1)  # flattened interleaved
         xj = jnp.asarray(x)
         self._tail, out = echo_ops.echo_block(
             self._tail, xj,

@@ -19,9 +19,9 @@ import shlex
 
 from gstpu.core.buffer import Buffer
 from gstpu.core.caps import Caps
-from gstpu.core.element import (Element, FlowReturn, Message, MessageType,
-                                Pad, PadDirection, PadPresence,
-                                PadTemplate, State)
+from gstpu.core.element import (Bus, Element, FlowReturn, Message,
+                                MessageType, Pad, PadDirection,
+                                PadPresence, PadTemplate, State)
 from gstpu.core.event import (CapsEvent, EosEvent, Event, Segment,
                               SegmentEvent, StreamStartEvent)
 from gstpu.core.props import Mutability, Property
@@ -41,8 +41,18 @@ def _make_from_desc(desc: str):
     return el
 
 
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".gif", ".webp", ".bmp")
+
+
 @register_element("fallbacksrc", Rank.NONE)
 class FallbackSrc(Element):
+    """Retry reasons and statistics fields mirror the reference
+    (fallbacksrc/mod.rs:18-24 RetryReason, imp.rs:41-79 Stats): an
+    image fallback-uri builds an internal still-image loop source
+    (the reference's imagefreeze path, imp.rs:2084-2095); children
+    run on a PRIVATE bus so their errors/EOS/buffering are handled by
+    the supervisor instead of failing the pipeline."""
+
     PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC,
                                  PadPresence.ALWAYS, Caps.any())]
 
@@ -95,17 +105,38 @@ class FallbackSrc(Element):
         self._capture: Pad | None = None
         self._last_buffer_time: int | None = None
         self._primary_failed_at: int | None = None
-        self.stats = {"num_retry": 0, "num_fallback_switches": 0,
-                      "buffering_percent": 100, "using_fallback": False,
-                      "last_retry_time": None}
+        self.stats = {"num-retry": 0, "num-fallback-retry": 0,
+                      "last-retry-reason": "none",
+                      "last-fallback-retry-reason": "none",
+                      "buffering-percent": 100,
+                      "fallback-buffering-percent": 100,
+                      "num-fallback-switches": 0,
+                      "using-fallback": False,
+                      "last-retry-time": None}
         self._blocked = False
         self._first_failed_at: int | None = None
+        self._child_bus: Bus | None = None
+        self._status = "stopped"
         self.connect("unblock", lambda *a: self.unblock())
 
-    # -- statistics property (reference imp.rs:41-76) -------------------
+    # -- statistics property (reference imp.rs:41-79 Stats) -------------
     @property
     def statistics(self) -> dict:
         return dict(self.stats)
+
+    @property
+    def status(self) -> str:
+        """stopped | buffering | retrying | running (reference
+        GstFallbackSourceStatus)."""
+        if self._active is None:
+            return "stopped"
+        if self._active is self._fallback \
+                and self._primary_failed_at is not None:
+            return "retrying"
+        pct = self.stats["fallback-buffering-percent"] \
+            if self._active is self._fallback \
+            else self.stats["buffering-percent"]
+        return "buffering" if pct < 100 else "running"
 
     def _now(self) -> int:
         return (self.clock.time() - self.base_time) if self.clock else 0
@@ -137,15 +168,23 @@ class FallbackSrc(Element):
         if isinstance(ev, EosEvent) and self._active is self._primary:
             if self.restart_on_eos:
                 # reference restart-on-eos: loop the primary
-                self.stats["num_retry"] += 1
+                self._count_retry("eos")
                 self._primary = self._make_primary()
                 self._activate(self._primary)
                 return True
             if self._fallback is not None:
                 # primary ended unexpectedly: fail over instead of EOS
-                self._fail_primary()
+                self._fail_primary("eos")
                 return True
         return self.srcpad.push_event(ev)
+
+    def _count_retry(self, reason: str) -> None:
+        if self._active is self._fallback:
+            self.stats["num-fallback-retry"] += 1
+            self.stats["last-fallback-retry-reason"] = reason
+        else:
+            self.stats["num-retry"] += 1
+            self.stats["last-retry-reason"] = reason
 
     # -- source construction ------------------------------------------------
     @staticmethod
@@ -163,6 +202,12 @@ class FallbackSrc(Element):
 
     def _make_fallback(self) -> Element | None:
         if self.fallback_uri:
+            from urllib.parse import urlparse
+            path = urlparse(self.fallback_uri).path or self.fallback_uri
+            if path.lower().endswith(_IMAGE_EXTS):
+                # reference: an image fallback-uri becomes an
+                # imagefreeze loop (imp.rs:2084-2095, is_image)
+                return _ImageLoopSrc.from_file(path)
             return _make_from_desc(self._desc_for_uri(
                 self.fallback_uri))
         if self.fallback_source:
@@ -196,7 +241,10 @@ class FallbackSrc(Element):
             self._active.set_state(State.NULL)
         el.clock = self.clock
         el.base_time = self.base_time
-        el.bus = self.bus
+        # children post to a PRIVATE bus: their errors/EOS/buffering
+        # are supervision input, not application-facing failures
+        self._child_bus = Bus()
+        el.bus = self._child_bus
         self._wire(el)
         el.set_state(State.PLAYING)
         self._active = el
@@ -208,17 +256,18 @@ class FallbackSrc(Element):
             t.start()
             self._child_tasks.append(t)
         self._last_buffer_time = self._now()
-        self.stats["using_fallback"] = el is self._fallback
+        self.stats["using-fallback"] = el is self._fallback
         self.emit("status-changed",
                   "fallback" if el is self._fallback else "primary")
         self.post_element_message(
             "fallbacksrc-status",
-            using_fallback=self.stats["using_fallback"])
+            using_fallback=self.stats["using-fallback"])
 
-    def _fail_primary(self) -> None:
+    def _fail_primary(self, reason: str = "error") -> None:
         self._primary_failed_at = self._now()
+        self.stats["last-retry-reason"] = reason
         if self._fallback is not None:
-            self.stats["num_fallback_switches"] += 1
+            self.stats["num-fallback-switches"] += 1
             self._activate(self._fallback)
 
     def stop(self) -> bool:
@@ -238,12 +287,13 @@ class FallbackSrc(Element):
             r = t.run_once()
             if r is TaskResult.CONTINUE:
                 worked = True
+        self._drain_child_bus()
         now = self._now()
         if self._active is self._primary \
                 and self._last_buffer_time is not None \
                 and now - self._last_buffer_time > self.timeout \
                 and self._fallback is not None:
-            self._fail_primary()
+            self._fail_primary("timeout")
             return TaskResult.CONTINUE
         if self._active is self._fallback \
                 and self._primary_failed_at is not None \
@@ -259,10 +309,91 @@ class FallbackSrc(Element):
                 self.post_element_message("fallbacksrc-retry-exhausted")
                 return TaskResult.CONTINUE
             # retry the primary
-            self.stats["num_retry"] += 1
-            self.stats["last_retry_time"] = now
+            self.stats["num-retry"] += 1
+            self.stats["last-retry-time"] = now
             self._primary = self._make_primary()
             self._primary_failed_at = None
             self._activate(self._primary)
             return TaskResult.CONTINUE
         return TaskResult.CONTINUE if worked else TaskResult.IDLE
+
+    def _drain_child_bus(self) -> None:
+        """Supervision input: the reference watches its internal
+        source bin's bus for Error/Buffering (imp.rs:1098,
+        handle_buffering :3013)."""
+        bus = self._child_bus
+        if bus is None:
+            return
+        while (m := bus.pop()) is not None:
+            if m.type is MessageType.ERROR:
+                if self._active is self._primary:
+                    self._fail_primary("error")
+                else:
+                    # fallback itself failed: rebuild it
+                    self.stats["num-fallback-retry"] += 1
+                    self.stats["last-fallback-retry-reason"] = "error"
+                    self._fallback = self._make_fallback()
+                    if self._fallback is not None:
+                        self._activate(self._fallback)
+            elif m.type is MessageType.BUFFERING:
+                pct = int(m.fields.get("percent", 100))
+                key = "fallback-buffering-percent" \
+                    if self._active is self._fallback \
+                    else "buffering-percent"
+                self.stats[key] = pct
+                if pct == 100:
+                    # a fully-buffered source counts as producing
+                    self._last_buffer_time = self._now()
+            else:
+                # metrics and warnings flow through to the app
+                if self.bus is not None and m.type in (
+                        MessageType.ELEMENT, MessageType.WARNING,
+                        MessageType.INFO):
+                    self.bus.post(m)
+
+
+class _ImageLoopSrc(Element):
+    """Internal still-image loop source (the reference builds
+    imagefreeze into its fallback branch for image URIs)."""
+
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC,
+                                 PadPresence.ALWAYS, Caps.any())]
+
+    framerate = 30
+
+    @classmethod
+    def from_file(cls, path: str) -> "_ImageLoopSrc":
+        from PIL import Image
+        import numpy as np
+        img = Image.open(path).convert("RGBA")
+        el = cls()
+        el._frame = np.asarray(img, dtype=np.uint8)
+        return el
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.srcpad = self.static_pad("src")
+        self._frame = None
+        self._n = 0
+        self._started = False
+
+    def iterate_tasks(self):
+        return (Task(f"{self.name}-imageloop", self._produce),)
+
+    def _produce(self) -> TaskResult:
+        if self._frame is None:
+            return TaskResult.IDLE
+        if not self._started:
+            from gstpu.core.caps import Caps as _C
+            h, w = self._frame.shape[:2]
+            self.srcpad.push_event(StreamStartEvent("imageloop"))
+            self.srcpad.push_event(CapsEvent(_C.new(
+                "video/x-raw", format="RGBA", width=w, height=h,
+                framerate=(self.framerate, 1))))
+            self.srcpad.push_event(SegmentEvent(Segment()))
+            self._started = True
+        pts = self._n * SECOND // self.framerate
+        self._n += 1
+        self.srcpad.push(Buffer(self._frame, pts=pts,
+                                duration=SECOND // self.framerate))
+        return TaskResult.CONTINUE

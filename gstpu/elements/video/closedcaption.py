@@ -11,7 +11,8 @@ from __future__ import annotations
 from gstpu.core.base import BaseTransform
 from gstpu.core.buffer import Buffer
 from gstpu.core.caps import Caps
-from gstpu.core.element import (PadDirection, PadPresence, PadTemplate)
+from gstpu.core.element import (Element, FlowReturn, Pad, PadDirection,
+                                PadPresence, PadTemplate)
 from gstpu.core.props import Mutability, Property
 from gstpu.core.registry import Rank, register_element
 from gstpu.codecs.cea608 import Cea608Decoder, Cea608Encoder
@@ -128,3 +129,93 @@ class CcDetect(BaseTransform):
         if present != self._present:
             self._present = present
             self.post_element_message("ccdetect", cc608=present)
+
+
+@register_element("cea608mux", Rank.NONE)
+class Cea608Mux(Element):
+    """Mux cc1 (field 1) and cc3 (field 2) CEA-608 pair streams into
+    one s334-1a stream.
+
+    The reference transcriberbin relies on the C `cea608mux` for its
+    cea608 mux-method with per-language channel routing
+    (transcriberbin/imp.rs:2495, channels cc1/cc3 at :77-109); this is
+    that element's role rebuilt: pts-ordered merge, each pair tagged
+    with its field byte (0x80 = field 1/cc1, 0x00 = field 2/cc3 —
+    the convention gstpu's cea608tocea708 parses)."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.new("closedcaption/x-cea-608",
+                             format="s334-1a")),
+        PadTemplate("sink_%s", PadDirection.SINK, PadPresence.REQUEST,
+                    CC_CAPS.copy()),
+    ]
+
+    _FIELD_BYTE = {"cc1": 0x80, "cc3": 0x00}
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.srcpad = self.static_pad("src")
+        self._queues: dict[str, list] = {}
+        self._eos: set[str] = set()
+        self._sent_stream_start = False
+
+    def request_pad(self, name: str | None = None) -> Pad:
+        chan = (name or f"sink_cc{1 + 2 * len(self._queues)}") \
+            .removeprefix("sink_")
+        if chan not in self._FIELD_BYTE:
+            raise ValueError(f"cea608mux: channel {chan!r} (valid: "
+                             f"cc1, cc3)")
+        pad = Pad(f"sink_{chan}", PadDirection.SINK,
+                  self.PAD_TEMPLATES[1], element=self)
+        self._queues[chan] = []
+        pad.chain_function = \
+            lambda p, b, c=chan: self._chain(c, b)
+        pad.event_function = \
+            lambda p, e, c=chan: self._event(c, e)
+        self.add_pad(pad)
+        return pad
+
+    def _chain(self, chan: str, buf: Buffer) -> FlowReturn:
+        self._queues[chan].append(buf)
+        self._drain(False)
+        return FlowReturn.OK
+
+    def _event(self, chan: str, ev) -> bool:
+        from gstpu.core.event import (CapsEvent, EosEvent,
+                                      SegmentEvent, StreamStartEvent)
+        if isinstance(ev, EosEvent):
+            self._eos.add(chan)
+            self._drain(True)
+            if self._eos >= set(self._queues):
+                return self.srcpad.push_event(ev)
+            return True
+        if isinstance(ev, (CapsEvent, StreamStartEvent, SegmentEvent)):
+            if self._sent_stream_start:
+                return True             # one output stream
+            if isinstance(ev, CapsEvent):
+                self._sent_stream_start = True
+                from gstpu.core.event import CapsEvent as _CE
+                return self.srcpad.push_event(_CE(Caps.new(
+                    "closedcaption/x-cea-608", format="s334-1a")))
+            return self.srcpad.push_event(ev)
+        return self.srcpad.push_event(ev)
+
+    def _drain(self, force: bool) -> None:
+        """pts-ordered merge: pop from whichever channel is earliest
+        while every non-EOS channel has data (or force at EOS)."""
+        while True:
+            heads = [(q[0].pts if q[0].pts is not None else 0, c)
+                     for c, q in self._queues.items() if q]
+            waiting = [c for c, q in self._queues.items()
+                       if not q and c not in self._eos]
+            if not heads or (waiting and not force):
+                return
+            _, chan = min(heads)
+            buf = self._queues[chan].pop(0)
+            pairs = buf.to_bytes()
+            fb = self._FIELD_BYTE[chan]
+            out = b"".join(bytes((fb,)) + pairs[i:i + 2]
+                           for i in range(0, len(pairs) - 1, 2))
+            self.srcpad.push(Buffer(out, pts=buf.pts,
+                                    duration=buf.duration))

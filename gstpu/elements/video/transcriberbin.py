@@ -110,15 +110,48 @@ class TranscriberBin(Element):
 
     def _build_caption_path(self):
         """transcriber output -> caption stream for the combiner.
-        cea608: tttocea608. cea708: tee -> per-language [translator ->]
-        tttocea708(service N) -> cea708mux (reference transcriberbin's
-        translation serials)."""
+        cea608 single language: tttocea608.  cea608 with
+        translation-languages mapping to cc1/cc3: tee -> per-channel
+        [translator ->] tttocea608 -> cea608mux (the reference's 608
+        channel routing, transcriberbin/imp.rs:77-109, cea608mux at
+        :2495).  cea708: tee -> per-language [translator ->]
+        tttocea708(service N) -> cea708mux."""
         if self.mux_method == "cea608":
-            self._ttto = self._child(make("tttocea608",
-                                          mode=self.mode))
-            self._trans.src_pads()[0].link(
-                self._ttto.static_pad("sink"))
-            return self._ttto.static_pad("src")
+            langs = dict(self.translation_languages or {})
+            if not langs:
+                self._ttto = self._child(make("tttocea608",
+                                              mode=self.mode))
+                self._trans.src_pads()[0].link(
+                    self._ttto.static_pad("sink"))
+                return self._ttto.static_pad("src")
+            # per-language 608 channel routing (primary -> cc1)
+            chans = {"primary": "cc1"}
+            chans.update(langs)
+            bad = [c for c in chans.values() if c not in ("cc1", "cc3")]
+            if bad:
+                raise ValueError(
+                    f"cea608 channels must be cc1/cc3, got {bad} "
+                    f"(reference imp.rs:85)")
+            tee = self._child(make("tee"))
+            self._trans.src_pads()[0].link(tee.static_pad("sink"))
+            mux = self._child(make("cea608mux"))
+            translators = self.translators or {}
+            for lang, chan in sorted(chans.items(),
+                                     key=lambda kv: kv[1]):
+                src = tee.request_pad()
+                desc = translators.get(lang)
+                if desc and lang != "primary":
+                    from gstpu.elements.utils_.fallbacksrc import \
+                        _make_from_desc
+                    tr = self._child(_make_from_desc(desc))
+                    src.link(tr.static_pad("sink"))
+                    src = tr.src_pads()[0]
+                ttto = self._child(make("tttocea608", mode=self.mode))
+                src.link(ttto.static_pad("sink"))
+                ttto.static_pad("src").link(
+                    mux.request_pad(f"sink_{chan}"))
+            self._ttto = mux
+            return mux.static_pad("src")
         # cea708: primary service 1 + one service per language
         langs = {"primary": 1}
         if self.translation_languages:

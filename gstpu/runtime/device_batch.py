@@ -103,6 +103,25 @@ class DeviceRow:
         return a.astype(dtype) if dtype is not None else a
 
 
+class AuxView:
+    """Per-fire metering pytree shared by every lane's element:
+    materializes each (B, ...) leaf ONCE on first access (N elements
+    reading the same leaf must not issue N device transfers)."""
+
+    def __init__(self, leaves: dict):
+        self._leaves = leaves
+        self._host: dict = {}
+
+    def __getitem__(self, k):
+        v = self._host.get(k)
+        if v is None:
+            v = self._host[k] = np.asarray(self._leaves[k])
+        return v
+
+    def keys(self):
+        return self._leaves.keys()
+
+
 def _is_device(x) -> bool:
     """jax.Array or DeviceRow (duck-typed; avoids importing jax at
     module load)."""
@@ -192,6 +211,12 @@ class DeviceContext:
         self.fire_count = 0
         self._fused = None            # (step_fn, prime_fn, n_stages)
         self._pending_fire = None     # (outs, chains, metas, device)
+        # steady-state caches: carried states stay BATCHED on device
+        # between fires (scattering per-member after every fire would
+        # issue chains*leaves tiny device ops — fatal over a
+        # high-latency tunnel); split back only on demand
+        self._batched = None          # (chain_id_tuple, states tuple)
+        self._uni_cache = None        # (values_key, device arrays)
 
     # -- membership -----------------------------------------------------
     def add_member(self, element) -> _Member:
@@ -221,6 +246,7 @@ class DeviceContext:
         return None
 
     def remove_member(self, element) -> None:
+        self._writeback()
         m = self.member_for(element)
         if m is not None:
             self.members.remove(m)
@@ -407,6 +433,22 @@ class DeviceContext:
             lambda *leaves: jax.numpy.stack(leaves),
             *[c.members[stage_j].state for c in chains])
 
+    def _writeback(self) -> None:
+        """Scatter the cached batched states back onto their member
+        pytrees (before membership changes, flush, or checkpoint)."""
+        if self._batched is None:
+            return
+        import jax
+        ids, states = self._batched
+        self._batched = None
+        by_id = {id(c): c for c in (self.chains or [])}
+        chains = [by_id.get(i) for i in ids]
+        for j in range(len(states)):
+            for i, c in enumerate(chains):
+                if c is not None:
+                    c.members[j].state = jax.tree_util.tree_map(
+                        lambda leaf: leaf[i], states[j])
+
     def _fire(self, ready: list[_Chain]) -> None:
         import jax
         import jax.numpy as jnp
@@ -443,19 +485,29 @@ class DeviceContext:
             x = jnp.asarray(np.stack(
                 [r.astype(cdtype, copy=False) for r in rows]))
 
-        states = tuple(self._stack_states(ready, j)
-                       for j in range(n_stages))
-        unis = tuple(
-            tuple(jnp.asarray(np.asarray(u, np.float64)[:, None])
-                  for u in zip(*[c.members[j].spec["uniforms"]()
-                                 for c in ready]))
-            for j in range(n_stages))
+        ids = tuple(id(c) for c in ready)
+        if self._batched is not None and self._batched[0] == ids:
+            states = self._batched[1]
+        else:
+            self._writeback()
+            states = tuple(self._stack_states(ready, j)
+                           for j in range(n_stages))
+        uni_vals = tuple(tuple(c.members[j].spec["uniforms"]()
+                               for c in ready)
+                         for j in range(n_stages))
+        if self._uni_cache is not None \
+                and self._uni_cache[0] == (ids, uni_vals):
+            unis = self._uni_cache[1]
+        else:
+            unis = tuple(
+                tuple(jnp.asarray(np.asarray(u, np.float64)[:, None])
+                      for u in zip(*uni_vals[j]))
+                for j in range(n_stages))
+            self._uni_cache = ((ids, uni_vals), unis)
         fn = prime if priming else step
         states, out, aux = fn(states, x, unis)
-        for j in range(n_stages):
-            for i, c in enumerate(ready):
-                c.members[j].state = jax.tree_util.tree_map(
-                    lambda leaf: leaf[i], states[j])
+        self._batched = (ids, states)
+        aux = [AuxView(a) if isinstance(a, dict) else a for a in aux]
         for c in ready:
             c.primed = True
         self.fire_count += 1
@@ -515,6 +567,7 @@ class DeviceContext:
             self.try_fire()
             return []
         self.flush_pending()
+        self._writeback()
         import jax
         import jax.numpy as jnp
         step, prime, n_stages = self._fused
@@ -578,6 +631,7 @@ def snapshot_context(ctx: DeviceContext, path: str) -> None:
     """Checkpoint every finalized member's carried kernel state plus
     its pending re-block bytes."""
     from gstpu.parallel.checkpoint import checkpoint
+    ctx._writeback()
     states = [m.state for m in ctx.members if m.spec is not None]
     checkpoint(path, states, step=ctx.fire_count)
     # JSON + base64 sidecar (NOT pickle: a checkpoint from an
@@ -599,6 +653,8 @@ def restore_context(ctx: DeviceContext, path: str) -> None:
     import json
 
     from gstpu.parallel.checkpoint import restore
+    ctx._writeback()
+    ctx._batched = None
     members = [m for m in ctx.members if m.spec is not None]
     like = [m.state for m in members]
     states, _step = restore(path, like)

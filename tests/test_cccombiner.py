@@ -471,3 +471,64 @@ def test_tttocea608_rollup_mode():
     # roll-up preamble: RU2 (0x14 0x25) then CR (0x14 0x2D)
     assert pairs[0] == bytes([odd_parity(0x14), odd_parity(0x25)])
     assert pairs[1] == bytes([odd_parity(0x14), odd_parity(0x2D)])
+
+
+def test_transcriberbin_cea608_channel_routing():
+    """mux-method=cea608 with translation-languages mapped to cc3:
+    primary rides cc1 (field 1) and the translation cc3 (field 2),
+    merged by cea608mux into one s334-1a stream (reference
+    transcriberbin/imp.rs:77-109, cea608mux at :2495)."""
+    test_transcriberbin_with_mock_transcriber()   # register mocks
+    test_transcriberbin_cea708_translation_services()
+    from gstpu.core.video import VideoCaptionMeta
+    tb = make("transcriberbin", transcriber="mocktranscriber",
+              mux_method="cea608")
+    tb.translation_languages = {"fr": "cc3"}
+    tb.translators = {"fr": "mockupper"}
+    aout, vout = _run_tb(tb)
+    assert len(vout) == 1
+    metas = [m for m in vout[0].metas
+             if isinstance(m, VideoCaptionMeta)]
+    assert metas
+    assert metas[0].caption_type == "cea608-s334-1a"
+    # decode per field
+    from gstpu.codecs.cea608 import Cea608Decoder
+    decs = {0: Cea608Decoder(), 1: Cea608Decoder()}
+    texts = {0: None, 1: None}
+    for m in metas:
+        d = m.data
+        for i in range(0, len(d) - 2, 3):
+            field = 0 if d[i] & 0x80 else 1
+            t = decs[field].push_pair(d[i + 1:i + 3])
+            if t:
+                texts[field] = t
+    assert texts[0] == "HELLO"           # cc1: primary
+    assert texts[1] == "HELLO-FR"        # cc3: translated
+
+
+def test_cea608mux_pts_ordered_merge():
+    from gstpu.core.element import State
+    from gstpu.core.event import (CapsEvent, EosEvent, Segment,
+                                  SegmentEvent, StreamStartEvent)
+    mux = make("cea608mux")
+    got = _capture(mux.static_pad("src"))
+    mux.set_state(State.PLAYING)
+    p1 = mux.request_pad("sink_cc1")
+    p3 = mux.request_pad("sink_cc3")
+    cc_caps = "closedcaption/x-cea-608, format=raw"
+    feeders = []
+    for p in (p1, p3):
+        f = _feeder(cc_caps)
+        f.link(p)
+        _start(f, cc_caps)
+        feeders.append(f)
+    # out-of-order across pads: merge must order by pts
+    p3.chain(Buffer(b"\x14\x2c", pts=2 * SECOND))
+    p1.chain(Buffer(b"\x94\x2c", pts=1 * SECOND))
+    p1.chain(Buffer(b"\x94\xae", pts=3 * SECOND))
+    for f in feeders:
+        f.push_event(EosEvent())
+    assert [b.pts for b in got] == [SECOND, 2 * SECOND, 3 * SECOND]
+    assert got[0].to_bytes()[0] & 0x80          # cc1 -> field 1
+    assert not got[1].to_bytes()[0] & 0x80      # cc3 -> field 2
+    assert got[0].to_bytes()[1:3] == b"\x94\x2c"
