@@ -1,22 +1,31 @@
 """QUIC v1 connection (RFC 9000): packet spaces, frames, and the TLS
 handshake driving key installation.
 
-Sans-IO: handle_datagram(bytes) ingests, poll_transmit() drains
+Sans-IO: handle_datagram(bytes, now) ingests, poll_transmit() drains
 datagrams, events() yields ("stream", id, data, fin) /
 ("datagram", data) / ("connected",) / ("closed", code). Streams and
 DATAGRAM frames (RFC 9221) are exposed for the quinn elements.
-Loss recovery: sent ack-eliciting frames are kept until acked and
-on_timeout() retransmits them (a PTO without RTT estimation —
-RFC 9002's full machinery is ceded; the reference delegates it to
-quinn-proto). Congestion control is out of scope.
+
+Loss recovery & congestion control are RFC 9002 (gstpu/net/quic/
+recovery.py — the machinery the reference delegates to quinn-proto):
+RTT estimation from ack-eliciting ACKs, packet- and time-threshold
+loss detection with retransmission, PTO with exponential backoff
+(on_timeout(now) / poll_timeout()), NewReno cwnd gating of 1-RTT
+sends with an advisory pacing interval, and honest multi-range ACK
+frames built from the real received-pn interval set.  Time is an
+injected monotonic-seconds value (wall-clock when omitted), so lossy
+paths are testable deterministically.
 """
 
 from __future__ import annotations
 
 import os
+import time as _time
 from dataclasses import dataclass, field
 
 from gstpu.net.quic import tls13
+from gstpu.net.quic.recovery import (NewReno, RangeSet, RttEstimator,
+                                     SentPacket)
 from gstpu.net.quic.packet import (PT_HANDSHAKE, PT_INITIAL,
                                    DirectionKeys, PlainPacket,
                                    QuicError, build_packet,
@@ -47,8 +56,10 @@ class _Space:
     next_pn: int = 0
     largest_recv: int = -1
     pending: list[bytes] = field(default_factory=list)  # frames out
-    # pn -> ack-eliciting frame bytes, for retransmit-on-timeout
-    unacked: dict[int, bytes] = field(default_factory=dict)
+    # pn -> SentPacket, for loss detection + retransmission
+    unacked: dict[int, SentPacket] = field(default_factory=dict)
+    recv: RangeSet = field(default_factory=RangeSet)
+    last_eliciting: float | None = None
 
 
 def _keys_from_secret(secret: bytes) -> DirectionKeys:
@@ -70,6 +81,9 @@ class QuicConnection:
             client=client, alpn=alpn, certificate=certificate,
             remote_fingerprint=remote_fingerprint)
         self._spaces = {lvl: _Space() for lvl in _SPACES}
+        self.rtt = RttEstimator()
+        self.cc = NewReno()
+        self._pto_count = 0
         self._events: list[tuple] = []
         self._outbox: list[bytes] = []
         self._streams_rx: dict[int, bytearray] = {}
@@ -136,19 +150,48 @@ class QuicConnection:
         self._flush()
         self.closed = code
 
-    def on_timeout(self) -> None:
-        """Probe timeout: retransmit every unacked ack-eliciting
-        frame (RFC 9002's PTO, without RTT estimation — callers pick
-        the interval). Safe to call any time; no-op when nothing is
-        outstanding."""
+    def on_timeout(self, now: float | None = None) -> None:
+        """Probe timeout (RFC 9002 §6.2): with `now`, fire only once
+        poll_timeout() has expired and back the PTO off exponentially;
+        without it (legacy callers / tests), probe immediately.  The
+        probe retransmits outstanding ack-eliciting frames; the
+        receiver's offset/pn dedup makes spurious copies harmless."""
+        if now is not None:
+            dl = self.poll_timeout()
+            if dl is None or now < dl:
+                return
+        self._pto_count = min(self._pto_count + 1, 10)
+        probed = False
         for level in _SPACES:
             sp = self._spaces[level]
             if not sp.unacked or sp.write is None:
                 continue
-            frames, sp.unacked = sp.unacked, {}
+            frames, sp.unacked = dict(sp.unacked), {}
+            for pkt in frames.values():
+                self.cc.bytes_in_flight = max(
+                    0, self.cc.bytes_in_flight - pkt.size)
             for pn in sorted(frames):
-                sp.pending.append(frames[pn])
-        self._flush()
+                sp.pending.append(frames[pn].frames)
+            probed = True
+        if not probed and self.connected and now is not None:
+            # timer-driven with nothing outstanding: PING probe
+            # (§6.2.4); legacy immediate calls stay retransmit-only
+            self._spaces[tls13.APPLICATION].pending.append(
+                bytes([F_PING]))
+        self._flush(now)
+
+    def poll_timeout(self) -> float | None:
+        """Next PTO deadline (monotonic seconds), or None when no
+        ack-eliciting data is outstanding."""
+        last = [sp.last_eliciting for sp in self._spaces.values()
+                if sp.unacked and sp.last_eliciting is not None]
+        if not last:
+            return None
+        return min(last) + self.rtt.pto() * (2 ** self._pto_count)
+
+    def pacing_interval(self) -> float:
+        """Advisory inter-datagram send spacing (RFC 9002 §7.7)."""
+        return self.cc.pacing_interval(self.rtt)
 
     # -- TLS plumbing ------------------------------------------------------
     def _pump_tls(self) -> None:
@@ -194,14 +237,16 @@ class QuicConnection:
                     bytes([F_HANDSHAKE_DONE]))
 
     # -- receive ----------------------------------------------------------
-    def handle_datagram(self, data: bytes) -> None:
+    def handle_datagram(self, data: bytes,
+                        now: float | None = None) -> None:
+        now = _time.monotonic() if now is None else now
         pos = 0
         while pos < len(data):
             chunk = data[pos:]
             if not chunk or chunk[0] == 0:
                 break                       # padding tail
             try:
-                consumed = self._handle_packet(chunk)
+                consumed = self._handle_packet(chunk, now)
             except QuicError:
                 if pos == 0:
                     raise
@@ -210,9 +255,9 @@ class QuicConnection:
                 break
             pos += consumed
         self._pump_tls()
-        self._flush()
+        self._flush(now)
 
-    def _handle_packet(self, data: bytes) -> int:
+    def _handle_packet(self, data: bytes, now: float) -> int:
         if data[0] & 0x80:                  # long header
             ptype = (data[0] >> 4) & 0x3
             if ptype == PT_INITIAL:
@@ -233,7 +278,9 @@ class QuicConnection:
                 raise QuicError(f"unsupported packet type {ptype}")
             sp = self._spaces[level]
             if sp.read is None:
-                raise QuicError("no read keys for level yet")
+                # keys not installed yet (the packet carrying them was
+                # lost/reordered): drop; the peer's PTO retransmits
+                return 0
             pkt, consumed = unprotect_packet(data, 0, sp.read,
                                              is_long=True)
             if self.is_client and level == tls13.INITIAL:
@@ -243,13 +290,14 @@ class QuicConnection:
             level = tls13.APPLICATION
             sp = self._spaces[level]
             if sp.read is None:
-                raise QuicError("1-RTT packet before keys")
+                return 0          # 1-RTT before keys: drop, see above
             pkt, consumed = unprotect_packet(
                 data, 0, sp.read, is_long=False,
                 dcid_len=len(self.local_cid))
         sp = self._spaces[level]
         sp.largest_recv = max(sp.largest_recv, pkt.pn)
-        eliciting = self._handle_frames(level, pkt.payload)
+        sp.recv.add(pkt.pn)
+        eliciting = self._handle_frames(level, pkt.payload, now)
         # only ack-eliciting packets get an ACK (RFC 9002 §2) — acking
         # pure-ACK packets would ping-pong forever
         if eliciting:
@@ -257,11 +305,24 @@ class QuicConnection:
         return consumed
 
     def _ack_frame(self, sp: _Space) -> bytes:
-        largest = max(sp.largest_recv, 0)
-        return (bytes([F_ACK]) + encode_varint(largest)
-                + encode_varint(0)          # delay
-                + encode_varint(0)          # range count
-                + encode_varint(largest))   # first range
+        """Honest multi-range ACK from the received-pn set: holes
+        stay holes so the peer's loss detection can work."""
+        ranges = sp.recv.descending()[:32]
+        if not ranges:
+            return (bytes([F_ACK]) + encode_varint(0)
+                    + encode_varint(0) + encode_varint(0)
+                    + encode_varint(0))
+        lo0, hi0 = ranges[0]
+        out = (bytes([F_ACK]) + encode_varint(hi0)
+               + encode_varint(0)                    # delay
+               + encode_varint(len(ranges) - 1)
+               + encode_varint(hi0 - lo0))           # first range
+        prev_lo = lo0
+        for lo, hi in ranges[1:]:
+            out += encode_varint(prev_lo - hi - 2)   # gap
+            out += encode_varint(hi - lo)            # range length
+            prev_lo = lo
+        return out
 
     def _deliver_stream(self, sid: int, off: int, data: bytes,
                         fin: bool) -> None:
@@ -302,7 +363,8 @@ class QuicConnection:
             if nxt or emit_fin:
                 self._events.append(("stream", sid, nxt, emit_fin))
 
-    def _handle_frames(self, level: int, payload: bytes) -> bool:
+    def _handle_frames(self, level: int, payload: bytes,
+                       now: float | None = None) -> bool:
         """Process frames; return True if any was ack-eliciting."""
         eliciting = False
         pos = 0
@@ -316,15 +378,22 @@ class QuicConnection:
                 continue
             if ftype in (F_ACK, F_ACK | 1):
                 largest, pos = decode_varint(payload, pos)
-                _, pos = decode_varint(payload, pos)   # delay
+                delay, pos = decode_varint(payload, pos)
                 nrange, pos = decode_varint(payload, pos)
-                _, pos = decode_varint(payload, pos)   # first range
+                first, pos = decode_varint(payload, pos)
+                acked = set(range(largest - first, largest + 1))
+                hi = largest - first
                 for _ in range(nrange):
-                    _, pos = decode_varint(payload, pos)
-                    _, pos = decode_varint(payload, pos)
-                sp = self._spaces[level]
-                for pn in [p for p in sp.unacked if p <= largest]:
-                    del sp.unacked[pn]
+                    gap, pos = decode_varint(payload, pos)
+                    rlen, pos = decode_varint(payload, pos)
+                    hi = hi - gap - 2
+                    acked.update(range(hi - rlen, hi + 1))
+                    hi -= rlen
+                if ftype & 1:                       # ECN counts
+                    for _ in range(3):
+                        _, pos = decode_varint(payload, pos)
+                self._on_ack(level, acked, largest,
+                             _time.monotonic() if now is None else now)
                 continue
             if ftype == F_CRYPTO:
                 eliciting = True
@@ -379,40 +448,95 @@ class QuicConnection:
             raise QuicError(f"unhandled frame type {ftype:#x}")
         return eliciting
 
+    def _on_ack(self, level: int, acked: set, largest: int,
+                now: float) -> None:
+        """RFC 9002 §5/§6: RTT sample from the largest newly-acked
+        ack-eliciting packet, cwnd growth, then packet- and
+        time-threshold loss detection with retransmission."""
+        sp = self._spaces[level]
+        newly = sorted(p for p in acked if p in sp.unacked)
+        if not newly:
+            return
+        top = newly[-1]
+        if top == largest and sp.unacked[top].ack_eliciting:
+            self.rtt.update(max(now - sp.unacked[top].time_sent, 0.0))
+        for pn in newly:
+            pkt = sp.unacked.pop(pn)
+            if pkt.ack_eliciting:
+                self.cc.on_acked(pkt.size, pkt.time_sent)
+        self._pto_count = 0
+        # loss detection on remaining outstanding packets
+        delay = self.rtt.loss_delay()
+        lost = [pn for pn, pkt in sp.unacked.items()
+                if pn <= top - 3 or pkt.time_sent <= now - delay]
+        for pn in sorted(lost):
+            pkt = sp.unacked.pop(pn)
+            self.cc.on_lost(pkt.size, pkt.time_sent, now)
+            sp.pending.append(pkt.frames)        # retransmit
+        if sp.unacked:
+            sp.last_eliciting = max(p.time_sent
+                                    for p in sp.unacked.values())
+
     # -- send -------------------------------------------------------------
-    def _flush(self) -> None:
+    _MAX_PAYLOAD = 1160       # frames per datagram (QUIC overhead out)
+
+    def _flush(self, now: float | None = None) -> None:
+        now = _time.monotonic() if now is None else now
         for level in _SPACES:
             sp = self._spaces[level]
-            if not sp.pending or sp.write is None:
-                continue
-            payload = b"".join(sp.pending)
-            # remember ack-eliciting frames for retransmit-on-timeout
-            eliciting = b"".join(
-                f for f in sp.pending
-                if f and f[0] not in (F_PADDING, F_ACK, F_ACK | 1))
-            sp.pending = []
-            # AEAD sampling needs >= 4 bytes past the pn: pad tiny
-            # payloads
-            if len(payload) < 4:
-                payload += bytes(4 - len(payload))
-            if level == tls13.INITIAL:
-                pkt = PlainPacket(True, PT_INITIAL, self.remote_cid,
-                                  self.local_cid, sp.next_pn, payload)
-            elif level == tls13.HANDSHAKE:
-                pkt = PlainPacket(True, PT_HANDSHAKE, self.remote_cid,
-                                  self.local_cid, sp.next_pn, payload)
-            else:
-                pkt = PlainPacket(False, -1, self.remote_cid, b"",
-                                  sp.next_pn, payload)
-            if eliciting:
-                sp.unacked[sp.next_pn] = eliciting
-                if len(sp.unacked) > 4096:      # bound the buffer
-                    oldest = min(sp.unacked)
-                    del sp.unacked[oldest]
-            sp.next_pn += 1
-            out = build_packet(pkt, sp.write)
-            if self.is_client and level == tls13.INITIAL \
-                    and len(out) < 1200:
-                # RFC 9000 §14.1: client Initial datagrams are padded
-                out += bytes(1200 - len(out))
-            self._outbox.append(out)
+            while sp.pending and sp.write is not None:
+                # pack whole frames up to the datagram budget (an
+                # oversized single frame ships alone); never split a
+                # frame across packets
+                batch, size = [], 0
+                while sp.pending:
+                    f = sp.pending[0]
+                    if batch and size + len(f) > self._MAX_PAYLOAD:
+                        break
+                    batch.append(sp.pending.pop(0))
+                    size += len(f)
+                    if size > self._MAX_PAYLOAD:
+                        break
+                payload = b"".join(batch)
+                # remember ack-eliciting frames for loss recovery
+                eliciting = b"".join(
+                    f for f in batch
+                    if f and f[0] not in (F_PADDING, F_ACK, F_ACK | 1))
+                if level == tls13.APPLICATION and eliciting \
+                        and not self.cc.can_send(len(payload) + 32):
+                    # cwnd-blocked: requeue and retry on the next ack
+                    sp.pending = batch + sp.pending
+                    break
+                # AEAD sampling needs >= 4 bytes past the pn: pad tiny
+                # payloads
+                if len(payload) < 4:
+                    payload += bytes(4 - len(payload))
+                if level == tls13.INITIAL:
+                    pkt = PlainPacket(True, PT_INITIAL, self.remote_cid,
+                                      self.local_cid, sp.next_pn,
+                                      payload)
+                elif level == tls13.HANDSHAKE:
+                    pkt = PlainPacket(True, PT_HANDSHAKE,
+                                      self.remote_cid, self.local_cid,
+                                      sp.next_pn, payload)
+                else:
+                    pkt = PlainPacket(False, -1, self.remote_cid, b"",
+                                      sp.next_pn, payload)
+                sp.next_pn += 1
+                out = build_packet(pkt, sp.write)
+                if eliciting:
+                    sp.unacked[pkt.pn] = SentPacket(
+                        pn=pkt.pn, frames=eliciting, time_sent=now,
+                        size=len(out), ack_eliciting=True)
+                    sp.last_eliciting = now
+                    self.cc.on_sent(len(out))
+                    if len(sp.unacked) > 4096:      # bound the buffer
+                        oldest = min(sp.unacked)
+                        dropped = sp.unacked.pop(oldest)
+                        self.cc.bytes_in_flight = max(
+                            0, self.cc.bytes_in_flight - dropped.size)
+                if self.is_client and level == tls13.INITIAL \
+                        and len(out) < 1200:
+                    # RFC 9000 §14.1: client Initial datagrams padded
+                    out += bytes(1200 - len(out))
+                self._outbox.append(out)

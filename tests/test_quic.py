@@ -564,3 +564,148 @@ def test_quinnquic_reverse_roles():
     assert [b.to_bytes() for b in out.samples] == [b"server-to-client"]
     h.teardown()
     src.set_state(State.NULL)
+
+
+# -- RFC 9002 loss recovery & congestion control (VERDICT r2 item 4) --
+
+def _lossy_pump(cli, srv, *, loss, rng, t, dt=0.005):
+    """One round: exchange datagrams over a lossy link at virtual
+    time t, fire timers. Returns the new time."""
+    for src, dst in ((cli, srv), (srv, cli)):
+        while (d := src.poll_transmit()) is not None:
+            if rng.random() < loss:
+                continue                    # lost on the wire
+            dst.handle_datagram(d, now=t)
+    t += dt
+    cli.on_timeout(t)
+    srv.on_timeout(t)
+    return t
+
+
+def test_quic_lossy_link_stream_converges():
+    """Sustained transfer over a 5%-loss link: packet/time-threshold
+    loss detection + PTO recover every byte in order with NO stall,
+    and NewReno keeps cwnd sane (RFC 9002 §5-7; the reference gets
+    this from quinn-proto)."""
+    import random
+
+    rng = random.Random(42)
+    srv = QuicConnection(client=False)
+    cli = QuicConnection(client=True)
+    cli.connect()
+    t = 0.0
+    for _ in range(1000):                   # lossy handshake too
+        t = _lossy_pump(cli, srv, loss=0.05, rng=rng, t=t)
+        if cli.connected and srv.connected:
+            break
+    assert cli.connected and srv.connected
+
+    sid = cli.open_stream()
+    total = 200_000
+    chunk = 1000
+    sent = 0
+    got = bytearray()
+    rounds = 0
+    stalled = 0
+    while len(got) < total and rounds < 4000:
+        while sent < total and len(cli._spaces[2].pending) < 64:
+            n = min(chunk, total - sent)
+            data = bytes([sent // chunk % 256]) * n
+            cli.send_stream(sid, data, fin=(sent + n == total))
+            sent += n
+        before = len(got)
+        t = _lossy_pump(cli, srv, loss=0.05, rng=rng, t=t)
+        for e in srv.events():
+            if e[0] == "stream" and e[1] == sid:
+                got.extend(e[2])
+        stalled = stalled + 1 if len(got) == before else 0
+        assert stalled < 600, f"stalled at {len(got)}/{total}"
+        rounds += 1
+    assert len(got) == total, (len(got), total, rounds)
+    # in-order content check
+    for i in range(0, total, chunk):
+        assert got[i] == (i // chunk) % 256
+    # recovery state is sane: RTT was measured, cwnd grew past the
+    # initial window at some point or at least stayed >= minimum
+    assert cli.rtt.smoothed is not None
+    from gstpu.net.quic.recovery import MIN_WINDOW
+    assert cli.cc.cwnd >= MIN_WINDOW
+    # throughput: a stalling implementation needs ~1 PTO per loss;
+    # converged recovery moves the 200 KB in far fewer rounds
+    assert rounds < 2000, rounds
+
+
+def test_quic_rtt_estimator_and_pto_backoff():
+    from gstpu.net.quic.recovery import RttEstimator
+    r = RttEstimator()
+    r.update(0.100)
+    assert abs(r.smoothed - 0.100) < 1e-9
+    assert abs(r.rttvar - 0.050) < 1e-9
+    r.update(0.120)
+    assert 0.100 < r.smoothed < 0.120
+    assert r.min_rtt == 0.100
+    pto0 = r.pto()
+    assert pto0 > r.smoothed
+    # connection-level exponential backoff
+    srv = QuicConnection(client=False)
+    cli = QuicConnection(client=True)
+    cli.connect()
+    t = 0.0
+    import random
+    rng = random.Random(1)
+    for _ in range(30):
+        t = _lossy_pump(cli, srv, loss=0.0, rng=rng, t=t)
+        if cli.connected:
+            break
+    sid = cli.open_stream()
+    cli.send_stream(sid, b"x" * 100)
+    cli.poll_transmit()                     # drop it
+    d1 = cli.poll_timeout()
+    assert d1 is not None
+    cli.on_timeout(d1 + 0.001)              # first PTO fires
+    while cli.poll_transmit() is not None:
+        pass                                # drop the probe too
+    d2 = cli.poll_timeout()
+    assert d2 is not None and d2 > d1       # backed off
+
+
+def test_quic_newreno_congestion_events():
+    from gstpu.net.quic.recovery import (INITIAL_WINDOW, MIN_WINDOW,
+                                         NewReno)
+    cc = NewReno()
+    assert cc.cwnd == INITIAL_WINDOW
+    cc.on_sent(1200)
+    cc.on_acked(1200, time_sent=1.0)        # slow start: +acked
+    assert cc.cwnd == INITIAL_WINDOW + 1200
+    w = cc.cwnd
+    cc.on_lost(1200, time_sent=2.0, now=3.0)
+    assert cc.cwnd == max(w / 2, MIN_WINDOW)
+    w2 = cc.cwnd
+    # second loss in the SAME recovery period: no further reduction
+    cc.on_lost(1200, time_sent=2.5, now=3.1)
+    assert cc.cwnd == w2
+    # a loss AFTER recovery start reduces again
+    cc.on_lost(1200, time_sent=4.0, now=4.2)
+    assert cc.cwnd == max(w2 / 2, MIN_WINDOW)
+
+
+def test_quic_ack_frames_report_holes():
+    """The receiver's ACK must not claim lost packets were received:
+    drop one datagram mid-stream and check the next ACK encodes a gap
+    (multi-range) so the sender can detect the loss."""
+    srv = QuicConnection(client=False)
+    cli = QuicConnection(client=True)
+    cli.connect()
+    _pump(cli, srv)
+    sid = cli.open_stream()
+    cli.send_stream(sid, b"a" * 50)
+    d1 = cli.poll_transmit()
+    cli.send_stream(sid, b"b" * 50)
+    _drop = cli.poll_transmit()             # lost
+    cli.send_stream(sid, b"c" * 50)
+    d3 = cli.poll_transmit()
+    srv.handle_datagram(d1, now=1.0)
+    srv.handle_datagram(d3, now=1.1)
+    sp = srv._spaces[2]
+    ranges = sp.recv.descending()
+    assert len(ranges) >= 2                 # a hole is visible
