@@ -155,7 +155,17 @@ def block_biquad_tables(b: np.ndarray, a: np.ndarray, L: int):
     O = P[:L, 0, :].copy()                     # (L, 2)
     W = np.stack([P[L - 1 - j] @ Bc for j in range(L)])  # (L, 2)
     M = P[L]
-    return b0, h, O, W, M
+    # the within-block FIR as one lower-triangular Toeplitz matrix:
+    # y_blk += x_blk @ T  (T[i, j] = h[j - i - 1] for j > i).  One
+    # (L, L) matmul on the MXU instead of L-1 shifted scatter-adds —
+    # which also fed XLA's algebraic simplifier a rewrite loop
+    # (the "circular simplification" warnings in MULTICHIP_r02).
+    T = np.zeros((L, L))
+    for i in range(L):
+        for j in range(i + 1, L):
+            if j - i - 1 < L - 1:
+                T[i, j] = h[j - i - 1]
+    return b0, h, O, W, M, T
 
 
 def _tree_sum_last(x: jax.Array) -> jax.Array:
@@ -180,13 +190,13 @@ def make_block_biquad(b: np.ndarray, a: np.ndarray, L: int = 64,
     """Returns apply(x, state) -> (y, state) for x: (B, N) with
     N % L == 0, state: (B, 2) DF2T.  Traceable (jit inside a larger
     graph).  Exact block state-space evaluation of the biquad."""
-    b0_, h_, O_, W_, M_ = block_biquad_tables(np.asarray(b),
-                                              np.asarray(a), L)
+    b0_, h_, O_, W_, M_, T_ = block_biquad_tables(np.asarray(b),
+                                                  np.asarray(a), L)
     b0 = jnp.asarray(b0_, dtype)
-    h = jnp.asarray(h_, dtype)
     O = jnp.asarray(O_, dtype)
     W = jnp.asarray(W_, dtype)
     M = jnp.asarray(M_, dtype)
+    T = jnp.asarray(T_, dtype)
 
     def apply(x: jax.Array, state: jax.Array):
         B, N = x.shape
@@ -208,9 +218,8 @@ def make_block_biquad(b: np.ndarray, a: np.ndarray, L: int = 64,
         se0, se1 = out[4], out[5]              # state at end of block
         s0 = jnp.concatenate([state[:, :1], se0[:, :-1]], axis=1)
         s1 = jnp.concatenate([state[:, 1:], se1[:, :-1]], axis=1)
-        y = b0 * xb
-        for m in range(h.shape[0]):
-            y = y.at[:, :, m + 1:].add(h[m] * xb[:, :, :L - 1 - m])
+        # within-block FIR as one (L, L) triangular-Toeplitz matmul
+        y = b0 * xb + xb @ T
         y = y + s0[:, :, None] * O[:, 0] + s1[:, :, None] * O[:, 1]
         new_state = jnp.stack([se0[:, -1], se1[:, -1]], axis=-1)
         return y.reshape(B, N), new_state
