@@ -132,7 +132,10 @@ class ColorLut(VideoFilter):
                     uniforms=lambda: (),
                     compute_dtype=np.uint8)
 
-    def make_batch_buffer(self, flat: np.ndarray, pts, dur):
+    def make_batch_buffer(self, flat, pts, dur):
+        from gstpu.runtime.device_batch import DeviceRow
+        if isinstance(flat, DeviceRow):
+            return Buffer(flat, pts=pts, duration=dur)
         return self.video_info.make_buffer(flat, pts=pts,
                                            duration=dur)
 
@@ -143,11 +146,18 @@ class ColorLut(VideoFilter):
 
     def transform(self, buf: Buffer) -> Buffer:
         info = self.video_info
-        frame = info.view(buf)
         if self._ctx is not None:
+            from gstpu.runtime.device_batch import _is_device
+            if _is_device(buf.data):
+                n = info.height * info.width * len(info.format)
+                self._ctx.submit(self, buf.data, buf.pts,
+                                 n * self.fps)
+                return []
+            frame = info.view(buf)
             self._ctx.submit(self, np.asarray(frame).reshape(-1),
                              buf.pts, frame.size * self.fps)
             return []                 # outputs flow from the batch
+        frame = info.view(buf)
         deep = info.format.startswith("RGBA64")
         if deep:
             # jax has no big-endian dtypes: normalise to native u16

@@ -125,7 +125,10 @@ class HsvFilter(VideoFilter):
                                       self.value_off),
                     compute_dtype=np.uint8)
 
-    def make_batch_buffer(self, flat: np.ndarray, pts, dur) -> Buffer:
+    def make_batch_buffer(self, flat, pts, dur) -> Buffer:
+        from gstpu.runtime.device_batch import DeviceRow
+        if isinstance(flat, DeviceRow):
+            return Buffer(flat, pts=pts, duration=dur)
         return self.video_info.make_buffer(flat, pts=pts,
                                            duration=dur)
 
@@ -138,6 +141,12 @@ class HsvFilter(VideoFilter):
         import os
         info = self.video_info
         if self._ctx is not None:
+            from gstpu.runtime.device_batch import _is_device
+            if _is_device(buf.data):
+                n = info.height * info.width * len(info.format)
+                self._ctx.submit(self, buf.data, buf.pts,
+                                 n * self.fps)
+                return []
             frame = info.view(buf)
             # one frame per batch row; fps drives the pts spacing
             self._ctx.submit(self, frame.reshape(-1), buf.pts,

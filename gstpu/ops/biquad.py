@@ -193,10 +193,18 @@ def make_block_biquad(b: np.ndarray, a: np.ndarray, L: int = 64,
     b0_, h_, O_, W_, M_, T_ = block_biquad_tables(np.asarray(b),
                                                   np.asarray(a), L)
     b0 = jnp.asarray(b0_, dtype)
+    h = jnp.asarray(h_, dtype)
     O = jnp.asarray(O_, dtype)
     W = jnp.asarray(W_, dtype)
     M = jnp.asarray(M_, dtype)
     T = jnp.asarray(T_, dtype)
+    # formulation choice: the (L, L) Toeplitz matmul is what cured
+    # XLA:CPU's algebraic-simplifier rewrite loop, but TPU f64
+    # matmuls are EMULATED (no f64 MXU) and measurably slower than
+    # the elementwise shifted-add chain — pick per backend.
+    import jax as _jax
+    _use_matmul = _jax.default_backend() == "cpu" \
+        or dtype != jnp.float64
 
     def apply(x: jax.Array, state: jax.Array):
         B, N = x.shape
@@ -218,8 +226,15 @@ def make_block_biquad(b: np.ndarray, a: np.ndarray, L: int = 64,
         se0, se1 = out[4], out[5]              # state at end of block
         s0 = jnp.concatenate([state[:, :1], se0[:, :-1]], axis=1)
         s1 = jnp.concatenate([state[:, 1:], se1[:, :-1]], axis=1)
-        # within-block FIR as one (L, L) triangular-Toeplitz matmul
-        y = b0 * xb + xb @ T
+        # within-block FIR: triangular-Toeplitz matmul (CPU / f32)
+        # or shifted adds (TPU f64 — emulated f64 matmul is slower)
+        if _use_matmul:
+            y = b0 * xb + xb @ T
+        else:
+            y = b0 * xb
+            for m in range(h.shape[0]):
+                y = y.at[:, :, m + 1:].add(
+                    h[m] * xb[:, :, :L - 1 - m])
         y = y + s0[:, :, None] * O[:, 0] + s1[:, :, None] * O[:, 1]
         new_state = jnp.stack([se0[:, -1], se1[:, -1]], axis=-1)
         return y.reshape(B, N), new_state

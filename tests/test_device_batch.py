@@ -392,3 +392,71 @@ def test_context_checkpoint_resume_bit_exact():
         b = run(d, interrupt=True)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_video_chain_single_context_fused():
+    """hsvfilter ! colorlut sharing ONE context: the chain fuses to a
+    single dispatch (VERDICT r2 item 8) and stays frame-exact vs the
+    per-stream path; device-resident DeviceRow input works too."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from gstpu.core.video import VideoInfo
+    from gstpu.ops.lut import identity_lut
+    from gstpu.runtime.device_batch import DeviceContext, DeviceRow
+
+    W, H, N = 32, 16, 3
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (N, 2, H, W, 4), dtype=np.uint8)
+    lut = identity_lut(size=5)
+
+    def run(mode):
+        DeviceContext.release("vf")
+        outs, pipes = [], []
+        for s in range(N):
+            extra = "context=vf " if mode != "plain" else ""
+            p = parse_launch(
+                f'appsrc name=src caps="video/x-raw, format=RGBA, '
+                f'width={W}, height={H}, framerate=30/1" ! '
+                f'hsvfilter hue_shift=33 {extra}! '
+                f'colorlut name=cl {extra}! appsink name=sink')
+            p.get_by_name("cl").set_lut(lut)
+            pipes.append(p)
+            p.set_state(State.PLAYING)
+        if mode == "device":
+            banks = [jnp.asarray(frames[:, f].reshape(N, -1))
+                     for f in range(2)]
+            for f in range(2):
+                for s, p in enumerate(pipes):
+                    p.get_by_name("src").push_buffer(
+                        Buffer(DeviceRow(banks[f], s)))
+                    while p.iterate():
+                        pass
+            for p in pipes:
+                p.get_by_name("src").end_of_stream()
+                p.run()
+        else:
+            for s, p in enumerate(pipes):
+                src = p.get_by_name("src")
+                for f in range(2):
+                    src.push_buffer(Buffer(frames[s, f]))
+                src.end_of_stream()
+            for p in pipes:
+                p.run()
+        for p in pipes:
+            outs.append([np.asarray(
+                VideoInfo("RGBA", W, H).view(b))
+                for b in p.get_by_name("sink").pull_all()])
+            p.set_state(State.NULL)
+        DeviceContext.release("vf")
+        return outs
+
+    plain = run("plain")
+    fused = run("fused")
+    dev = run("device")
+    for s in range(N):
+        assert len(fused[s]) == 2 and len(dev[s]) == 2
+        for f in range(2):
+            np.testing.assert_array_equal(fused[s][f], plain[s][f])
+            np.testing.assert_array_equal(dev[s][f], plain[s][f])
