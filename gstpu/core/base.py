@@ -21,6 +21,7 @@ from gstpu.core.element import (Element, FlowError, FlowReturn, Message,
 from gstpu.core.event import (CapsEvent, EosEvent, Event, FlushStopEvent,
                               GapEvent, Segment, SegmentEvent,
                               StreamStartEvent)
+from gstpu.core.props import Property
 from gstpu.core.query import (AcceptCapsQuery, CapsQuery, LatencyQuery,
                               Query)
 from gstpu.core.video import VideoInfo, video_caps
@@ -339,7 +340,24 @@ class PushSrc(Element):
 # ---------------------------------------------------------------------------
 
 class BaseSink(Element):
-    """Sink: render() per buffer, posts EOS message on EOS event."""
+    """Sink: render() per buffer, posts EOS message on EOS event.
+
+    `sync` defaults TRUE like GStreamer's basesink: with a pipeline
+    clock, rendering waits for the buffer's running time.  Non-live
+    pipelines run WITHOUT a clock by default in gstpu (Pipeline only
+    selects one when an element is live or `use_clock()` forces it),
+    so offline pipelines process as fast as possible while live ones
+    render on schedule (reference livesync/imp.rs:148-210 relies on
+    exactly this sink behavior).
+    """
+
+    sync = Property(bool, default=True,
+                    blurb="Render at the buffer running time against "
+                          "the pipeline clock")
+    max_lateness = Property(int, default=-1, minimum=-1,
+                            blurb="Drop buffers arriving later than "
+                                  "this (ns) past their running "
+                                  "time; -1 renders them anyway")
 
     def __init__(self, name: str | None = None):
         super().__init__(name)
@@ -349,14 +367,20 @@ class BaseSink(Element):
         self.sinkpad.event_function = self._event
         self.caps: Caps | None = None
         self.segment = Segment()
-        self.sync = False
         self.rendered = 0
+        self.dropped = 0
+        self.last_lateness: int | None = None
 
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
         if self.sync and self.clock is not None and buf.pts is not None:
             rt = self.segment.to_running_time(buf.pts)
             if rt is not None:
                 self.clock.wait_until(self.base_time + rt)
+                self.last_lateness = (self.clock.time()
+                                      - self.base_time - rt)
+                if 0 <= self.max_lateness < self.last_lateness:
+                    self.dropped += 1
+                    return FlowReturn.OK
         try:
             ret = self.render(buf)
         except FlowError as e:
@@ -439,7 +463,25 @@ class Aggregator(Element):
     Simplified semantics: aggregate() is called whenever every non-EOS
     sink pad has at least one queued buffer (or at EOS). Subclasses pop
     from pads and push on self.srcpad.
+
+    Live muxing (reference fmp4mux latency handling / GstAggregator
+    force-live): with `force-live=true` and a pipeline clock, a timer
+    task calls aggregate(timeout=True) once `latency` ns of running
+    time pass without all pads delivering — starving inputs can't
+    stall the mux.  `min-upstream-latency` is added to latency
+    queries like the reference property.
     """
+
+    force_live = Property(bool, default=False,
+                          blurb="Aggregate on the clock even when "
+                                "pads starve (needs a live pipeline "
+                                "clock)")
+    latency = Property(int, default=0, minimum=0,
+                       blurb="Max running-time wait for lagging pads "
+                             "before a timeout aggregate (ns)")
+    min_upstream_latency = Property(int, default=0, minimum=0,
+                                    blurb="Floor reported for "
+                                          "upstream latency (ns)")
 
     def __init__(self, name: str | None = None):
         super().__init__(name)
@@ -447,6 +489,36 @@ class Aggregator(Element):
         assert self.srcpad is not None
         self._src_started = False
         self._sent_eos = False
+        self._last_agg_rt: int | None = None
+
+    def iterate_tasks(self):
+        if not self.force_live:
+            return ()
+        return (Task(f"{self.name}-agg-timeout", self._timeout_tick),)
+
+    def _timeout_tick(self) -> TaskResult:
+        if self.clock is None or self._sent_eos:
+            return TaskResult.IDLE
+        now_rt = self.clock.time() - self.base_time
+        if self._last_agg_rt is None:
+            self._last_agg_rt = now_rt
+            return TaskResult.IDLE
+        if now_rt - self._last_agg_rt < max(self.latency, 1):
+            return TaskResult.IDLE
+        pads = self.agg_sink_pads()
+        if pads and any(p.queue for p in pads) and not self._ready():
+            # some pads starve past the deadline: timeout aggregate
+            self._ensure_src_stream()
+            self._last_agg_rt = now_rt
+            self.aggregate(timeout=True)
+            return TaskResult.CONTINUE
+        return TaskResult.IDLE
+
+    def add_latency(self, q) -> None:
+        if self.min_upstream_latency:
+            q.add(self.min_upstream_latency, self.min_upstream_latency)
+        if self.force_live:
+            q.live = True
 
     def request_pad(self, name: str | None = None) -> Pad:
         for tmpl in self.PAD_TEMPLATES:
@@ -496,6 +568,8 @@ class Aggregator(Element):
             queued_before = sum(len(p.queue)
                                 for p in self.agg_sink_pads())
             ret = self.aggregate(timeout=False)
+            if self.clock is not None:
+                self._last_agg_rt = self.clock.time() - self.base_time
             if not ret.is_ok:
                 return ret
             queued_after = sum(len(p.queue) for p in self.agg_sink_pads())

@@ -87,11 +87,29 @@ class Pipeline(Bin):
         super().__init__(name)
         self.bus = Bus()
         self.clock = SystemClock.obtain()
+        self._forced_clock: Clock | None = None
         self._ctx: Context | None = None
         self._run_thread: threading.Thread | None = None
         self._eos_seen = False
         self._error_seen: Message | None = None
         self.bus.add_sync_handler(self._on_msg)
+
+    def use_clock(self, clock: Clock | None) -> None:
+        """Force a clock onto the pipeline (GStreamer
+        gst_pipeline_use_clock): with one set, sinks sync even in
+        non-live pipelines."""
+        self._forced_clock = clock
+
+    def _is_live(self) -> bool:
+        """Live if any element declares itself live or clock-driven
+        (sources with is_live/is-live-p; livesync/clocksync-style
+        elements set requires_clock)."""
+        for el in self.iterate_elements():
+            if getattr(el, "is_live", False) \
+                    or getattr(el, "is_live_p", False) \
+                    or getattr(el, "requires_clock", False):
+                return True
+        return False
 
     def _on_msg(self, msg: Message) -> None:
         if msg.type is MessageType.EOS:
@@ -102,7 +120,16 @@ class Pipeline(Bin):
     # -- state --------------------------------------------------------
     def set_state(self, target: State) -> StateChangeReturn:
         if target > State.READY and self.state <= State.READY:
-            self.base_time = self.clock.time()
+            # clock selection: live pipelines (or a forced clock) get
+            # the system clock; offline pipelines run unclocked so
+            # sync=true sinks don't throttle batch processing
+            if self._forced_clock is not None:
+                self.clock = self._forced_clock
+            elif self._is_live():
+                self.clock = SystemClock.obtain()
+            else:
+                self.clock = None
+            self.base_time = self.clock.time() if self.clock else 0
         r = super().set_state(target)
         if target is State.PLAYING and r is not StateChangeReturn.FAILURE:
             self._collect_tasks()

@@ -184,6 +184,7 @@ class RsProgressBin(BaseTransform):
 
 @register_element("ts-clocksync", Rank.NONE)
 class TsClockSync(BaseTransform):
+    requires_clock = True
     """Passthrough that (optionally) waits for running time before
     forwarding (reference generic/threadshare ts-clocksync)."""
 

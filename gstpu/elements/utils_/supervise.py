@@ -145,6 +145,8 @@ class FallbackSwitch(Element):
 
 @register_element("livesync", Rank.NONE)
 class LiveSync(Element):
+    requires_clock = True        # live element: pipeline selects a clock
+
     """Converts bursty/gappy input into gapless output by repeating the
     last buffer (or pushing silence) once per frame duration when the
     input stalls (reference utils/livesync/src/livesync/imp.rs:11-67).
