@@ -631,11 +631,26 @@ class AudioLoudNorm(Element):
                 return (st2,) + res[1:]
             return wrapped
 
+        from gstpu.ops.loudnorm_dev import make_final_step
+        final_core = make_final_step(params)
+
+        def final(st, x, n_flat):
+            B = x.shape[0]
+            st = {k: (v[0] if k in S else
+                      v.reshape(B * C, 2) if k in Z else v)
+                  for k, v in st.items()}
+            st2, out, out_valid = final_core(st, x, n_flat // C)
+            st2 = {k: (jnp.broadcast_to(v, (B,)) if k in S else
+                       v.reshape(B, C, 2) if k in Z else v)
+                   for k, v in st2.items()}
+            return st2, out, out_valid * C     # back to flat
+
         return dict(
             key=("audioloudnorm", params),
             step=_rebatch(inner_step),
             prime=_rebatch(first_step),
             prime_blocks=30,
+            final=final,
             init_state=init_nobatch,
             uniforms=lambda: (),
             compute_dtype=np.float64)

@@ -489,6 +489,137 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
+def make_final_step(params: LoudnormParams):
+    """EOS drain (process_final_frame, imp.rs:612-668 + the FINAL
+    branch of the drain loop): consume the trailing partial frame and
+    emit the whole 3 s gain-lookahead tail through the limiter with
+    continuing gain updates — the device twin of the host element's
+    FINAL frame, so the DeviceContext execution path drains EOS with
+    full semantics instead of truncating the lookahead.
+
+    final(st, src (B, FRAME*C) zero-padded, n_valid scalar) ->
+        (st, out (B, 30*FRAME*C) zero-padded, out_valid scalar)
+    with out_valid = 29*FRAME + n_valid samples per channel.
+
+    n_valid is a traced scalar: one compile covers every tail length.
+    The incomplete input 100 ms block updates NO input measurement
+    state (matching ebur128's complete-block semantics) — the input
+    chain is never read again after FINAL.
+    """
+    C = params.channels
+    measure, window_energy = _make_measure(params)
+
+    def shift_append(bufm, new, n):
+        """Drop n*C from the front of (B, L*C) bufm and append the
+        first n*C of `new` (zero-padded to a static width) — dynamic
+        n via gather."""
+        B, L = bufm.shape
+        cat = jnp.concatenate([bufm, new], axis=1)
+        idx = jnp.arange(L) + n * C
+        return jnp.take(cat, idx, axis=1)
+
+    def meas_out(st, out):
+        z1, z2, e = measure(st["z_out1"], st["z_out2"], out)
+        ring = st["ring_out"]
+        for k in range(e.shape[1]):
+            ring = jnp.concatenate([ring[:, 1:, :], e[:, k:k + 1, :]],
+                                   axis=1)
+        return dict(st, z_out1=z1, z_out2=z2, ring_out=ring,
+                    nsub_out=st["nsub_out"] + e.shape[1])
+
+    def gain_update(st):
+        st_out = _loudness(window_energy(st["ring_out"], 30))
+        return _update_gain(params, st, window_energy, st_out)
+
+    def fill_partial_inner(st, src, n):
+        """fill_inner for the trailing n (< FRAME) input samples plus
+        fill_final(n, FRAME) completing the first drain frame
+        (imp.rs:447-530 with n, then 612-668 from idx=n)."""
+        gain = _gaussian_filter(st["delta"], (st["gidx"] + 10) % 30)
+        gain_next = _gaussian_filter(st["delta"],
+                                     (st["gidx"] + 11) % 30)
+        frac = jnp.arange(FRAME, dtype=jnp.float64) / FRAME
+        gains = (gain[:, None] + frac[None, :]
+                 * (gain_next - gain)[:, None]) * st["offset"][:, None]
+        # both the inner part ([0, n)) and the final part ([n, FRAME))
+        # use arange(FRAME)/FRAME interpolation with the same gain
+        # pair, so one FRAME-wide fill covers the combined step
+        read = st["dbuf"][:, LIM * C:(LIM + FRAME) * C]
+        B = read.shape[0]
+        filled = (read.reshape(B, FRAME, C)
+                  * gains[:, :, None]).reshape(B, FRAME * C)
+        lim = jnp.concatenate([st["lim"][:, FRAME * C:], filled],
+                              axis=1)
+        dbuf = shift_append(st["dbuf"], src, FRAME)
+        return dict(st, lim=lim, dbuf=dbuf)
+
+    def fill_final_full(st, fs):
+        """fill_final(0, fs) for a full-or-partial next drain frame:
+        gains over arange(fs)/fs; reads fs samples; when fs < FRAME
+        the limiter window additionally drops FRAME-fs stale samples
+        (imp.rs drain loop's limiter_buf_index adjustment)."""
+        gain = _gaussian_filter(st["delta"], (st["gidx"] + 10) % 30)
+        gain_next = _gaussian_filter(st["delta"],
+                                     (st["gidx"] + 11) % 30)
+        fsf = fs.astype(jnp.float64)
+        i = jnp.arange(FRAME, dtype=jnp.float64)
+        frac = i / jnp.maximum(fsf, 1.0)
+        gains = (gain[:, None] + frac[None, :]
+                 * (gain_next - gain)[:, None]) * st["offset"][:, None]
+        read = st["dbuf"][:, LIM * C:(LIM + FRAME) * C]
+        B = read.shape[0]
+        filled = (read.reshape(B, FRAME, C)
+                  * gains[:, :, None]).reshape(B, FRAME * C)
+        valid = (jnp.arange(FRAME) < fs)
+        filled = filled.reshape(B, FRAME, C) \
+            * valid[None, :, None]
+        filled = filled.reshape(B, FRAME * C)
+        # shift lim by FRAME (fs new + (FRAME-fs) stale drop)
+        lim = jnp.concatenate([st["lim"][:, FRAME * C:], filled],
+                              axis=1)
+        dbuf = shift_append(st["dbuf"],
+                            jnp.zeros_like(st["dbuf"][:, :FRAME * C]),
+                            FRAME)
+        return dict(st, lim=lim, dbuf=dbuf)
+
+    def run_limiter(st, nb):
+        lim, out, gr0, gr1, ls, env, sus = _limiter_frame(
+            params, st["lim"], st["gr0"], st["gr1"], st["lstate"],
+            st["env_cnt"], st["sus"], nb)
+        return dict(st, lim=lim, gr0=gr0, gr1=gr1, lstate=ls,
+                    env_cnt=env, sus=sus), out
+
+    @jax.jit
+    def final(st, src, n_valid):
+        B = src.shape[0]
+        n = jnp.asarray(n_valid, jnp.int32)
+        st = fill_partial_inner(st, src, n)
+        out = jnp.zeros((B, 30 * FRAME * C), jnp.float64)
+
+        def body(k, carry):
+            st, out = carry
+            fs = jnp.where(k == 29, n, FRAME)
+            st, dst = run_limiter(st, fs)
+            out = jax.lax.dynamic_update_slice(
+                out, dst, (jnp.zeros((), k.dtype),
+                           k * (FRAME * C)))
+            # between frames (not after the last): measure + gain +
+            # next fill
+            def cont(st):
+                st = meas_out(st, dst)
+                st = gain_update(st)
+                nfs = jnp.where(k == 28, n, FRAME)
+                return fill_final_full(st, nfs)
+            st = jax.lax.cond(k < 29, cont, lambda s: s, st)
+            return st, out
+
+        st, out = jax.lax.fori_loop(0, 30, body, (st, out))
+        return st, out, 29 * FRAME + n
+
+    return final
+
+
+@lru_cache(maxsize=None)
 def make_meter_step(params: LoudnormParams):
     """Standalone ebur128level device stage (reference audio/audiofx/
     src/ebur128level/imp.rs metering modes M/S/I/sample-peak): a

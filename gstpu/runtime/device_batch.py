@@ -309,6 +309,9 @@ class DeviceContext:
         if len(prime_idx) > 1:
             raise ValueError("at most one priming stage per chain")
         pj = prime_idx[0] if prime_idx else None
+        final_idx = [j for j, s in enumerate(specs)
+                     if s.get("final") is not None]
+        fj = final_idx[0] if final_idx else None
         if pj is not None:
             for j in range(pj):
                 if not specs[j].get("wide_ok"):
@@ -336,7 +339,31 @@ class DeviceContext:
         prime = jax.jit(lambda states, x, unis: run(states, x, unis,
                                                     True)) \
             if pj is not None else step
-        return step, prime, n_stages
+
+        final = None
+        if fj is not None:
+            import jax.numpy as jnp
+
+            def run_final(states, x, n_valid, unis):
+                new_states = []
+                out_valid = None
+                for j, spec in enumerate(specs):
+                    if j == fj:
+                        # the padding beyond n_valid must enter the
+                        # draining stage as SILENCE (the host element
+                        # receives exactly n samples)
+                        mask = (jnp.arange(x.shape[1]) < n_valid)
+                        x = x * mask[None, :].astype(x.dtype)
+                        st, x, out_valid = spec["final"](
+                            states[j], x, n_valid)
+                    else:
+                        res = spec["step"](states[j], x, *unis[j])
+                        st, x = res[0], res[1]
+                    new_states.append(st)
+                return tuple(new_states), x, out_valid
+
+            final = jax.jit(run_final)
+        return step, prime, n_stages, final
 
     def _prime_blocks(self) -> int:
         return max((s.spec.get("prime_blocks", 1)
@@ -455,7 +482,7 @@ class DeviceContext:
 
         priming = not ready[0].primed
         n = self.block * (self._prime_blocks() if priming else 1)
-        step, prime, n_stages = self._fused
+        step, prime, n_stages, _final = self._fused
         specs = [s.spec for s in ready[0].members]
 
         rows, metas, dev_in = [], [], False
@@ -570,11 +597,39 @@ class DeviceContext:
         self._writeback()
         import jax
         import jax.numpy as jnp
-        step, prime, n_stages = self._fused
+        step, prime, n_stages, _final = self._fused
+
+        def _b1_states():
+            return tuple(
+                jax.tree_util.tree_map(lambda leaf: leaf[None],
+                                       chain.members[j].state)
+                for j in range(n_stages))
+
+        def _b1_unis():
+            return tuple(
+                tuple(jnp.asarray(np.asarray([u], np.float64)[:, None])
+                      for u in chain.members[j].spec["uniforms"]())
+                for j in range(n_stages))
+
+        def _store(states):
+            for j in range(n_stages):
+                chain.members[j].state = jax.tree_util.tree_map(
+                    lambda leaf: leaf[0], states[j])
+
+        def _emit(host_row, emit):
+            dur = emit * SECOND // max(m.rate, 1)
+            pts = chain.out_pts
+            if pts is not None:
+                chain.out_pts = pts + dur
+            out_bufs.append(chain.tail.element.make_batch_buffer(
+                host_row.astype(m.dtype, copy=False), pts, dur))
+
         out_bufs: list[Buffer] = []
         while self._avail(m) > 0:
             need = self._need(chain)
             avail = self._avail(m)
+            if _final is not None and chain.primed and avail < need:
+                break                # partial tail: the FINAL drain
             n = min(avail, need)
             row, is_dev = self._take_input(m, n)
             if is_dev:
@@ -596,18 +651,35 @@ class DeviceContext:
             fn = prime if not chain.primed else step
             states, out, aux = fn(states, x, unis)
             chain.primed = True
-            for j in range(n_stages):
-                chain.members[j].state = jax.tree_util.tree_map(
-                    lambda leaf: leaf[0], states[j])
+            _store(states)
             emit = min(int(out.shape[1]), n) \
                 if int(out.shape[1]) == need else int(out.shape[1])
-            host = np.asarray(out)[0][:emit]
-            dur = emit * SECOND // max(m.rate, 1)
-            pts = chain.out_pts
-            if pts is not None:
-                chain.out_pts = pts + dur
-            out_bufs.append(chain.tail.element.make_batch_buffer(
-                host.astype(m.dtype, copy=False), pts, dur))
+            _emit(np.asarray(out)[0][:emit], emit)
+        if _final is not None and chain.primed:
+            # device FINAL drain (ops/loudnorm_dev.make_final_step):
+            # consume the trailing partial block and emit the whole
+            # gain-lookahead tail with host-element semantics
+            n = self._avail(m)
+            block = self.block
+            if n > 0:
+                row, is_dev = self._take_input(m, n)
+                if is_dev:
+                    xr = row.jax() if isinstance(row, DeviceRow) \
+                        else row
+                    x = jnp.pad(xr, (0, block - n))[None]
+                else:
+                    cdtype = m.spec.get("compute_dtype", np.float64)
+                    x = jnp.asarray(np.pad(
+                        row.astype(cdtype, copy=False),
+                        (0, block - n))[None])
+            else:
+                cdtype = m.spec.get("compute_dtype", np.float64)
+                x = jnp.zeros((1, block), cdtype)
+            states, out, out_valid = _final(
+                _b1_states(), x, jnp.int32(n), _b1_unis())
+            _store(states)
+            emit = int(out_valid)       # flat samples
+            _emit(np.asarray(out)[0][:emit], emit)
         m.active = False
         # remaining chains may all be ready now
         self.try_fire()
