@@ -154,3 +154,147 @@ class AudioRNNoise(BaseTransform):
         # this with integer division and adds 0 — imp.rs:377-379; we
         # report the true value)
         q.add(FRAME_SIZE * SECOND // 48000, FRAME_SIZE * SECOND // 48000)
+
+
+# -- DeviceContext execution path (runtime/device_batch.py) -------------
+# The batched device twin (ops/rnnoise.make_device_denoiser) runs the
+# whole STFT -> band gate -> iSTFT chain as one lax.scan per block,
+# N streams per dispatch; parity vs the host DenoiseState is ~1e-12
+# (tests/test_rnnoise_device.py).
+
+def _ctx_patch():
+    import jax.numpy as jnp
+
+    from gstpu.core.props import Mutability, Property
+    from gstpu.ops.rnnoise import make_device_denoiser
+
+    p1 = Property(
+        str, default=None, mutable=Mutability.READY,
+        blurb="DeviceContext name: batch/fuse the denoiser with "
+              "other members (spectral-gate engine)")
+    p1.__set_name__(AudioRNNoise, "context")
+    AudioRNNoise.context = p1
+    p2 = Property(
+        int, default=None, minimum=480, mutable=Mutability.READY,
+        blurb="Flat samples per dispatch (multiple of 480*channels; "
+              "default 10 frames)")
+    p2.__set_name__(AudioRNNoise, "context_block")
+    AudioRNNoise.context_block = p2
+
+    orig_start = getattr(AudioRNNoise, "start", None)
+
+    def start(self) -> bool:
+        self._ctx = None
+        if self.context:
+            from gstpu.runtime.device_batch import DeviceContext
+            self._ctx = DeviceContext.acquire(self.context,
+                                              self.context_block)
+            self._ctx.add_member(self)
+        return True if orig_start is None else (orig_start(self)
+                                                is not False)
+
+    def stop(self) -> bool:
+        if getattr(self, "_ctx", None) is not None:
+            self._ctx.remove_member(self)
+            self._ctx = None
+        return True
+
+    orig_set_caps = AudioRNNoise.set_caps
+
+    def set_caps(self, incaps, outcaps) -> bool:
+        if getattr(self, "_ctx", None) is not None:
+            self._info = AudioInfo.from_caps(incaps)
+            C = self._info.channels
+            if self.engine not in ("auto", "spectral"):
+                self.post_error("audiornnoise: context mode runs the "
+                                "spectral-gate device engine")
+                return False
+            unit = FRAME_SIZE * C
+            if self._ctx.block % unit:
+                self.post_error(
+                    f"audiornnoise: context-block must be a multiple "
+                    f"of {unit} (480 samples x {C} ch)")
+                return False
+            self._ctx.finalize_member(self)
+            return True
+        return orig_set_caps(self, incaps, outcaps)
+
+    def device_batch_spec(self) -> dict:
+        C = self._info.channels
+        frames = self._ctx.block // (FRAME_SIZE * C)
+        step, init = make_device_denoiser(frames_per_block=frames)
+
+        def init_nobatch():
+            import jax
+            st = init(C)
+            return st                       # leading dim = channels
+
+        def spec_step(st, x, thr):
+            B = x.shape[0]
+            # (B, n*C) interleaved -> (B*C, n)
+            n = x.shape[1] // C
+            xc = jnp.transpose(x.reshape(B, n, C), (0, 2, 1)) \
+                .reshape(B * C, n)
+            flat = {k: v.reshape((B * C,) + v.shape[2:])
+                    for k, v in st.items()}
+            flat, out, vads = step(flat, xc * 32767.0)
+            out = out / 32767.0
+            F = vads.shape[1]
+            # stream VAD = max over channels, per frame; mute frames
+            # below threshold (host _process semantics)
+            vmax = jnp.max(vads.reshape(B, C, F), axis=1)   # (B, F)
+            mute = (vmax < thr)[:, :, None]                 # (B,F,1)
+            o = out.reshape(B, C, F, FRAME_SIZE)
+            o = jnp.where(mute[:, None], 0.0, o)
+            o = jnp.transpose(o, (0, 2, 3, 1)).reshape(B, -1)
+            st2 = {k: v.reshape((B, C) + v.shape[1:])
+                   for k, v in flat.items()}
+            return st2, o, dict(vad=jnp.max(vmax, axis=1))
+
+        return dict(key=("audiornnoise", C, frames),
+                    step=spec_step,
+                    init_state=init_nobatch,
+                    uniforms=lambda: (
+                        self.voice_activity_threshold,),
+                    compute_dtype=np.float64)
+
+    def make_batch_buffer(self, flat, pts, dur):
+        from gstpu.runtime.device_batch import DeviceRow
+        if isinstance(flat, DeviceRow):
+            return Buffer(flat, pts=pts, duration=dur)
+        return self._info.make_buffer(
+            np.asarray(flat, np.float32).reshape(-1,
+                                                 self._info.channels),
+            pts=pts, duration=dur)
+
+    orig_transform = AudioRNNoise.transform
+
+    def transform(self, buf):
+        if getattr(self, "_ctx", None) is not None:
+            from gstpu.runtime.device_batch import _is_device
+            info = self._info
+            data = buf.data if _is_device(buf.data) \
+                else info.view(buf).astype(np.float64).reshape(-1)
+            self._ctx.submit(self, data, buf.pts,
+                             info.rate * info.channels)
+            return None
+        return orig_transform(self, buf)
+
+    orig_drain = AudioRNNoise.drain
+
+    def drain(self):
+        if getattr(self, "_ctx", None) is not None:
+            return self._ctx.flush_member(self)
+        return orig_drain(self)
+
+    AudioRNNoise.start = start
+    AudioRNNoise.stop = stop
+    AudioRNNoise.set_caps = set_caps
+    AudioRNNoise.device_batch_spec = device_batch_spec
+    AudioRNNoise.make_batch_buffer = make_batch_buffer
+    AudioRNNoise.transform = transform
+    AudioRNNoise.drain = drain
+
+
+_ctx_patch()
+del _ctx_patch

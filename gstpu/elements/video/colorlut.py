@@ -122,8 +122,11 @@ class ColorLut(VideoFilter):
         def step(states, x, *_unused):
             B = x.shape[0]
             f = x.reshape(B, H, W, C)
-            out = fn(f.reshape(B * H, W, C), table, scale, offset,
-                     max_val=255)
+            # sequential per frame (one-frame working set per step;
+            # the LUT kernel itself is the throughput bound)
+            out = jax.lax.map(
+                lambda fr: fn(fr, table, scale, offset, max_val=255),
+                f)
             return states, out.reshape(B, -1)
 
         return dict(key=("colorlut", H, W, info.format, lut_id),

@@ -104,12 +104,20 @@ class HsvFilter(VideoFilter):
             f = x.reshape(B, H, W, C)
             rgb = jnp.stack([f[..., r], f[..., g], f[..., b]],
                             axis=-1)
-            out = jax.vmap(hsv_ops.hsv_filter)(
+
+            def one(args):
+                fr, h_, sm, so, vm, vo = args
+                return hsv_ops.hsv_filter(fr, h_, sm, so, vm, vo)
+
+            # sequential over frames (lax.map, not vmap): keeps the
+            # f32 working set at one frame so batched 4K dispatches
+            # don't exhaust HBM
+            out = jax.lax.map(one, (
                 rgb, hue[:, 0].astype(jnp.float32),
                 smul[:, 0].astype(jnp.float32),
                 soff[:, 0].astype(jnp.float32),
                 vmul[:, 0].astype(jnp.float32),
-                voff[:, 0].astype(jnp.float32))
+                voff[:, 0].astype(jnp.float32)))
             f = f.at[..., r].set(out[..., 0]) \
                 .at[..., g].set(out[..., 1]) \
                 .at[..., b].set(out[..., 2])

@@ -436,3 +436,110 @@ class JaxGruModel:
         """(B, 42) batched step for the DeviceContext path."""
         self._h, gains, vad = self._step(self._h, feats_b)
         return gains, vad
+
+
+# ---------------------------------------------------------------------------
+# fully-device denoiser (DeviceContext execution path)
+# ---------------------------------------------------------------------------
+
+def _band_matrix() -> np.ndarray:
+    """(FREQ_SIZE, NB_BANDS) triangular weights: band_energies(p) ==
+    p @ W (the loops above as one matmul — MXU-friendly)."""
+    W = np.zeros((FREQ_SIZE, NB_BANDS))
+    for b in range(NB_BANDS - 1):
+        lo, hi = BAND_EDGES[b], BAND_EDGES[b + 1]
+        frac = np.arange(hi - lo) / (hi - lo)
+        W[lo:hi, b] += 1 - frac
+        W[lo:hi, b + 1] += frac
+    W[:, 0] *= 2
+    W[:, -1] *= 2
+    return W
+
+
+def _interp_matrix() -> np.ndarray:
+    """(NB_BANDS, FREQ_SIZE): interp_band_gain as a matmul."""
+    G = np.zeros((NB_BANDS, FREQ_SIZE))
+    for b in range(NB_BANDS - 1):
+        lo, hi = BAND_EDGES[b], BAND_EDGES[b + 1]
+        frac = np.arange(hi - lo) / (hi - lo)
+        G[b, lo:hi] = 1 - frac
+        G[b + 1, lo:hi] = frac
+    G[-1, BAND_EDGES[-1]:] = 1.0
+    return G
+
+
+def make_device_denoiser(frames_per_block: int = 10,
+                         alpha: float = 0.95,
+                         floor_track: float = 0.9995,
+                         min_gain: float = 0.05):
+    """Batched device twin of DenoiseState with the SpectralGate
+    model (the element's default engine): STFT -> band energies (one
+    matmul) -> noise-floor tracking -> Wiener band gains -> gain
+    interpolation (matmul) -> iSTFT overlap-add, as a lax.scan over
+    `frames_per_block` frames per dispatch.
+
+    init(batch) -> state;  step(state, x (B, frames*480))
+        -> (state, out (B, frames*480), vads (B, frames))
+    Math follows SpectralGate.frame_gains / DenoiseState.process_frame
+    above operation-for-operation (f64), so batched-vs-host parity is
+    at the fp-reassociation level.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    win = jnp.asarray(vorbis_window())
+    Wb = jnp.asarray(_band_matrix())
+    Gi = jnp.asarray(_interp_matrix())
+
+    def init(batch: int) -> dict:
+        z = lambda *s: jnp.zeros(s, jnp.float64)  # noqa: E731
+        return dict(analysis=z(batch, FRAME_SIZE),
+                    synth=z(batch, FRAME_SIZE),
+                    noise=z(batch, NB_BANDS),
+                    smoothed=z(batch, NB_BANDS),
+                    started=jnp.zeros(batch, bool),
+                    vad=z(batch))
+
+    def frame(st, x):
+        buf = jnp.concatenate([st["analysis"], x], axis=1)
+        spec = jnp.fft.rfft(buf * win)
+        p = jnp.abs(spec) ** 2
+        eb = p @ Wb
+        started = st["started"]
+        # init frame: noise := eb + 1e-10, smoothed := eb, NO floor
+        # update (SpectralGate.frame_gains first-call semantics)
+        sm_upd = alpha * st["smoothed"] + (1 - alpha) * eb
+        smoothed = jnp.where(started[:, None], sm_upd, eb)
+        noise_upd = jnp.where(sm_upd < st["noise"], sm_upd,
+                              st["noise"] / floor_track)
+        noise = jnp.where(started[:, None], noise_upd, eb + 1e-10)
+        snr = smoothed / (noise + 1e-10)
+        gains = jnp.clip(1.0 - 2.0 / jnp.maximum(snr, 1e-3),
+                         min_gain, 1.0)
+        gains = jnp.where(started[:, None], gains, 1.0)
+        voiced = jnp.mean(snr[:, 2:16], axis=1)
+        vad = jnp.where(started,
+                        jnp.clip((voiced - 1.5) / 8.0, 0.0, 1.0), 0.0)
+        g = gains @ Gi
+        fr = jnp.fft.irfft(spec * g) * win
+        out = fr[:, :FRAME_SIZE] + st["synth"]
+        st = dict(st, analysis=x, synth=fr[:, FRAME_SIZE:],
+                  noise=noise, smoothed=smoothed,
+                  started=jnp.ones_like(started), vad=vad)
+        return st, out
+
+    @jax.jit
+    def step(st, xb):
+        B = xb.shape[0]
+        xs = xb.reshape(B, -1, FRAME_SIZE)
+        xs = jnp.moveaxis(xs, 1, 0)          # (F, B, 480)
+
+        def body(st, xk):
+            st, out = frame(st, xk)
+            return st, (out, st["vad"])
+
+        st, (outs, vads) = jax.lax.scan(body, st, xs)
+        out = jnp.moveaxis(outs, 0, 1).reshape(B, -1)
+        return st, out, jnp.moveaxis(vads, 0, 1)    # (B, F)
+
+    return step, init
