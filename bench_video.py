@@ -67,6 +67,11 @@ def run_element_path(n_streams: int = 4, frames: int = 10):
     from gstpu.runtime.device_batch import DeviceContext, DeviceRow
 
     DeviceContext.release("vbench")
+    # overlapped dispatch (depth=2): round k's host work overlaps
+    # round k-1's device compute — the same documented runtime mode
+    # bench_batch.py reports; outputs are bit-identical, +1 round of
+    # pipeline latency
+    DeviceContext.acquire("vbench", block=0, depth=2)
     caps = (f"video/x-raw, format=RGBA, width={W}, height={H}, "
             f"framerate=30/1")
     lut = identity_lut(size=17)
@@ -83,13 +88,16 @@ def run_element_path(n_streams: int = 4, frames: int = 10):
         p.set_state(State.PLAYING)
     B = n_streams
     key = jax.random.PRNGKey(0)
+    # native-rank banks: the context carries video batches as
+    # (B, H, W, C) (spec sample_shape) — flat rows would force a
+    # ~12 ms/frame relayout at the chain head
     bank = [jax.random.randint(jax.random.fold_in(key, k),
-                               (B, H * W * 4), 0, 256, jnp.uint8)
+                               (B, H, W, 4), 0, 256, jnp.uint8)
             for k in range(4)]
     for b in bank:
         b.block_until_ready()
-    checksum = jax.jit(lambda y: jnp.sum(y[:, ::4096].astype(
-        jnp.float32)))
+    checksum = jax.jit(lambda y: jnp.sum(
+        y.reshape(y.shape[0], -1)[:, ::4096].astype(jnp.float32)))
 
     def push_round(k):
         for i, p in enumerate(pipes):
@@ -98,12 +106,12 @@ def run_element_path(n_streams: int = 4, frames: int = 10):
                        pts=k * 33_333_333))
             while p.iterate():
                 pass
-    push_round(0)                        # compile
+    push_round(0)                        # compile (output pending:
+    push_round(1)                        # depth=2 defers one round)
     sinks = [p.get_by_name("sink") for p in pipes]
     last = sinks[0].samples[-1].data
     float(checksum(last.parent if isinstance(last, DeviceRow)
                    else last))
-    push_round(1)                        # warm
     for s in sinks:
         s.samples.clear()
     t0 = time.monotonic()

@@ -31,9 +31,18 @@ from gstpu.core.element import PadDirection, PadPresence, PadTemplate
 from gstpu.core.props import Mutability, Property
 from gstpu.core.query import LatencyQuery
 from gstpu.core.registry import Rank, register_element
-from gstpu.ops.fftconv import ir_rfft, ols_block
+from gstpu.ops.fftconv import ir_rfft, next_pow2, ols_block
 
 SECOND = 1_000_000_000
+
+
+def _dev_rfft(irs_real, nfft: int):
+    """rfft computed ON DEVICE from a real f32 upload — a complex
+    device_put wedges the axon TPU tunnel, and C128 is unsupported
+    on TPU (the element's DSP is f32 anyway)."""
+    import jax
+    return jax.jit(lambda a: jnp.fft.rfft(
+        a.astype(jnp.float32), n=nfft, axis=-1))(irs_real)
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +257,12 @@ class HrtfRender(BaseTransform):
     def _refresh_irs(self, dirs) -> None:
         sub = self.block_length // self.interpolation_steps
         irs = np.stack([self._sphere.sample(d) for d in dirs])  # (C,2,L)
-        self._ir_f = jnp.asarray(ir_rfft(irs, max(sub, 1)))
+        # upload REAL IRs and rfft on device: a complex device_put
+        # wedges the axon TPU tunnel (bench.py documents the same
+        # pitfall for FFT constants)
+        from gstpu.ops.fftconv import next_pow2
+        nfft = next_pow2(max(sub, 1) + self._sphere.ir_len - 1)
+        self._ir_f = _dev_rfft(jnp.asarray(irs), nfft)
 
     # -- processing ----------------------------------------------------
     def transform(self, buf: Buffer) -> list[Buffer] | None:
@@ -452,8 +466,9 @@ class Sofalizer(BaseTransform):
         self._adapter = SampleAdapter(self._in_info.rate)
         self._hist = jnp.zeros((C, 1, L - 1), jnp.float32)
         self._cur_sel = self._select_irs(C)
-        self._ir_f = jnp.asarray(
-            ir_rfft(self._irs[self._cur_sel], self.block_length))
+        self._ir_f = _dev_rfft(
+            jnp.asarray(self._irs[self._cur_sel]),
+            next_pow2(self.block_length + self._irs.shape[-1] - 1))
         self._fade_from = None
         return True
 
@@ -473,8 +488,10 @@ class Sofalizer(BaseTransform):
         if not np.array_equal(sel, self._cur_sel):
             self._fade_from = self._ir_f
             self._cur_sel = sel
-            self._ir_f = jnp.asarray(ir_rfft(self._irs[sel],
-                                             self.block_length))
+            self._ir_f = _dev_rfft(
+                jnp.asarray(self._irs[sel]),
+                next_pow2(self.block_length
+                          + self._irs.shape[-1] - 1))
         x = jnp.asarray(frames.T[:, None, :])
         if self._fade_from is not None:
             # crossfade: render with both filter sets, blend linearly

@@ -118,19 +118,21 @@ class ColorLut(VideoFilter):
                                               pallas_available)
             fn = (apply_lut_3d_pallas if pallas_available()
                   else apply_lut_3d_mm)
-
         def step(states, x, *_unused):
+            # x is (B, H, W, C) in the frame's NATIVE layout (spec
+            # sample_shape; see elements/video/hsv.py).  One kernel
+            # over all frames: the Pallas LUT streams TP-sized
+            # blocks through VMEM, so batching frames adds no
+            # resident f32 working set; the (B*H, W, C) merge of
+            # adjacent dims is layout-free.
             B = x.shape[0]
-            f = x.reshape(B, H, W, C)
-            # sequential per frame (one-frame working set per step;
-            # the LUT kernel itself is the throughput bound)
-            out = jax.lax.map(
-                lambda fr: fn(fr, table, scale, offset, max_val=255),
-                f)
-            return states, out.reshape(B, -1)
+            out = fn(x.reshape(B * H, W, C), table, scale, offset,
+                     max_val=255)
+            return states, out.reshape(B, H, W, C)
 
         return dict(key=("colorlut", H, W, info.format, lut_id),
                     step=step,
+                    sample_shape=(H, W, C),
                     init_state=lambda: (),
                     uniforms=lambda: (),
                     compute_dtype=np.uint8)

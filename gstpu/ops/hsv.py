@@ -19,10 +19,19 @@ EPSILON = 1e-5
 
 def rgb_to_hsv(rgb_u8: jax.Array):
     """(..., 3) uint8 -> (h, s, v) f32 arrays (hsvutils::from_rgb)."""
-    f = rgb_u8.astype(jnp.float32) / 255.0
-    r, g, b = f[..., 0], f[..., 1], f[..., 2]
-    value = jnp.max(f, axis=-1)
-    chroma = value - jnp.min(f, axis=-1)
+    return _rgb_planes_to_hsv(rgb_u8[..., 0], rgb_u8[..., 1],
+                              rgb_u8[..., 2])
+
+
+def _rgb_planes_to_hsv(r_u8, g_u8, b_u8):
+    """Plane-level core of rgb_to_hsv: lets RGBA-native callers skip
+    the (..., 3) channel gather (minor-dim u8 relayouts at 4K were
+    the element-path bottleneck)."""
+    r = r_u8.astype(jnp.float32) / 255.0
+    g = g_u8.astype(jnp.float32) / 255.0
+    b = b_u8.astype(jnp.float32) / 255.0
+    value = jnp.maximum(jnp.maximum(r, g), b)
+    chroma = value - jnp.minimum(jnp.minimum(r, g), b)
     # stop fusion from recomputing the max/min reductions inside
     # every branch of the hue selection below (see hsv_to_rgb)
     r, g, b, value, chroma = jax.lax.optimization_barrier(
@@ -49,6 +58,15 @@ def rgb_to_hsv(rgb_u8: jax.Array):
 def hsv_to_rgb(h: jax.Array, s: jax.Array, v: jax.Array) -> jax.Array:
     """(h, s, v) f32 -> (..., 3) uint8 (hsvutils::to_rgb; truncating
     casts like Rust `as u8`)."""
+    return jnp.stack(_hsv_to_rgb_comps(h, s, v),
+                     axis=-1).astype(jnp.uint8)
+
+
+def _hsv_to_rgb_comps(h: jax.Array, s: jax.Array,
+                      v: jax.Array) -> list:
+    """hsv_to_rgb before the channel stack: three f32 planes in
+    [0, 255] so RGBA-native callers can interleave alpha passthrough
+    channels with ONE stack."""
     c = v * s
     hp = h / 60.0
     x = c * (1.0 - jnp.abs(jnp.mod(hp, 2.0) - 1.0))
@@ -71,8 +89,8 @@ def hsv_to_rgb(h: jax.Array, s: jax.Array, v: jax.Array) -> jax.Array:
         return jnp.where(hp < 0.0, zero, out)
 
     m = v - c
-    comps = [jnp.clip((chain(i) + m) * 255.0, 0.0, 255.0) for i in range(3)]
-    return jnp.stack(comps, axis=-1).astype(jnp.uint8)
+    return [jnp.clip((chain(i) + m) * 255.0, 0.0, 255.0)
+            for i in range(3)]
 
 
 @jax.jit
@@ -90,6 +108,61 @@ def hsv_filter(rgb_u8: jax.Array, hue_shift: jax.Array,
     return hsv_to_rgb(h, s, v)
 
 
+@partial(jax.jit, static_argnames=("rgb_idx",))
+def hsv_filter_frame(frame_u8: jax.Array, rgb_idx: tuple,
+                     hue_shift: jax.Array, sat_mul: jax.Array,
+                     sat_off: jax.Array, val_mul: jax.Array,
+                     val_off: jax.Array) -> jax.Array:
+    """hsvfilter on a full (..., C) frame in its NATIVE channel
+    order: the RGB planes at rgb_idx go through the hsv math,
+    everything else (alpha / padding) passes through, and the output
+    is assembled with a single channel stack.  Bit-identical to
+    hsv_filter on the gathered (..., 3) view — same plane math, same
+    truncating casts — but avoids two minor-dim-C u8 relayouts per
+    frame, which at 4K were the difference between 15 and 70 ms."""
+    ri, gi, bi = rgb_idx
+    h, s, v = _rgb_planes_to_hsv(frame_u8[..., ri], frame_u8[..., gi],
+                                 frame_u8[..., bi])
+    h = jnp.mod(h + hue_shift, 360.0)
+    h = jnp.where(h < 0.0, h + 360.0, h)
+    s = jnp.clip(sat_mul * s + sat_off, 0.0, 1.0)
+    v = jnp.clip(val_mul * v + val_off, 0.0, 1.0)
+    comps = _hsv_to_rgb_comps(h, s, v)
+    chans: list = [None] * frame_u8.shape[-1]
+    chans[ri], chans[gi], chans[bi] = (
+        c.astype(jnp.uint8) for c in comps)
+    for c in range(len(chans)):
+        if chans[c] is None:
+            chans[c] = frame_u8[..., c]
+    return jnp.stack(chans, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("rgb_idx", "out_idx"))
+def hsv_detect_frame(frame_u8: jax.Array, rgb_idx: tuple,
+                     out_idx: tuple, hue_ref: jax.Array,
+                     hue_var: jax.Array, sat_ref: jax.Array,
+                     sat_var: jax.Array, val_ref: jax.Array,
+                     val_var: jax.Array) -> jax.Array:
+    """hsvdetector on a full (..., C) frame in its native channel
+    order: RGB planes at rgb_idx feed the HSV window match, the
+    output frame is assembled at out_idx = (r, g, b, alpha) with a
+    single channel stack (same relayout-avoidance as
+    hsv_filter_frame)."""
+    ri, gi, bi = rgb_idx
+    h, s, v = _rgb_planes_to_hsv(frame_u8[..., ri], frame_u8[..., gi],
+                                 frame_u8[..., bi])
+    match = _hsv_match(h, s, v, hue_ref, hue_var, sat_ref, sat_var,
+                       val_ref, val_var)
+    alpha = jnp.where(match, jnp.uint8(255), jnp.uint8(0))
+    ro, go, bo, ao = out_idx
+    chans: list = [None] * 4
+    chans[ro], chans[go], chans[bo] = (frame_u8[..., ri],
+                                       frame_u8[..., gi],
+                                       frame_u8[..., bi])
+    chans[ao] = alpha
+    return jnp.stack(chans, axis=-1)
+
+
 @jax.jit
 def hsv_detect(rgb_u8: jax.Array, hue_ref: jax.Array, hue_var: jax.Array,
                sat_ref: jax.Array, sat_var: jax.Array,
@@ -97,10 +170,18 @@ def hsv_detect(rgb_u8: jax.Array, hue_ref: jax.Array, hue_var: jax.Array,
     """hsvdetector match mask: 255 where the pixel is within the HSV
     key window (circular hue), else 0 (hsvdetector/imp.rs:130-161)."""
     h, s, v = rgb_to_hsv(rgb_u8)
+    match = _hsv_match(h, s, v, hue_ref, hue_var, sat_ref, sat_var,
+                       val_ref, val_var)
+    return jnp.where(match, jnp.uint8(255), jnp.uint8(0))
+
+
+def _hsv_match(h, s, v, hue_ref, hue_var, sat_ref, sat_var,
+               val_ref, val_var):
+    """Boolean HSV-window match on (h, s, v) planes — the shared
+    core of hsv_detect / hsv_detect_frame."""
     shifted = h + (180.0 - hue_ref)
     shifted = jnp.where(shifted < 0.0, shifted + 360.0, shifted)
     shifted = jnp.mod(shifted, 360.0)
-    match = ((jnp.abs(shifted - 180.0) <= hue_var)
-             & (jnp.abs(s - sat_ref) <= sat_var)
-             & (jnp.abs(v - val_ref) <= val_var))
-    return jnp.where(match, jnp.uint8(255), jnp.uint8(0))
+    return ((jnp.abs(shifted - 180.0) <= hue_var)
+            & (jnp.abs(s - sat_ref) <= sat_var)
+            & (jnp.abs(v - val_ref) <= val_var))

@@ -80,27 +80,16 @@ def _lut_kernel(n, xyz_ref, t3_ref, out_ref):
         s.reshape(n, 3, TP) * wz[:, None, :], axis=0)
 
 
-@partial(jax.jit, static_argnames=("max_val", "interpret"))
-def apply_lut_3d_pallas(pix: jax.Array, table: jax.Array,
-                        scale: jax.Array, offset: jax.Array, *,
-                        max_val: int = 255,
-                        interpret: bool = False) -> jax.Array:
-    """Drop-in for apply_lut_3d_mm (same signature/semantics)."""
+def _run_kernel(xyz: jax.Array, table: jax.Array,
+                interpret: bool) -> jax.Array:
+    """(3, Mpad) grid coordinates -> (3, Mpad) f32 in [0, 1]
+    (Mpad % TP == 0)."""
     n = table.shape[0]
     # T3[(z*3+c), (y*n+x)] in bf16: [z,y,x,c] -> [z,c,y,x]
     t3 = jnp.transpose(table, (0, 3, 1, 2)) \
         .reshape(3 * n, n * n).astype(jnp.bfloat16)
-
-    shape = pix.shape
-    flat = pix.reshape(-1, shape[-1])
-    npix = flat.shape[0]
-    pad = (-npix) % TP
-    rgb = jnp.pad(flat[:, :3], ((0, pad), (0, 0)))
-    rgbf = rgb.astype(jnp.float32) / max_val
-    xyz = jnp.clip(rgbf * scale + offset, 0.0, 1.0) * (n - 1.0)
-    xyz_t = xyz.T.reshape(3, -1, TP).transpose(1, 0, 2)  # (NT, 3, TP)
+    xyz_t = xyz.reshape(3, -1, TP).transpose(1, 0, 2)  # (NT, 3, TP)
     nt = xyz_t.shape[0]
-
     out_t = pl.pallas_call(
         partial(_lut_kernel, n),
         grid=(nt,),
@@ -112,8 +101,24 @@ def apply_lut_3d_pallas(pix: jax.Array, table: jax.Array,
         out_shape=jax.ShapeDtypeStruct((nt, 3, TP), jnp.float32),
         interpret=interpret,
     )(xyz_t, t3)
+    return out_t.transpose(1, 0, 2).reshape(3, -1)
 
-    res = out_t.transpose(1, 0, 2).reshape(3, -1).T[:npix]
+
+@partial(jax.jit, static_argnames=("max_val", "interpret"))
+def apply_lut_3d_pallas(pix: jax.Array, table: jax.Array,
+                        scale: jax.Array, offset: jax.Array, *,
+                        max_val: int = 255,
+                        interpret: bool = False) -> jax.Array:
+    """Drop-in for apply_lut_3d_mm (same signature/semantics)."""
+    n = table.shape[0]
+    shape = pix.shape
+    flat = pix.reshape(-1, shape[-1])
+    npix = flat.shape[0]
+    pad = (-npix) % TP
+    rgb = jnp.pad(flat[:, :3], ((0, pad), (0, 0)))
+    rgbf = rgb.astype(jnp.float32) / max_val
+    xyz = jnp.clip(rgbf * scale + offset, 0.0, 1.0) * (n - 1.0)
+    res = _run_kernel(xyz.T, table, interpret).T[:npix]
     res = jnp.floor(jnp.clip(res, 0.0, 1.0) * max_val + 0.5)
     res = res.astype(pix.dtype)
     if shape[-1] > 3:

@@ -69,18 +69,25 @@ SECOND = 1_000_000_000
 
 
 class DeviceRow:
-    """Lazy view of row `idx` of a device-resident (B, n) array.
+    """Lazy view of row `idx` of a device-resident (B, ...) batch.
 
     Used both for zero-RPC submission (rows of a pre-uploaded bank)
     and for lazy output distribution (slicing every row eagerly would
-    issue B device ops per fire over the tunnel)."""
+    issue B device ops per fire over the tunnel).
+
+    The parent may be flat (B, n) or shaped (B, H, W, C) — video
+    specs carry batches in their NATIVE rank because flattening a
+    tiled u8 frame batch costs a device relayout (~12 ms/frame at
+    4K, measured).  `n`/`shape` always present the flat sample count
+    so stream accounting stays rank-agnostic; `jax()` returns the
+    row in the parent's own rank."""
 
     __slots__ = ("parent", "idx", "n")
 
     def __init__(self, parent, idx: int, n: int | None = None):
         self.parent = parent
         self.idx = idx
-        self.n = int(parent.shape[1] if n is None else n)
+        self.n = int(np.prod(parent.shape[1:]) if n is None else n)
 
     @property
     def shape(self):
@@ -96,6 +103,8 @@ class DeviceRow:
 
     def jax(self):
         row = self.parent[self.idx]
+        if row.ndim > 1:
+            return row                  # native-rank video row
         return row[: self.n] if self.n != self.parent.shape[1] else row
 
     def __array__(self, dtype=None, copy=None):
@@ -376,7 +385,7 @@ class DeviceContext:
         element."""
         m = self.member_for(element)
         if _is_device(samples):
-            n = int(samples.shape[-1])
+            n = int(np.prod(samples.shape))
             if m.pts is None and pts is not None:
                 m.pts = pts - m.dev_avail * SECOND // max(rate, 1)
             m.dtype = np.dtype(samples.dtype)
@@ -441,6 +450,8 @@ class DeviceContext:
             while have < n and m.dev_rows:
                 r = m.dev_rows.pop(0)
                 rj = r.jax() if isinstance(r, DeviceRow) else r
+                if rj.ndim > 1:         # native-rank video row: the
+                    rj = rj.reshape(-1)  # re-blocking path is flat
                 rows.append(rj)
                 have += int(rj.shape[-1])
             m.dev_avail -= n
@@ -498,6 +509,13 @@ class DeviceContext:
             rows.append(row)
             metas.append((c, pts))
 
+        # video specs declare their native sample rank: the batch is
+        # carried as (B, *sample_shape) end-to-end because flattening
+        # a tiled u8 frame batch costs a device relayout (~12
+        # ms/frame at 4K, measured — the difference between 19 and
+        # 65 fps on the 4K chain)
+        sshape = tuple(specs[0].get("sample_shape") or ())
+
         # fast path: every row is DeviceRow i of the same (B, n) bank
         if dev_in and all(isinstance(r, DeviceRow) for r in rows) \
                 and len({id(r.parent) for r in rows}) == 1 \
@@ -505,12 +523,25 @@ class DeviceContext:
                 and rows[0].parent.shape[0] == len(rows):
             x = rows[0].parent
         elif dev_in:
-            x = jnp.stack([r.jax() if isinstance(r, DeviceRow) else r
-                           for r in rows])
+            def rowj(r):
+                rj = r.jax() if isinstance(r, DeviceRow) else r
+                if sshape and rj.ndim == 1:
+                    rj = rj.reshape(sshape)
+                elif not sshape and rj.ndim > 1:
+                    rj = rj.reshape(-1)
+                return rj
+            x = jnp.stack([rowj(r) for r in rows])
         else:
             cdtype = specs[0].get("compute_dtype", np.float64)
-            x = jnp.asarray(np.stack(
-                [r.astype(cdtype, copy=False) for r in rows]))
+            host = np.stack([r.astype(cdtype, copy=False)
+                             for r in rows])
+            if sshape and host.ndim == 2:
+                # reshape host-side: the upload then lands in the
+                # native tiled layout for the rank
+                host = host.reshape((len(rows),) + sshape)
+            x = jnp.asarray(host)
+        if sshape and x.ndim == 2:
+            x = x.reshape((x.shape[0],) + sshape)
 
         ids = tuple(id(c) for c in ready)
         if self._batched is not None and self._batched[0] == ids:
@@ -526,9 +557,16 @@ class DeviceContext:
                 and self._uni_cache[0] == (ids, uni_vals):
             unis = self._uni_cache[1]
         else:
+            def dev_uniform(vals):
+                # lane-uniform values ship as SCALARS: a (B, 1)
+                # broadcast can block XLA fusion in composed video
+                # graphs (measured 4x slower at 4K)
+                if len(set(vals)) == 1:
+                    return jnp.float64(vals[0])
+                return jnp.asarray(np.asarray(vals,
+                                              np.float64)[:, None])
             unis = tuple(
-                tuple(jnp.asarray(np.asarray(u, np.float64)[:, None])
-                      for u in zip(*uni_vals[j]))
+                tuple(dev_uniform(u) for u in zip(*uni_vals[j]))
                 for j in range(n_stages))
             self._uni_cache = ((ids, uni_vals), unis)
         fn = prime if priming else step
@@ -550,7 +588,7 @@ class DeviceContext:
                 self._distribute(*prev)
 
     def _distribute(self, out, aux, metas, device: bool) -> None:
-        out_n = int(out.shape[1])
+        out_n = int(np.prod(out.shape[1:]))
         host = None if device else np.asarray(out)
         for i, (c, _pts) in enumerate(metas):
             if not c.head.active:
@@ -631,15 +669,22 @@ class DeviceContext:
             if _final is not None and chain.primed and avail < need:
                 break                # partial tail: the FINAL drain
             n = min(avail, need)
+            sshape = tuple(m.spec.get("sample_shape") or ())
             row, is_dev = self._take_input(m, n)
             if is_dev:
                 xr = row.jax() if isinstance(row, DeviceRow) else row
-                xr = jnp.pad(xr, (0, need - n)) if n < need else xr
+                if xr.ndim == 1:
+                    xr = jnp.pad(xr, (0, need - n)) if n < need else xr
+                    if sshape:
+                        xr = xr.reshape(sshape)
                 x = xr[None]
             else:
-                cdtype = m.spec.get("compute_dtype", np.float64)
-                x = jnp.asarray(np.pad(
-                    row.astype(cdtype, copy=False), (0, need - n))[None])
+                hx = np.pad(row.astype(
+                    m.spec.get("compute_dtype", np.float64),
+                    copy=False), (0, need - n))
+                if sshape:
+                    hx = hx.reshape(sshape)
+                x = jnp.asarray(hx[None])
             states = tuple(
                 jax.tree_util.tree_map(lambda leaf: leaf[None],
                                        chain.members[j].state)
@@ -652,9 +697,10 @@ class DeviceContext:
             states, out, aux = fn(states, x, unis)
             chain.primed = True
             _store(states)
-            emit = min(int(out.shape[1]), n) \
-                if int(out.shape[1]) == need else int(out.shape[1])
-            _emit(np.asarray(out)[0][:emit], emit)
+            out_row = np.asarray(out)[0].reshape(-1)
+            emit = min(out_row.size, n) \
+                if out_row.size == need else out_row.size
+            _emit(out_row[:emit], emit)
         if _final is not None and chain.primed:
             # device FINAL drain (ops/loudnorm_dev.make_final_step):
             # consume the trailing partial block and emit the whole
