@@ -136,12 +136,14 @@ def test_icecastsink_reconnect_resends_headers():
     hb.set_flag(BufferFlags.HEADER)
     src.push_buffer(hb)
     # push until the server has dropped us and we reconnected
-    # (bounded; under load the drop can take longer to surface)
-    for i in range(100):
+    # (deadline-based; under full-suite load on one core the drop can
+    #  take many seconds to surface)
+    deadline = time.monotonic() + 30.0
+    i = 0
+    while time.monotonic() < deadline and len(srv.requests) < 2:
         src.push_buffer(Buffer(bytes([i % 256]) * 64))
+        i += 1
         time.sleep(0.02)
-        if len(srv.requests) >= 2:
-            break
     src.end_of_stream()
     p.run()
     p.set_state(State.NULL)
