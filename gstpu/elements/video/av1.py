@@ -11,9 +11,13 @@ architecture — each wraps a native engine through the codec shim
   (video/dav1d/src/dav1ddec/imp.rs)
 * ffv1dec  — FFV1 lossless decoder (video/ffv1/src/ffv1dec/imp.rs)
 
-The TPU-native AV1 intra transform path (device DCT/pred/quant) lives
-in gstpu.ops.av1tpu / the av1enctpu element; these elements are the
-conformant production engines and the conformance oracle for it.
+`ffv1enc` goes beyond the reference (which ships no FFV1 encoder):
+gstpu's own RFC 9043 encoder with the codec-internal compute split
+SURVEY.md §2.8 P4 calls for — per-frame prediction/context/residual
+fields as one fused device pass (gstpu/ops/ffv1_pred.py), adaptive
+range coding in native C++ (native/gstpu_ffv1.cpp).  Bitstream
+conformance is proven against libavcodec's independent decoder
+(tests/test_ffv1enc.py).
 """
 
 from __future__ import annotations
@@ -246,6 +250,90 @@ class Dav1dDec(_AvDecoderBase):
         PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
                     video_caps(formats=("I420",))),
     ]
+
+
+@register_element("ffv1enc", Rank.PRIMARY)
+class Ffv1Enc(BaseTransform):
+    """FFV1 lossless encoder — gstpu's own TPU-split engine (the
+    reference has no FFV1 encoder; its video/ffv1 crate is
+    decode-only).  Per-frame context/residual fields compute on the
+    device in one fused pass; the sequential adaptive range coding
+    runs in native C++ (pure-Python spec-model fallback when no
+    toolchain).  Output decodes bit-exactly under libavcodec AND
+    under this repo's ffv1dec."""
+
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                    video_caps(formats=("I420",))),
+        PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                    Caps.new("video/x-ffv1")),
+    ]
+
+    gop = Property(int, default=1, minimum=1, maximum=600,
+                   mutable=Mutability.READY,
+                   blurb="Keyframe interval (1 = all-intra, the "
+                         "archival norm; context states persist "
+                         "across intra-coded inter frames)")
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._info = None
+        self._params = None
+        self._pred = None
+        self._coder = None      # native C++ coder, or None
+        self._model = None      # pure-Python fallback
+        self._frame_n = 0
+
+    def transform_caps(self, direction, caps, filter):
+        if direction is PadDirection.SINK:
+            out = Caps.new("video/x-ffv1")
+            for s in caps:
+                for k in ("width", "height", "framerate"):
+                    if k in s:
+                        out[0][k] = s[k]
+        else:
+            out = self.sinkpad.pad_template_caps().copy()
+        if filter is not None:
+            out = filter.intersect(out)
+        return out
+
+    def set_caps(self, incaps, outcaps) -> bool:
+        from gstpu.codecs import ffv1
+        from gstpu.ops.ffv1_pred import Predictor
+        self._info = VideoInfo.from_caps(incaps)
+        self._params = ffv1.Params(self._info.width, self._info.height)
+        self._pred = Predictor(self._params.quant)
+        self._coder = None
+        self._model = None
+        try:
+            from gstpu.native_ffv1 import NativeFrameCoder
+            self._coder = NativeFrameCoder(self._params)
+        except (RuntimeError, OSError):
+            self._model = ffv1.ModelEncoder(self._params, gop=self.gop)
+        self._frame_n = 0
+        return True
+
+    def transform(self, buf: Buffer) -> list[Buffer] | None:
+        planes = self._info.planes(buf)
+        if self._coder is not None:
+            key = (self._frame_n % self.gop) == 0
+            fields = [self._pred(p) for p in planes]
+            data = self._coder.encode(key, [f[0] for f in fields],
+                                      [f[1] for f in fields])
+        else:
+            data, key = self._model.encode(list(planes))
+        self._frame_n += 1
+        out = Buffer(data, pts=buf.pts, duration=buf.duration)
+        if not key:
+            out.set_flag(BufferFlags.DELTA_UNIT)
+        return [out]
+
+    def stop(self) -> bool:
+        if self._coder is not None:
+            self._coder.close()
+            self._coder = None
+        self._model = None
+        return True
 
 
 @register_element("ffv1dec", Rank.PRIMARY)

@@ -181,7 +181,9 @@ def available(codec: str, encoder: bool = True) -> bool:
             e = NativeEncoder(codec, 64, 64)
             e.close()
         else:
-            d = NativeDecoder(codec)
+            # dims: ffv1 carries no size in-band and refuses to open
+            # without them; other codecs ignore the hint
+            d = NativeDecoder(codec, width=64, height=48)
             d.close()
         return True
     except RuntimeError:

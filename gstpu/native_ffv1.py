@@ -1,0 +1,131 @@
+"""ctypes bindings for the FFV1 entropy backend (native/gstpu_ffv1.cpp).
+
+`NativeFrameCoder` is the host half of the TPU-split `ffv1enc`
+encoder: the device computes each frame's (context, folded-residual)
+fields in one fused pass (gstpu/ops/ffv1_pred.py) and this coder
+performs the sequential adaptive range coding.  Output is
+byte-identical to the pure-Python spec model
+(gstpu.codecs.ffv1.ModelEncoder) — asserted in tests/test_ffv1enc.py,
+which also proves the bitstreams decode bit-exactly under libavcodec's
+independent ffv1 decoder.
+
+Reference parity: the reference ships only a decoder wrap
+(video/ffv1/src/ffv1dec/imp.rs); the encoder is gstpu's own.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native", "libgstpu_ffv1.so")
+
+
+def load() -> ctypes.CDLL | None:
+    """Load (building on demand) the FFV1 coder; None if no toolchain."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not os.path.exists(_PATH):
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(_PATH),
+                            "libgstpu_ffv1.so"], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        L = ctypes.CDLL(_PATH)
+    except OSError:
+        return None
+    L.fe_new.restype = ctypes.c_void_p
+    L.fe_new.argtypes = [ctypes.c_int] * 4 + [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    L.fe_free.argtypes = [ctypes.c_void_p]
+    L.fe_encode.restype = ctypes.c_long
+    L.fe_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    _LIB = L
+    return L
+
+
+def available() -> bool:
+    return load() is not None
+
+
+class NativeFrameCoder:
+    """Adaptive range coding of precomputed (ctx, diff) frame fields.
+
+    Owns the persistent per-context coder states (two banks: luma and
+    shared-chroma), matching ModelEncoder's inter-frame behavior.
+    """
+
+    def __init__(self, params):
+        L = load()
+        if L is None:
+            raise RuntimeError("ffv1 native coder unavailable")
+        self._L = L
+        q = np.zeros((5, 256), np.int32)
+        for i, t in enumerate(params.quant):
+            q[i] = np.asarray(t, np.int32)
+        self._q = np.ascontiguousarray(q)
+        self._h = L.fe_new(
+            params.bits, 1 if params.chroma_planes else 0,
+            params.log2_h, params.log2_v,
+            self._q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            params.context_count)
+        if not self._h:
+            raise RuntimeError("fe_new failed")
+
+    def encode(self, key: bool, ctx_planes, diff_planes) -> bytes:
+        """ctx/diff: lists of per-plane arrays (any shape; flattened in
+        raster order).  Returns the frame bitstream."""
+        ctx = np.ascontiguousarray(
+            np.concatenate([np.asarray(c, np.int32).ravel()
+                            for c in ctx_planes]))
+        diff = np.ascontiguousarray(
+            np.concatenate([np.asarray(d, np.int8).ravel()
+                            for d in diff_planes]))
+        px = np.ascontiguousarray(np.asarray(
+            [np.asarray(c).size for c in ctx_planes],
+            dtype=np.dtype(ctypes.c_long)))
+        cap = ctx.size * 2 + 4096
+        out = np.empty(cap, np.uint8)
+        n = self._L.fe_encode(
+            self._h, 1 if key else 0, len(ctx_planes),
+            ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            diff.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            px.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n < 0:
+            if -n > cap:  # retry with the exact needed size
+                cap = -n
+                out = np.empty(cap, np.uint8)
+                n = self._L.fe_encode(
+                    self._h, 1 if key else 0, len(ctx_planes),
+                    ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    diff.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    px.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    cap)
+            if n < 0:
+                raise ValueError("ffv1 native encode failed")
+        return out[:n].tobytes()
+
+    def close(self):
+        if self._h:
+            self._L.fe_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

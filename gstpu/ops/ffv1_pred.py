@@ -1,0 +1,80 @@
+"""FFV1 prediction/context/residual field as one fused device pass.
+
+This is the codec-internal parallel split SURVEY.md §2.8 P4 calls for
+(the reference keeps codec internals inside wrapped CPU engines;
+gstpu moves the data-parallel half onto the TPU): because FFV1 is
+lossless, the decoder's reconstruction equals the source, so every
+neighbor a sample's context and prediction depend on is known up
+front and the whole per-frame field — 3-gradient quantized context,
+median prediction, folded residual — computes as one jitted, fully
+vectorized pass.  Only the inherently sequential adaptive range
+coding stays on the host (native/gstpu_ffv1.cpp).
+
+Bit-exactness contract: matches gstpu.codecs.ffv1.predict_plane
+(numpy spec model) exactly; the combined encoder output is decoded
+bit-exactly by libavcodec's ffv1 decoder (tests/test_ffv1enc.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def predict_fields(plane: jax.Array, q0: jax.Array, q1: jax.Array,
+                   q2: jax.Array, bits: int = 8):
+    """(H, W) uint8 plane -> (ctx int32 >= 0, diff int8 sign-folded).
+
+    Border rules pinned against libavcodec (see codecs/ffv1.py):
+    row 0 has t=tl=tr=0; l(0)=t(0); tl(0) = first sample two rows up;
+    tr(last col) = t(last col).
+    """
+    p = plane.astype(jnp.int32)
+    h, w = p.shape
+    z_row = jnp.zeros((1, w), jnp.int32)
+    up = jnp.concatenate([z_row, p[:-1]], axis=0)           # p[y-1, x]
+    T = up
+    RT = jnp.concatenate([up[:, 1:], up[:, -1:]], axis=1)   # p[y-1, x+1]
+    L = jnp.concatenate([jnp.zeros((h, 1), jnp.int32), p[:, :-1]], axis=1)
+    L = L.at[1:, 0].set(p[:-1, 0])                          # l(0) = t(0)
+    LT = jnp.concatenate([jnp.zeros((h, 1), jnp.int32), up[:, :-1]], axis=1)
+    LT = LT.at[2:, 0].set(p[:-2, 0])                        # tl(0) 2 rows up
+    ctx = (jnp.take(q0, (L - LT) & 0xFF)
+           + jnp.take(q1, (LT - T) & 0xFF)
+           + jnp.take(q2, (T - RT) & 0xFF))
+    sign = ctx < 0
+    grad = L + T - LT
+    pred = jnp.maximum(jnp.minimum(L, T),
+                       jnp.minimum(jnp.maximum(L, T), grad))
+    diff = p - pred
+    diff = jnp.where(sign, -diff, diff)
+    diff = ((diff + (1 << (bits - 1))) & ((1 << bits) - 1)) \
+        - (1 << (bits - 1))
+    return jnp.abs(ctx), diff.astype(jnp.int8)
+
+
+# vmapped over a (B, H, W) stack with shared (unbatched) quant tables
+predict_fields_batched = jax.jit(jax.vmap(
+    lambda p, q0, q1, q2: predict_fields(p, q0, q1, q2),
+    in_axes=(0, None, None, None)))
+
+
+class Predictor:
+    """Per-resolution cached device pass for the ffv1enc element."""
+
+    def __init__(self, quant):
+        self.q = [jnp.asarray(np.asarray(t, np.int32)) for t in quant[:3]]
+
+    def __call__(self, plane: np.ndarray):
+        ctx, diff = predict_fields(jnp.asarray(plane), *self.q)
+        return (np.asarray(ctx, dtype=np.int32),
+                np.asarray(diff, dtype=np.int8))
+
+    def batched(self, planes: np.ndarray):
+        ctx, diff = predict_fields_batched(jnp.asarray(planes), *self.q)
+        return np.asarray(ctx, np.int32), np.asarray(diff, np.int8)

@@ -1,0 +1,230 @@
+// FFV1 v1 adaptive range coder — the host half of gstpu's TPU-split
+// encoder (SURVEY.md §2.8 P4: codec-internal parallel compute).
+//
+// The data-parallel half (3-gradient context quantization, median
+// prediction, residual folding) runs on the TPU as one fused JAX pass
+// (gstpu/ops/ffv1_pred.py); this file consumes the resulting
+// (context, residual) fields and performs the inherently sequential
+// adaptive entropy coding.  Bitstreams are byte-identical to the
+// pure-Python spec model (gstpu/codecs/ffv1.py) and are proven
+// decodable bit-exactly by libavcodec's independent ffv1 decoder
+// (tests/test_ffv1enc.py).
+//
+// Reference parity note: the reference wraps only a DECODER
+// (video/ffv1/src/ffv1dec/imp.rs); the encoder here is gstpu's own,
+// built from RFC 9043.  Nothing is transcribed from FFmpeg or the
+// ffv1 crate — the state-transition tables come from the spec's
+// documented recurrence, and all implicit rules were pinned against
+// libavcodec empirically (see gstpu/codecs/ffv1.py docstring).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+namespace {
+
+struct StateTables {
+    uint8_t one[256];
+    uint8_t zero[256];
+    StateTables() {
+        std::memset(one, 0, sizeof(one));
+        std::memset(zero, 0, sizeof(zero));
+        const uint64_t kOne = 1ull << 32;
+        const uint64_t factor = (uint64_t)(0.05 * (double)kOne);
+        const int max_p = 256 - 8;
+        uint64_t p = kOne / 2;
+        int last_p8 = 0;
+        for (int i = 0; i < 128; i++) {
+            int p8 = (int)((256 * p + kOne / 2) >> 32);
+            if (p8 <= last_p8) p8 = last_p8 + 1;
+            if (last_p8 && last_p8 < 256 && p8 <= max_p)
+                one[last_p8] = (uint8_t)p8;
+            p += ((kOne - p) * factor + kOne / 2) >> 32;
+            last_p8 = p8;
+        }
+        for (int i = 256 - max_p; i <= max_p; i++) {
+            if (one[i]) continue;
+            uint64_t q = ((uint64_t)i * kOne + 128) >> 8;
+            q += ((kOne - q) * factor + kOne / 2) >> 32;
+            int p8 = (int)((256 * q + kOne / 2) >> 32);
+            if (p8 == i) p8++;
+            if (p8 > max_p) p8 = max_p;
+            one[i] = (uint8_t)p8;
+        }
+        for (int i = 1; i < 255; i++)
+            zero[i] = (uint8_t)(256 - one[256 - i]);
+    }
+};
+
+const StateTables kTab;
+
+struct RangeEncoder {
+    std::vector<uint8_t> out;
+    uint32_t low = 0;
+    uint32_t range = 0xFF00;
+    int outstanding_byte = -1;
+    uint64_t outstanding_count = 0;
+
+    void renorm() {
+        while (range < 0x100) {
+            if (outstanding_byte < 0) {
+                outstanding_byte = (int)(low >> 8);
+            } else if (low <= 0xFF00) {
+                out.push_back((uint8_t)outstanding_byte);
+                out.insert(out.end(), outstanding_count, 0xFF);
+                outstanding_count = 0;
+                outstanding_byte = (int)(low >> 8);
+            } else if (low >= 0x10000) {
+                out.push_back((uint8_t)(outstanding_byte + 1));
+                out.insert(out.end(), outstanding_count, 0x00);
+                outstanding_count = 0;
+                outstanding_byte = (int)((low >> 8) & 0xFF);
+            } else {
+                outstanding_count++;
+            }
+            low = (low & 0xFF) << 8;
+            range <<= 8;
+        }
+    }
+
+    inline void put_rac(uint8_t *state, int bit) {
+        uint32_t r1 = (range * (uint32_t)*state) >> 8;
+        if (bit) {
+            low += range - r1;
+            range = r1;
+            *state = kTab.one[*state];
+        } else {
+            range -= r1;
+            *state = kTab.zero[*state];
+        }
+        if (range < 0x100) renorm();
+    }
+
+    void put_symbol(uint8_t *st, int v, bool is_signed) {
+        if (v == 0) { put_rac(st + 0, 1); return; }
+        put_rac(st + 0, 0);
+        int a = v < 0 ? -v : v;
+        int e = 31 - __builtin_clz((unsigned)a);
+        for (int i = 0; i < e; i++) put_rac(st + 1 + (i < 9 ? i : 9), 1);
+        put_rac(st + 1 + (e < 9 ? e : 9), 0);
+        for (int i = e - 1; i >= 0; i--)
+            put_rac(st + 22 + (i < 9 ? i : 9), (a >> i) & 1);
+        if (is_signed) put_rac(st + 11 + (e < 10 ? e : 10), v < 0 ? 1 : 0);
+    }
+
+    void terminate() {
+        range = 0xFF;
+        low += 0xFF;
+        renorm();
+        range = 0xFF;
+        renorm();
+    }
+};
+
+constexpr int kCS = 32;  // CONTEXT_SIZE
+
+struct Ffv1Enc {
+    int bits, chroma, log2h, log2v;
+    int32_t quant[5][256];
+    int context_count;
+    // two state banks: [0] luma, [1] shared by both chroma planes
+    std::vector<uint8_t> states[2];
+
+    void reset_states() {
+        for (auto &b : states) {
+            b.assign((size_t)context_count * kCS, 128);
+        }
+    }
+
+    void write_quant_table(RangeEncoder &c, const int32_t *t) {
+        uint8_t st[kCS];
+        std::memset(st, 128, kCS);
+        int last = 0;
+        for (int i = 1; i < 128; i++) {
+            if (t[i] != t[i - 1]) {
+                c.put_symbol(st, i - last - 1, false);
+                last = i;
+            }
+        }
+        c.put_symbol(st, 127 - last, false);
+    }
+
+    void write_header(RangeEncoder &c) {
+        uint8_t st[kCS];
+        std::memset(st, 128, kCS);
+        c.put_symbol(st, 1, false);       // version
+        c.put_symbol(st, 1, false);       // ac: range coder, default table
+        c.put_symbol(st, 0, false);       // colorspace: YCbCr
+        c.put_symbol(st, bits, false);
+        c.put_rac(st, chroma ? 1 : 0);
+        c.put_symbol(st, log2h, false);
+        c.put_symbol(st, log2v, false);
+        c.put_rac(st, 0);                 // transparency
+        for (int i = 0; i < 5; i++) write_quant_table(c, quant[i]);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void *fe_new(int bits, int chroma, int log2h, int log2v,
+             const int32_t *quant /* 5*256 */, int context_count) {
+    Ffv1Enc *e = new Ffv1Enc();
+    e->bits = bits;
+    e->chroma = chroma;
+    e->log2h = log2h;
+    e->log2v = log2v;
+    std::memcpy(e->quant, quant, sizeof(e->quant));
+    e->context_count = context_count;
+    e->reset_states();
+    return e;
+}
+
+void fe_free(void *h) { delete (Ffv1Enc *)h; }
+
+// Encode one frame from precomputed (context, folded-residual) fields.
+// ctx/diff are the planes' fields concatenated; plane_px[i] gives each
+// plane's pixel count.  Returns the bitstream length, or -needed if
+// `cap` was too small (call again with a bigger buffer), or -1 on
+// invalid input.
+long fe_encode(void *h, int key, int nplanes,
+               const int32_t *ctx, const int8_t *diff,
+               const long *plane_px,
+               uint8_t *out, long cap) {
+    Ffv1Enc *e = (Ffv1Enc *)h;
+    RangeEncoder c;
+    long total = 0;
+    for (int i = 0; i < nplanes; i++) total += plane_px[i];
+    c.out.reserve((size_t)total / 2 + 1024);
+    uint8_t keystate[kCS];
+    std::memset(keystate, 128, kCS);
+    c.put_rac(keystate, key ? 1 : 0);
+    if (key) {
+        e->write_header(c);
+        e->reset_states();
+    } else if (e->states[0].empty()) {
+        return -1;  // first frame must be a keyframe
+    }
+    long off = 0;
+    for (int i = 0; i < nplanes; i++) {
+        uint8_t *bank = e->states[i == 0 ? 0 : 1].data();
+        const int32_t *cp = ctx + off;
+        const int8_t *dp = diff + off;
+        const long n = plane_px[i];
+        for (long k = 0; k < n; k++) {
+            int cx = cp[k];
+            if (cx < 0 || cx >= e->context_count) return -1;
+            c.put_symbol(bank + (size_t)cx * kCS, dp[k], true);
+        }
+        off += n;
+    }
+    c.terminate();
+    long len = (long)c.out.size();
+    if (len > cap) return -len;
+    std::memcpy(out, c.out.data(), (size_t)len);
+    return len;
+}
+
+}  // extern "C"

@@ -1,0 +1,173 @@
+"""ffv1enc: gstpu's own TPU-split FFV1 encoder (the reference's
+video/ffv1 crate is decode-only — ffv1dec/imp.rs — so the encoder is
+a gstpu extension; SURVEY.md §2.8 P4 codec-internal compute split).
+
+Layers under test, each against an independent oracle:
+  1. spec model (gstpu/codecs/ffv1.py) round-trips itself;
+  2. model bitstreams decode BIT-EXACTLY under libavcodec's ffv1
+     decoder (independent implementation), inter frames included;
+  3. the model decoder decodes libavcodec-ENCODED streams;
+  4. the fused device pass (gstpu/ops/ffv1_pred.py) matches the
+     numpy spec model sample-exactly;
+  5. the native C++ range coder (native/gstpu_ffv1.cpp) emits
+     byte-identical bitstreams to the model;
+  6. the ffv1enc element end-to-end: ffv1enc ! ffv1dec is lossless.
+"""
+
+import numpy as np
+import pytest
+
+from gstpu.codecs import ffv1
+
+W, H = 89, 51          # odd sizes exercise the ceil-chroma borders
+
+
+def _frames(n, w=W, h=H, seed=5):
+    rng = np.random.default_rng(seed)
+    cw, ch = -(-w >> 1), -(-h >> 1)
+    out = []
+    for i in range(n):
+        # gradient + noise: exercises both smooth contexts and the
+        # residual-fold wraparound
+        y = ((np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 2 + i)
+             % 256).astype(np.uint8)
+        y = (y.astype(np.int32)
+             + rng.integers(-20, 21, y.shape)).clip(0, 255).astype(np.uint8)
+        u = rng.integers(0, 256, (ch, cw), np.uint8)
+        v = rng.integers(0, 256, (ch, cw), np.uint8)
+        out.append([y, u, v])
+    return out
+
+
+def test_model_roundtrip_gop():
+    p = ffv1.Params(W, H)
+    enc = ffv1.ModelEncoder(p, gop=3)
+    dec = ffv1.ModelDecoder(W, H)
+    for i, planes in enumerate(_frames(5)):
+        bs, key = enc.encode(planes)
+        assert key == (i % 3 == 0)
+        got = dec.decode(bs)
+        for a, b in zip(planes, got):
+            assert np.array_equal(a, b)
+
+
+def _have_av():
+    try:
+        from gstpu.native_codec import available
+        return available("ffv1", encoder=False)
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _have_av(), reason="libavcodec shim unavailable")
+def test_model_encoder_conformance_vs_libavcodec():
+    from gstpu.native_codec import NativeDecoder
+    p = ffv1.Params(W, H)
+    enc = ffv1.ModelEncoder(p, gop=4)     # inter frames included
+    dec = NativeDecoder("ffv1", width=W, height=H)
+    cw, ch = p.chroma_size
+    n_checked = 0
+    for i, planes in enumerate(_frames(6)):
+        bs, _ = enc.encode(planes)
+        for data, w_, h_, fmt, _pts in dec.send(bs, pts=i):
+            assert (w_, h_, fmt) == (W, H, 0)
+            ysz, csz = w_ * h_, cw * ch
+            assert np.array_equal(data[:ysz].reshape(h_, w_), planes[0])
+            assert np.array_equal(data[ysz:ysz + csz].reshape(ch, cw),
+                                  planes[1])
+            assert np.array_equal(data[ysz + csz:].reshape(ch, cw),
+                                  planes[2])
+            n_checked += 1
+    assert n_checked == 6
+
+
+@pytest.mark.skipif(not _have_av(), reason="libavcodec shim unavailable")
+def test_model_decoder_decodes_libavcodec_streams():
+    from gstpu.native_codec import NativeEncoder, available
+    if not available("ffv1"):
+        pytest.skip("libavcodec ffv1 encoder unavailable")
+    w, h = 64, 48
+    # coder=ac: the model implements the range coder; libavcodec's
+    # ffv1 default is the Golomb-Rice VLC coder
+    enc = NativeEncoder("ffv1", w, h, opts={"coder": "ac"})
+    dec = ffv1.ModelDecoder(w, h)
+    frames = _frames(3, w, h, seed=9)
+    pkts = []
+    for i, planes in enumerate(frames):
+        i420 = np.concatenate([pl.ravel() for pl in planes])
+        pkts += [d for d, *_ in enc.send(i420, i)]
+    pkts += [d for d, *_ in enc.finish()]
+    assert len(pkts) == len(frames)
+    for planes, pkt in zip(frames, pkts):
+        got = dec.decode(bytes(pkt))
+        for a, b in zip(planes, got):
+            assert np.array_equal(a, b)
+
+
+def test_device_pass_matches_spec_model():
+    from gstpu.ops.ffv1_pred import Predictor
+    p = ffv1.Params(W, H)
+    pred = Predictor(p.quant)
+    rng = np.random.default_rng(1)
+    for shape in [(H, W), (1, 1), (2, 3), (26, 45)]:
+        pl = rng.integers(0, 256, shape, np.uint8)
+        c_np, d_np = ffv1.predict_plane(pl, p.quant)
+        c_dv, d_dv = pred(pl)
+        assert np.array_equal(c_np, c_dv)
+        assert np.array_equal(d_np.astype(np.int8), d_dv)
+    stack = rng.integers(0, 256, (3, 17, 23), np.uint8)
+    cb, db = pred.batched(stack)
+    for i in range(3):
+        c_np, d_np = ffv1.predict_plane(stack[i], p.quant)
+        assert np.array_equal(c_np, cb[i])
+        assert np.array_equal(d_np.astype(np.int8), db[i])
+
+
+def _have_native_coder():
+    try:
+        from gstpu.native_ffv1 import available
+        return available()
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _have_native_coder(),
+                    reason="native ffv1 coder unavailable")
+def test_native_coder_byte_identical_to_model():
+    p = ffv1.Params(W, H)
+    from gstpu.native_ffv1 import NativeFrameCoder
+    model = ffv1.ModelEncoder(p, gop=2)
+    nat = NativeFrameCoder(p)
+    for planes in _frames(4):
+        bs_model, key = model.encode(planes)
+        fields = [ffv1.predict_plane(pl, p.quant) for pl in planes]
+        bs_nat = nat.encode(key, [f[0] for f in fields],
+                            [f[1] for f in fields])
+        assert bs_nat == bs_model
+    nat.close()
+
+
+@pytest.mark.skipif(not _have_av(), reason="libavcodec shim unavailable")
+def test_ffv1enc_ffv1dec_pipeline_lossless():
+    from gstpu import State, parse_launch
+    from gstpu.core.video import VideoInfo
+    w, h = 112, 80
+    vi = VideoInfo("I420", w, h)
+    frames = _frames(4, w, h, seed=2)
+    p = parse_launch(
+        f'appsrc name=src caps="video/x-raw, format=I420, width={w}, '
+        f'height={h}, framerate=30/1" ! ffv1enc gop=2 ! ffv1dec ! '
+        f'appsink name=sink')
+    src, sink = p.get_by_name("src"), p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    for i, planes in enumerate(frames):
+        i420 = np.concatenate([pl.ravel() for pl in planes])
+        src.push_buffer(vi.make_buffer(i420, pts=i * 33_333_333))
+    src.end_of_stream()
+    p.run()
+    out = sink.pull_all()
+    assert len(out) == len(frames)
+    for planes, b in zip(frames, out):
+        want = np.concatenate([pl.ravel() for pl in planes])
+        assert np.array_equal(np.frombuffer(b.to_bytes(), np.uint8), want)
+    p.set_state(State.NULL)
