@@ -259,8 +259,12 @@ class Ffv1Enc(BaseTransform):
     decode-only).  Per-frame context/residual fields compute on the
     device in one fused pass; the sequential adaptive range coding
     runs in native C++ (pure-Python spec-model fallback when no
-    toolchain).  Output decodes bit-exactly under libavcodec AND
-    under this repo's ffv1dec."""
+    toolchain).  The two halves are pipelined one frame deep: while
+    the host range-codes frame N-1, the device computes and downloads
+    frame N's fields (a download worker thread materializes them), so
+    the single host core spends its cycles only on entropy coding.
+    Output decodes bit-exactly under libavcodec AND under this repo's
+    ffv1dec."""
 
     PAD_TEMPLATES = [
         PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
@@ -283,6 +287,8 @@ class Ffv1Enc(BaseTransform):
         self._coder = None      # native C++ coder, or None
         self._model = None      # pure-Python fallback
         self._frame_n = 0
+        self._dl = None         # download worker (1 thread)
+        self._pending = None    # (fields_future, key, pts, duration)
 
     def transform_caps(self, direction, caps, filter):
         if direction is PadDirection.SINK:
@@ -308,27 +314,56 @@ class Ffv1Enc(BaseTransform):
         try:
             from gstpu.native_ffv1 import NativeFrameCoder
             self._coder = NativeFrameCoder(self._params)
+            from concurrent.futures import ThreadPoolExecutor
+            self._dl = ThreadPoolExecutor(1)
         except (RuntimeError, OSError):
             self._model = ffv1.ModelEncoder(self._params, gop=self.gop)
         self._frame_n = 0
+        self._pending = None
         return True
+
+    @staticmethod
+    def _materialize(dev_fields):
+        import numpy as np
+        return [(np.asarray(d, np.int8), np.asarray(lo, np.uint8),
+                 np.asarray(h4, np.uint8)) for d, lo, h4 in dev_fields]
+
+    def _code(self, frame) -> Buffer:
+        fut, key, pts, duration = frame
+        data = self._coder.encode_packed(key, fut.result())
+        out = Buffer(data, pts=pts, duration=duration)
+        if not key:
+            out.set_flag(BufferFlags.DELTA_UNIT)
+        return out
 
     def transform(self, buf: Buffer) -> list[Buffer] | None:
         planes = self._info.planes(buf)
         if self._coder is not None:
             key = (self._frame_n % self.gop) == 0
-            fields = [self._pred(p) for p in planes]
-            data = self._coder.encode(key, [f[0] for f in fields],
-                                      [f[1] for f in fields])
-        else:
-            data, key = self._model.encode(list(planes))
+            self._frame_n += 1
+            dev = [self._pred.dispatch_packed(p) for p in planes]
+            fut = self._dl.submit(self._materialize, dev)
+            prev = self._pending
+            self._pending = (fut, key, buf.pts, buf.duration)
+            return [self._code(prev)] if prev is not None else []
+        data, key = self._model.encode(list(planes))
         self._frame_n += 1
         out = Buffer(data, pts=buf.pts, duration=buf.duration)
         if not key:
             out.set_flag(BufferFlags.DELTA_UNIT)
         return [out]
 
+    def drain(self) -> list[Buffer]:
+        if self._coder is not None and self._pending is not None:
+            prev, self._pending = self._pending, None
+            return [self._code(prev)]
+        return []
+
     def stop(self) -> bool:
+        if self._dl is not None:
+            self._dl.shutdown(wait=True)
+            self._dl = None
+        self._pending = None
         if self._coder is not None:
             self._coder.close()
             self._coder = None

@@ -49,8 +49,15 @@ def load() -> ctypes.CDLL | None:
     L.fe_encode.restype = ctypes.c_long
     L.fe_encode.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int8),
         ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    L.fe_encode_packed.restype = ctypes.c_long
+    L.fe_encode_packed.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
     _LIB = L
     return L
@@ -88,7 +95,7 @@ class NativeFrameCoder:
         """ctx/diff: lists of per-plane arrays (any shape; flattened in
         raster order).  Returns the frame bitstream."""
         ctx = np.ascontiguousarray(
-            np.concatenate([np.asarray(c, np.int32).ravel()
+            np.concatenate([np.asarray(c, np.uint16).ravel()
                             for c in ctx_planes]))
         diff = np.ascontiguousarray(
             np.concatenate([np.asarray(d, np.int8).ravel()
@@ -100,7 +107,7 @@ class NativeFrameCoder:
         out = np.empty(cap, np.uint8)
         n = self._L.fe_encode(
             self._h, 1 if key else 0, len(ctx_planes),
-            ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
             diff.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             px.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
@@ -110,7 +117,7 @@ class NativeFrameCoder:
                 out = np.empty(cap, np.uint8)
                 n = self._L.fe_encode(
                     self._h, 1 if key else 0, len(ctx_planes),
-                    ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
                     diff.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
                     px.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -118,6 +125,41 @@ class NativeFrameCoder:
             if n < 0:
                 raise ValueError("ffv1 native encode failed")
         return out[:n].tobytes()
+
+    def encode_packed(self, key: bool, fields) -> bytes:
+        """fields: per-plane (diff int8 (h,w), lo uint8 (h,w),
+        hi4 uint8 (h, ceil(w/4))) triples from
+        ops.ffv1_pred.predict_fields_packed — 2.25 bytes/px off the
+        device.  Byte-identical output to encode() on the unpacked
+        equivalents."""
+        diff = np.ascontiguousarray(np.concatenate(
+            [np.asarray(d, np.int8).ravel() for d, _, _ in fields]))
+        lo = np.ascontiguousarray(np.concatenate(
+            [np.asarray(l, np.uint8).ravel() for _, l, _ in fields]))
+        hi4 = np.ascontiguousarray(np.concatenate(
+            [np.asarray(h4, np.uint8).ravel() for _, _, h4 in fields]))
+        clong = np.dtype(ctypes.c_long)
+        pw = np.ascontiguousarray(np.asarray(
+            [np.asarray(d).shape[1] for d, _, _ in fields], clong))
+        ph = np.ascontiguousarray(np.asarray(
+            [np.asarray(d).shape[0] for d, _, _ in fields], clong))
+        cap = diff.size * 2 + 4096
+        for _ in range(2):
+            out = np.empty(cap, np.uint8)
+            n = self._L.fe_encode_packed(
+                self._h, 1 if key else 0, len(fields),
+                diff.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                hi4.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                pw.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                ph.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+            if n >= 0:
+                return out[:n].tobytes()
+            if -n <= cap:
+                break
+            cap = -n
+        raise ValueError("ffv1 native encode failed")
 
     def close(self):
         if self._h:

@@ -55,13 +55,34 @@ def predict_fields(plane: jax.Array, q0: jax.Array, q1: jax.Array,
     diff = jnp.where(sign, -diff, diff)
     diff = ((diff + (1 << (bits - 1))) & ((1 << bits) - 1)) \
         - (1 << (bits - 1))
-    return jnp.abs(ctx), diff.astype(jnp.int8)
+    # uint16 ctx: contexts fit 10 bits; halves the device->host bytes
+    # vs int32 (the tunnel/PCIe transfer is the split's overhead)
+    return jnp.abs(ctx).astype(jnp.uint16), diff.astype(jnp.int8)
 
 
 # vmapped over a (B, H, W) stack with shared (unbatched) quant tables
 predict_fields_batched = jax.jit(jax.vmap(
     lambda p, q0, q1, q2: predict_fields(p, q0, q1, q2),
     in_axes=(0, None, None, None)))
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def predict_fields_packed(plane: jax.Array, q0: jax.Array, q1: jax.Array,
+                          q2: jax.Array, bits: int = 8):
+    """predict_fields with the context split to 2.25 bytes/px for the
+    device->host hop: (diff int8 (H,W), ctx&0xFF uint8 (H,W), ctx>>8
+    packed 4-per-byte uint8 (H, ceil(W/4))).  Contexts are <= 10 bits
+    (666 for the default 8-bit quant tables), so 2 high bits suffice;
+    the native coder (fe_encode_packed) reassembles them inline."""
+    ctx, diff = predict_fields(plane, q0, q1, q2, bits=bits)
+    lo = (ctx & 0xFF).astype(jnp.uint8)
+    hi = (ctx >> 8).astype(jnp.uint8)
+    pad = (-plane.shape[1]) % 4
+    hi = jnp.pad(hi, ((0, 0), (0, pad)))
+    h4 = hi.reshape(hi.shape[0], -1, 4)
+    hip = (h4[..., 0] | (h4[..., 1] << 2)
+           | (h4[..., 2] << 4) | (h4[..., 3] << 6)).astype(jnp.uint8)
+    return diff, lo, hip
 
 
 class Predictor:
@@ -72,9 +93,21 @@ class Predictor:
 
     def __call__(self, plane: np.ndarray):
         ctx, diff = predict_fields(jnp.asarray(plane), *self.q)
-        return (np.asarray(ctx, dtype=np.int32),
+        return (np.asarray(ctx, dtype=np.uint16),
                 np.asarray(diff, dtype=np.int8))
+
+    def dispatch(self, plane: np.ndarray):
+        """Async device dispatch: returns (ctx, diff) DEVICE arrays.
+        Materialize with np.asarray (e.g. from a download thread) so
+        the transfer overlaps the host range coder working on the
+        previous frame."""
+        return predict_fields(jnp.asarray(plane), *self.q)
+
+    def dispatch_packed(self, plane: np.ndarray):
+        """Async dispatch of the 2.25-bytes/px packed field layout
+        (diff, ctx_lo, ctx_hi4) for fe_encode_packed."""
+        return predict_fields_packed(jnp.asarray(plane), *self.q)
 
     def batched(self, planes: np.ndarray):
         ctx, diff = predict_fields_batched(jnp.asarray(planes), *self.q)
-        return np.asarray(ctx, np.int32), np.asarray(diff, np.int8)
+        return np.asarray(ctx, np.uint16), np.asarray(diff, np.int8)

@@ -60,48 +60,81 @@ struct StateTables {
 const StateTables kTab;
 
 struct RangeEncoder {
-    std::vector<uint8_t> out;
+    // raw-pointer output: `put` writes are the per-sample hot path and
+    // must not pay vector capacity checks.  Caller guarantees cap via
+    // grow() checks at plane granularity (worst case is bounded).
+    uint8_t *buf = nullptr;
+    uint8_t *p = nullptr;
+    uint8_t *end = nullptr;
+    std::vector<uint8_t> owned;   // backing store
     uint32_t low = 0;
     uint32_t range = 0xFF00;
     int outstanding_byte = -1;
     uint64_t outstanding_count = 0;
+
+    void reserve(size_t n) {
+        owned.resize(n);
+        buf = owned.data();
+        p = buf;
+        end = buf + n;
+    }
+
+    inline void grow_if_needed() {
+        // headroom for the worst-case bytes one sample can emit
+        if (__builtin_expect(end - p < 64, 0)) {
+            size_t used = (size_t)(p - buf);
+            owned.resize(owned.size() * 2 + 4096);
+            buf = owned.data();
+            p = buf + used;
+            end = buf + owned.size();
+        }
+    }
 
     void renorm() {
         while (range < 0x100) {
             if (outstanding_byte < 0) {
                 outstanding_byte = (int)(low >> 8);
             } else if (low <= 0xFF00) {
-                out.push_back((uint8_t)outstanding_byte);
-                out.insert(out.end(), outstanding_count, 0xFF);
-                outstanding_count = 0;
+                *p++ = (uint8_t)outstanding_byte;
+                while (outstanding_count) {
+                    grow_if_needed();
+                    *p++ = 0xFF;
+                    outstanding_count--;
+                }
                 outstanding_byte = (int)(low >> 8);
             } else if (low >= 0x10000) {
-                out.push_back((uint8_t)(outstanding_byte + 1));
-                out.insert(out.end(), outstanding_count, 0x00);
-                outstanding_count = 0;
+                *p++ = (uint8_t)(outstanding_byte + 1);
+                while (outstanding_count) {
+                    grow_if_needed();
+                    *p++ = 0x00;
+                    outstanding_count--;
+                }
                 outstanding_byte = (int)((low >> 8) & 0xFF);
             } else {
                 outstanding_count++;
             }
             low = (low & 0xFF) << 8;
             range <<= 8;
+            grow_if_needed();
         }
     }
 
     inline void put_rac(uint8_t *state, int bit) {
-        uint32_t r1 = (range * (uint32_t)*state) >> 8;
+        uint32_t s = *state;
+        uint32_t r1 = (range * s) >> 8;
         if (bit) {
             low += range - r1;
             range = r1;
-            *state = kTab.one[*state];
+            *state = kTab.one[s];
         } else {
             range -= r1;
-            *state = kTab.zero[*state];
+            *state = kTab.zero[s];
         }
-        if (range < 0x100) renorm();
+        if (__builtin_expect(range < 0x100, 0)) renorm();
     }
 
     void put_symbol(uint8_t *st, int v, bool is_signed) {
+        grow_if_needed();
         if (v == 0) { put_rac(st + 0, 1); return; }
         put_rac(st + 0, 0);
         int a = v < 0 ? -v : v;
@@ -114,12 +147,15 @@ struct RangeEncoder {
     }
 
     void terminate() {
+        grow_if_needed();
         range = 0xFF;
         low += 0xFF;
         renorm();
         range = 0xFF;
         renorm();
     }
+
+    size_t size() const { return (size_t)(p - buf); }
 };
 
 constexpr int kCS = 32;  // CONTEXT_SIZE
@@ -185,19 +221,20 @@ void *fe_new(int bits, int chroma, int log2h, int log2v,
 void fe_free(void *h) { delete (Ffv1Enc *)h; }
 
 // Encode one frame from precomputed (context, folded-residual) fields.
-// ctx/diff are the planes' fields concatenated; plane_px[i] gives each
-// plane's pixel count.  Returns the bitstream length, or -needed if
-// `cap` was too small (call again with a bigger buffer), or -1 on
-// invalid input.
+// ctx (uint16: contexts fit 10 bits, halving the device->host bytes)
+// and diff (int8) are the planes' fields concatenated; plane_px[i]
+// gives each plane's pixel count.  Returns the bitstream length, or
+// -needed if `cap` was too small (call again with a bigger buffer),
+// or -1 on invalid input.
 long fe_encode(void *h, int key, int nplanes,
-               const int32_t *ctx, const int8_t *diff,
+               const uint16_t *ctx, const int8_t *diff,
                const long *plane_px,
                uint8_t *out, long cap) {
     Ffv1Enc *e = (Ffv1Enc *)h;
     RangeEncoder c;
     long total = 0;
     for (int i = 0; i < nplanes; i++) total += plane_px[i];
-    c.out.reserve((size_t)total / 2 + 1024);
+    c.reserve((size_t)total / 2 + 4096);
     uint8_t keystate[kCS];
     std::memset(keystate, 128, kCS);
     c.put_rac(keystate, key ? 1 : 0);
@@ -207,23 +244,100 @@ long fe_encode(void *h, int key, int nplanes,
     } else if (e->states[0].empty()) {
         return -1;  // first frame must be a keyframe
     }
+    // snapshot the adaptive states: a failed attempt (undersized cap,
+    // bad input) must not advance adaptation, or the caller's retry
+    // would encode with double-stepped states and desync the decoder
+    const std::vector<uint8_t> snap0 = e->states[0];
+    const std::vector<uint8_t> snap1 = e->states[1];
+    const unsigned ccount = (unsigned)e->context_count;
     long off = 0;
     for (int i = 0; i < nplanes; i++) {
         uint8_t *bank = e->states[i == 0 ? 0 : 1].data();
-        const int32_t *cp = ctx + off;
+        const uint16_t *cp = ctx + off;
         const int8_t *dp = diff + off;
         const long n = plane_px[i];
         for (long k = 0; k < n; k++) {
-            int cx = cp[k];
-            if (cx < 0 || cx >= e->context_count) return -1;
+            unsigned cx = cp[k];
+            if (__builtin_expect(cx >= ccount, 0)) {
+                e->states[0] = snap0;
+                e->states[1] = snap1;
+                return -1;
+            }
             c.put_symbol(bank + (size_t)cx * kCS, dp[k], true);
         }
         off += n;
     }
     c.terminate();
-    long len = (long)c.out.size();
-    if (len > cap) return -len;
-    std::memcpy(out, c.out.data(), (size_t)len);
+    long len = (long)c.size();
+    if (len > cap) {
+        e->states[0] = snap0;
+        e->states[1] = snap1;
+        return -len;
+    }
+    std::memcpy(out, c.buf, (size_t)len);
+    return len;
+}
+
+// Packed-field variant: 2.25 bytes/px off the device instead of 3 —
+// diff (int8, per-plane w*h rasters), lo = ctx&0xFF (uint8, same
+// layout), hi4 = ctx>>8 packed 4-per-byte along rows with per-plane
+// stride ceil(w/4).  Bitstream is byte-identical to fe_encode on the
+// equivalent unpacked fields.
+long fe_encode_packed(void *h, int key, int nplanes,
+                      const int8_t *diff, const uint8_t *lo,
+                      const uint8_t *hi4,
+                      const long *plane_w, const long *plane_h,
+                      uint8_t *out, long cap) {
+    Ffv1Enc *e = (Ffv1Enc *)h;
+    RangeEncoder c;
+    long total = 0;
+    for (int i = 0; i < nplanes; i++) total += plane_w[i] * plane_h[i];
+    c.reserve((size_t)total / 2 + 4096);
+    uint8_t keystate[kCS];
+    std::memset(keystate, 128, kCS);
+    c.put_rac(keystate, key ? 1 : 0);
+    if (key) {
+        e->write_header(c);
+        e->reset_states();
+    } else if (e->states[0].empty()) {
+        return -1;  // first frame must be a keyframe
+    }
+    const std::vector<uint8_t> snap0 = e->states[0];
+    const std::vector<uint8_t> snap1 = e->states[1];
+    const unsigned ccount = (unsigned)e->context_count;
+    const int8_t *dp = diff;
+    const uint8_t *lp = lo;
+    const uint8_t *hp = hi4;
+    for (int i = 0; i < nplanes; i++) {
+        uint8_t *bank = e->states[i == 0 ? 0 : 1].data();
+        const long w = plane_w[i], hgt = plane_h[i];
+        const long hs = (w + 3) / 4;
+        for (long y = 0; y < hgt; y++) {
+            const uint8_t *hrow = hp + y * hs;
+            for (long x = 0; x < w; x++) {
+                unsigned cx = (unsigned)lp[x]
+                    | ((unsigned)((hrow[x >> 2] >> ((x & 3) * 2)) & 3)
+                       << 8);
+                if (__builtin_expect(cx >= ccount, 0)) {
+                    e->states[0] = snap0;
+                    e->states[1] = snap1;
+                    return -1;
+                }
+                c.put_symbol(bank + (size_t)cx * kCS, dp[x], true);
+            }
+            dp += w;
+            lp += w;
+        }
+        hp += hs * hgt;
+    }
+    c.terminate();
+    long len = (long)c.size();
+    if (len > cap) {
+        e->states[0] = snap0;
+        e->states[1] = snap1;
+        return -len;
+    }
+    std::memcpy(out, c.buf, (size_t)len);
     return len;
 }
 

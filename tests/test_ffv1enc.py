@@ -147,6 +147,76 @@ def test_native_coder_byte_identical_to_model():
     nat.close()
 
 
+@pytest.mark.skipif(not _have_native_coder(),
+                    reason="native ffv1 coder unavailable")
+def test_packed_fields_byte_identical():
+    """The 2.25-bytes/px packed device layout (diff, ctx_lo, ctx_hi4)
+    must produce byte-identical bitstreams to the unpacked path, odd
+    widths (hi4 row padding) included."""
+    from gstpu.native_ffv1 import NativeFrameCoder
+    from gstpu.ops.ffv1_pred import Predictor
+    for w, h in [(W, H), (64, 48)]:
+        p = ffv1.Params(w, h)
+        pred = Predictor(p.quant)
+        a, b = NativeFrameCoder(p), NativeFrameCoder(p)
+        for i, planes in enumerate(_frames(3, w, h, seed=7)):
+            fields = [ffv1.predict_plane(pl, p.quant) for pl in planes]
+            want = a.encode(i == 0, [c for c, _ in fields],
+                            [d for _, d in fields])
+            packed = [tuple(np.asarray(x) for x in
+                            pred.dispatch_packed(pl)) for pl in planes]
+            got = b.encode_packed(i == 0, packed)
+            assert got == want
+        a.close()
+        b.close()
+
+
+@pytest.mark.skipif(not _have_native_coder(),
+                    reason="native ffv1 coder unavailable")
+def test_native_coder_failed_attempt_preserves_states():
+    """An undersized-cap attempt must not advance the adaptive context
+    states: the retry (and every later frame) must produce the same
+    bitstream a clean run would."""
+    import ctypes
+    from gstpu.native_ffv1 import NativeFrameCoder
+    p = ffv1.Params(W, H)
+    frames = _frames(3)
+    fields = [[ffv1.predict_plane(pl, p.quant) for pl in planes]
+              for planes in frames]
+
+    def run(coder, poison_frame=None):
+        out = []
+        for i, f in enumerate(fields):
+            if i == poison_frame:
+                # direct low-cap call: must fail with -needed and
+                # leave the states untouched
+                ctx = np.concatenate(
+                    [np.asarray(c, np.uint16).ravel() for c, _ in f])
+                diff = np.concatenate(
+                    [np.asarray(d, np.int8).ravel() for _, d in f])
+                px = np.asarray([np.asarray(c).size for c, _ in f],
+                                np.dtype(ctypes.c_long))
+                buf = np.empty(8, np.uint8)
+                n = coder._L.fe_encode(
+                    coder._h, 0, len(f),
+                    ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                    diff.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    px.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    8)
+                assert n < -8
+            out.append(coder.encode(i == 0, [c for c, _ in f],
+                                    [d for _, d in f]))
+        return out
+
+    clean, poisoned = NativeFrameCoder(p), NativeFrameCoder(p)
+    want = run(clean)
+    got = run(poisoned, poison_frame=1)  # inter frame: states persist
+    assert got == want
+    clean.close()
+    poisoned.close()
+
+
 @pytest.mark.skipif(not _have_av(), reason="libavcodec shim unavailable")
 def test_ffv1enc_ffv1dec_pipeline_lossless():
     from gstpu import State, parse_launch
