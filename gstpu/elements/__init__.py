@@ -28,12 +28,14 @@ _MODULES = [
     "gstpu.elements.audio.loudnorm",
     "gstpu.elements.audio.hrtf",
     "gstpu.elements.audio.rnnoise",
+    "gstpu.elements.audio.opus",
     "gstpu.elements.audio.demucs",
     "gstpu.elements.audio.whisper",
     "gstpu.elements.audio.cloudstt",
     "gstpu.elements.audio.elevenlabs",
     "gstpu.elements.video.hsv",
     "gstpu.elements.video.av1",
+    "gstpu.elements.video.vpx",
     "gstpu.elements.video.colorlut",
     "gstpu.elements.video.videofx",
     "gstpu.elements.video.convert",

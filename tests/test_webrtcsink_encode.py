@@ -20,15 +20,18 @@ RAW_CAPS = (f"video/x-raw, format=I420, width={W}, height={H}, "
             "framerate=30/1")
 
 
-def test_discovery_finds_av1_not_vp8():
+def test_discovery_finds_all_canonical_codecs():
+    """The full reference codec registry proves out: AV1 + VP8 + VP9
+    video, OPUS + G.711 audio (imp.rs:106-346)."""
     vids = discover_codecs(True)
     names = [row[0] for row in vids]
     assert "video/x-av1" in names          # rav1enc proves out
-    assert "video/x-vp8" not in names      # no vp8enc in this build
+    assert "video/x-vp8" in names          # vp8enc (libvpx)
+    assert "video/x-vp9" in names          # vp9enc (libvpx)
     auds = discover_codecs(False)
     anames = [row[0] for row in auds]
+    assert anames[0] == "audio/x-opus"     # opusenc, preferred codec
     assert "audio/x-alaw" in anames        # alawenc proves out
-    assert "audio/x-opus" not in anames    # no opusenc
 
 
 class Rig:
