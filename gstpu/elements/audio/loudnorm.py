@@ -932,12 +932,17 @@ class EbuR128Level(BaseTransform):
         return Buffer(np.asarray(flat).reshape(-1, self._info.channels),
                       pts=pts, duration=dur)
 
-    def consume_batch_aux(self, aux, lane: int, pts) -> None:
+    def consume_batch_aux(self, aux, lane: int, pts,
+                          out_n: int | None = None) -> None:
         """Per-fire metering values from the device stage; post
         `ebur128-level` messages at interval boundaries (interval is
         block-quantized in context mode)."""
-        # frames covered by this fire = the chain's output block
-        block_frames = (self._ctx.block // self._info.channels)
+        # frames covered by this fire: derived from the fire's actual
+        # output size — a priming fire covers prime_blocks (30x)
+        # blocks, not one
+        if out_n is None:
+            out_n = self._ctx.block
+        block_frames = out_n // self._info.channels
         self._num_frames += block_frames
         self._interval_remaining -= block_frames
         if self._interval_remaining > 0:

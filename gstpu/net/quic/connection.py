@@ -381,13 +381,16 @@ class QuicConnection:
                 delay, pos = decode_varint(payload, pos)
                 nrange, pos = decode_varint(payload, pos)
                 first, pos = decode_varint(payload, pos)
-                acked = set(range(largest - first, largest + 1))
+                # keep peer-controlled ranges as [lo, hi] intervals —
+                # never materialize them (a hostile first_range of
+                # ~2^62 must not allocate)
+                acked = [(largest - first, largest)]
                 hi = largest - first
                 for _ in range(nrange):
                     gap, pos = decode_varint(payload, pos)
                     rlen, pos = decode_varint(payload, pos)
                     hi = hi - gap - 2
-                    acked.update(range(hi - rlen, hi + 1))
+                    acked.append((hi - rlen, hi))
                     hi -= rlen
                 if ftype & 1:                       # ECN counts
                     for _ in range(3):
@@ -448,13 +451,18 @@ class QuicConnection:
             raise QuicError(f"unhandled frame type {ftype:#x}")
         return eliciting
 
-    def _on_ack(self, level: int, acked: set, largest: int,
+    def _on_ack(self, level: int, acked: list, largest: int,
                 now: float) -> None:
         """RFC 9002 §5/§6: RTT sample from the largest newly-acked
         ack-eliciting packet, cwnd growth, then packet- and
-        time-threshold loss detection with retransmission."""
+        time-threshold loss detection with retransmission.
+
+        `acked` is a list of [lo, hi] packet-number intervals; the
+        intersection with our own sent-packet space bounds the work
+        regardless of what the peer claims."""
         sp = self._spaces[level]
-        newly = sorted(p for p in acked if p in sp.unacked)
+        newly = sorted(pn for pn in sp.unacked
+                       if any(lo <= pn <= hi for lo, hi in acked))
         if not newly:
             return
         top = newly[-1]
@@ -467,8 +475,12 @@ class QuicConnection:
         self._pto_count = 0
         # loss detection on remaining outstanding packets
         delay = self.rtt.loss_delay()
+        # both thresholds apply only to packets sent prior to the
+        # largest newly-acked one (RFC 9002 §6.1) — newer packets must
+        # not be aged out under delayed ACKs
         lost = [pn for pn, pkt in sp.unacked.items()
-                if pn <= top - 3 or pkt.time_sent <= now - delay]
+                if pn <= top and (pn <= top - 3
+                                  or pkt.time_sent <= now - delay)]
         for pn in sorted(lost):
             pkt = sp.unacked.pop(pn)
             self.cc.on_lost(pkt.size, pkt.time_sent, now)

@@ -120,7 +120,13 @@ class SentPacket:
 
 
 class RangeSet:
-    """Merged, sorted received-pn intervals for honest ACK frames."""
+    """Merged, sorted received-pn intervals for honest ACK frames.
+
+    Bounded: only the newest MAX_RANGES intervals are kept (ACK
+    frames report at most 32 anyway), so permanent holes on a
+    long-lived lossy connection cannot grow the list without bound."""
+
+    MAX_RANGES = 64
 
     def __init__(self):
         self._ranges: list[list[int]] = []   # [lo, hi] ascending
@@ -142,6 +148,8 @@ class RangeSet:
             rs[i][1] = max(rs[i][1], pn)
             return
         rs.insert(i, [pn, pn])
+        if len(rs) > self.MAX_RANGES:
+            del rs[0]                    # oldest pns age out
 
     def __contains__(self, pn: int) -> bool:
         return any(lo <= pn <= hi for lo, hi in self._ranges)

@@ -273,8 +273,12 @@ class SctpAssociation:
     def _handle_data(self, flags: int, value: bytes) -> None:
         tsn, sid, ssn, ppid = struct.unpack_from(">IHHI", value, 0)
         payload = value[12:]
-        if self._cum_tsn is None:       # DATA before INIT seeded it
-            self._cum_tsn = (tsn - 1) & 0xFFFFFFFF
+        if self._cum_tsn is None:
+            # DATA before INIT/INIT-ACK seeded the TSN base: seeding
+            # from an arbitrary (possibly reordered) first-seen TSN
+            # would permanently mark earlier TSNs duplicate — drop and
+            # rely on the peer's retransmission after establishment
+            return
         if tsn_lte(tsn, self._cum_tsn) or tsn in self._out_of_order:
             # duplicate (spurious retransmission): re-SACK, don't
             # re-deliver

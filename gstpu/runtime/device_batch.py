@@ -597,7 +597,8 @@ class DeviceContext:
             for j, m in enumerate(c.members):
                 if aux[j] is not None and hasattr(m.element,
                                                   "consume_batch_aux"):
-                    m.element.consume_batch_aux(aux[j], i, c.out_pts)
+                    m.element.consume_batch_aux(aux[j], i, c.out_pts,
+                                                out_n)
             tail = c.tail
             dur = out_n * SECOND // max(c.head.rate, 1)
             pts = c.out_pts

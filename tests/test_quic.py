@@ -709,3 +709,71 @@ def test_quic_ack_frames_report_holes():
     sp = srv._spaces[2]
     ranges = sp.recv.descending()
     assert len(ranges) >= 2                 # a hole is visible
+
+
+def test_quic_hostile_ack_range_does_not_allocate():
+    """A malicious ACK claiming first_range ~2^62 must be processed
+    in bounded memory/time: ranges are intersected with our own sent
+    packet-number space, never materialized (RFC 9000 §19.3 frames
+    are peer-controlled input)."""
+    from gstpu.net.quic import tls13
+    srv = QuicConnection(client=False)
+    cli = QuicConnection(client=True)
+    cli.connect()
+    _pump(cli, srv)
+    assert cli.connected
+    sid = cli.open_stream()
+    cli.send_stream(sid, b"x" * 100)
+    cli.poll_transmit()                  # something is in flight
+    # ACK: largest=2**61, delay=0, range_count=0, first_range=2**61
+    huge = 2 ** 61
+    frame = (bytes([0x02]) + encode_varint(huge) + encode_varint(0)
+             + encode_varint(0) + encode_varint(huge))
+    t0 = time.time()
+    cli._handle_frames(tls13.APPLICATION, frame)
+    assert time.time() - t0 < 0.5        # bounded work
+    # connection still functional (fresh stream: the dropped packet's
+    # bytes never arrive, so the old stream stays gapped)
+    sid2 = cli.open_stream()
+    cli.send_stream(sid2, b"still alive")
+    _pump(cli, srv)
+    assert any(e[0] == "stream" and e[2] == b"still alive"
+               for e in srv.events())
+
+
+def test_quic_time_threshold_spares_packets_after_largest_acked():
+    """RFC 9002 §6.1: only packets sent BEFORE the largest acked one
+    may be declared lost by the time threshold — a delayed ACK of an
+    old packet must not age out newer in-flight packets."""
+    from gstpu.net.quic import tls13
+    cli = QuicConnection(client=True)
+    srv = QuicConnection(client=False)
+    cli.connect()
+    _pump(cli, srv)
+    sp = cli._spaces[tls13.APPLICATION]
+    sid = cli.open_stream()
+    cli.send_stream(sid, b"old")
+    cli.poll_transmit()
+    pns = sorted(sp.unacked)
+    first = pns[-1]
+    cli.send_stream(sid, b"newer")
+    cli.poll_transmit()
+    newer = [p for p in sorted(sp.unacked) if p > first]
+    assert newer
+    # ACK only the first packet, with a `now` far in the future: the
+    # newer packet is NOT lost (it is newer than the largest acked)
+    cli._on_ack(tls13.APPLICATION, [(first, first)], first,
+                time.monotonic() + 60.0)
+    assert all(p in sp.unacked for p in newer)
+
+
+def test_quic_rangeset_bounded_on_permanent_holes():
+    from gstpu.net.quic.recovery import RangeSet
+    rs = RangeSet()
+    # every other pn received: permanent holes forever
+    for pn in range(0, 10_000, 2):
+        rs.add(pn)
+    assert len(rs._ranges) <= RangeSet.MAX_RANGES
+    assert rs.largest == 9998
+    # newest pns are retained for honest ACKs
+    assert 9998 in rs and 9996 in rs
