@@ -110,21 +110,123 @@ def bench_rnnoise(seconds=8.0):
         return seconds / wall
 
 
+def bench_rnnoise_fleet(n_streams=64, rounds=20, settle=3):
+    """N audiornnoise streams batched through one DeviceContext: the
+    full RNNoise GRU chain (STFT + 42-feature frontend + GRU stack +
+    iSTFT) runs as ONE device dispatch per 100 ms block round
+    (ops/rnnoise.make_device_gru_denoiser).  Aggregate realtime
+    multiple across the fleet — the P7 multi-stream shape from
+    SURVEY.md §2.8 applied to BASELINE config #5's denoise half."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from gstpu import Buffer, State, parse_launch
+    from gstpu.runtime.device_batch import DeviceContext, DeviceRow
+
+    block = 4800                        # 10 frames = 100 ms @48k mono
+    ctx_name = "bench-rnnoise"
+    with tempfile.NamedTemporaryFile(suffix=".npz") as tf:
+        rng = np.random.default_rng(1)
+
+        def gru(i, u):
+            return {"W": rng.normal(0, .1, (3 * u, i)),
+                    "U": rng.normal(0, .1, (3 * u, u)),
+                    "b": rng.normal(0, .1, 3 * u)}
+        w = {"input_dense_W": rng.normal(0, .1, (24, 42)),
+             "input_dense_b": rng.normal(0, .1, 24),
+             "denoise_output_W": rng.normal(0, .1, (22, 96)),
+             "denoise_output_b": rng.normal(0, .1, 22),
+             "vad_output_W": rng.normal(0, .1, (1, 24)),
+             "vad_output_b": rng.normal(0, .1, 1)}
+        for n, d in (("vad_gru", gru(24, 24)),
+                     ("noise_gru", gru(90, 48)),
+                     ("denoise_gru", gru(114, 96))):
+            for k, v in d.items():
+                w[f"{n}_{k}"] = v
+        np.savez(tf.name, **w)
+
+        DeviceContext.release(ctx_name)
+        pipes = [parse_launch(
+            f'appsrc name=src caps="audio/x-raw, format=F32LE, '
+            f'rate=48000, channels=1, layout=interleaved" ! '
+            f'audiornnoise model-location={tf.name} '
+            f'context={ctx_name} context-block={block} ! '
+            f'appsink name=sink') for _ in range(n_streams)]
+        for p in pipes:
+            p.set_state(State.PLAYING)
+
+        # device-synthesized decorrelated speech-ish banks
+        B = n_streams
+        key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, 8)
+
+        def make_bank(k):
+            t = jnp.arange(block, dtype=jnp.float64) / 48_000.0
+            base = 0.2 * jnp.sin(2 * jnp.pi * (150.0 + 20 * k) * t)
+            return (base[None, :] + 0.02 * jax.random.normal(
+                keys[k], (B, block), dtype=jnp.float64))
+
+        banks = [make_bank(k) for k in range(8)]
+        for b in banks:
+            b.block_until_ready()
+        checksum = jax.jit(jnp.sum)
+
+        def push_round(bank, k):
+            for i, p in enumerate(pipes):
+                p.get_by_name("src").push_buffer(
+                    Buffer(DeviceRow(bank, i), pts=k * 100_000_000))
+                while p.iterate():
+                    pass
+
+        sinks = [p.get_by_name("sink") for p in pipes]
+        t0 = time.perf_counter()
+        push_round(banks[0], 0)         # compile
+        out0 = sinks[0].samples[-1].data
+        float(checksum(out0.parent if isinstance(out0, DeviceRow)
+                       else out0))
+        print(f"rnnoise fleet compile+first: "
+              f"{time.perf_counter() - t0:.1f} s", file=sys.stderr)
+        for k in range(settle):
+            push_round(banks[(k + 1) % 8], 1 + k)
+        for s in sinks:
+            s.samples.clear()
+
+        t0 = time.perf_counter()
+        for k in range(rounds):
+            push_round(banks[k % 8], 8 + k)
+        last = sinks[0].samples[-1].data
+        float(checksum(last.parent if isinstance(last, DeviceRow)
+                       else last))      # force a real device sync
+        wall = time.perf_counter() - t0
+        got = sum(len(s.samples) for s in sinks)
+        assert got == n_streams * rounds, (got, n_streams * rounds)
+        for p in pipes:
+            p.set_state(State.NULL)
+        DeviceContext.release(ctx_name)
+        audio_s = n_streams * rounds * block / 48_000.0
+        return audio_s / wall
+
+
 def main():
     enc_fps, n_pkts = bench_rav1enc()
     rn_rt = bench_rnnoise()
+    fleet_rt = bench_rnnoise_fleet()
     enc_rt = enc_fps / 30.0
     print(f"rav1enc 1080p: {enc_fps:.1f} fps ({enc_rt:.2f}x rt), "
           f"{n_pkts} conformant packets; audiornnoise GRU: "
-          f"{rn_rt:.1f}x rt", file=sys.stderr)
+          f"{rn_rt:.1f}x rt single-stream, {fleet_rt:.1f}x aggregate "
+          f"batched fleet", file=sys.stderr)
     print(json.dumps({
         "metric": "realtime-multiple/chip, BASELINE config #5 "
                   "(audiornnoise GRU + rav1enc 1080p intra, "
                   "libdav1d-verified bitstream)",
-        "value": round(min(enc_rt, rn_rt), 2), "unit": "x",
-        "vs_baseline": round(min(enc_rt, rn_rt), 2),
+        "value": round(min(enc_rt, fleet_rt), 2), "unit": "x",
+        "vs_baseline": round(min(enc_rt, fleet_rt), 2),
         "rav1enc_1080p_fps": round(enc_fps, 1),
-        "audiornnoise_rt": round(rn_rt, 1)}))
+        "audiornnoise_rt_single": round(rn_rt, 1),
+        "audiornnoise_fleet_rt": round(fleet_rt, 1),
+        "fleet_streams": 64}))
 
 
 if __name__ == "__main__":

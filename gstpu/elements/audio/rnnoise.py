@@ -53,6 +53,7 @@ class AudioRNNoise(BaseTransform):
     model_location = Property(str, default=None, mutable=Mutability.READY,
                               blurb="Optional .npz RNNoise weight file")
     engine = Property(str, default="auto", mutable=Mutability.READY,
+                      enum_values=("auto", "device", "host", "spectral"),
                       blurb="'auto' (GRU on device when weights are "
                             "set, else spectral gate), 'device', "
                             "'host', 'spectral'")
@@ -205,9 +206,10 @@ def _ctx_patch():
         if getattr(self, "_ctx", None) is not None:
             self._info = AudioInfo.from_caps(incaps)
             C = self._info.channels
-            if self.engine not in ("auto", "spectral"):
-                self.post_error("audiornnoise: context mode runs the "
-                                "spectral-gate device engine")
+            if self.engine == "host":
+                self.post_error("audiornnoise: context mode batches "
+                                "on device (engine=host is the "
+                                "streaming path)")
                 return False
             unit = FRAME_SIZE * C
             if self._ctx.block % unit:
@@ -222,7 +224,17 @@ def _ctx_patch():
     def device_batch_spec(self) -> dict:
         C = self._info.channels
         frames = self._ctx.block // (FRAME_SIZE * C)
-        step, init = make_device_denoiser(frames_per_block=frames)
+        if self.model_location and self.engine != "spectral":
+            # full RNNoise GRU chain on device (STFT + 42-feature
+            # frontend + GRU stack + iSTFT), batched across streams
+            from gstpu.ops.rnnoise import make_device_gru_denoiser
+            step, init = make_device_gru_denoiser(
+                dict(np.load(self.model_location)),
+                frames_per_block=frames)
+            key = ("audiornnoise-gru", C, frames, self.model_location)
+        else:
+            step, init = make_device_denoiser(frames_per_block=frames)
+            key = ("audiornnoise", C, frames)
 
         def init_nobatch():
             import jax
@@ -251,7 +263,7 @@ def _ctx_patch():
                    for k, v in flat.items()}
             return st2, o, dict(vad=jnp.max(vmax, axis=1))
 
-        return dict(key=("audiornnoise", C, frames),
+        return dict(key=key,
                     step=spec_step,
                     init_state=init_nobatch,
                     uniforms=lambda: (

@@ -543,3 +543,191 @@ def make_device_denoiser(frames_per_block: int = 10,
         return st, out, jnp.moveaxis(vads, 0, 1)    # (B, F)
 
     return step, init
+
+
+# ---------------------------------------------------------------------------
+# fully-device GRU denoiser (DeviceContext execution path, weights set)
+# ---------------------------------------------------------------------------
+
+def make_device_gru_denoiser(weights: dict, frames_per_block: int = 10):
+    """Batched device twin of DenoiseState with the RNNoise GRU model:
+    the WHOLE per-frame chain — STFT, band energies, 42-feature
+    frontend (BFCC + deltas, pitch search/correlation, spectral
+    variability), GRU stack, band-gain interpolation, iSTFT
+    overlap-add — as a lax.scan over `frames_per_block` frames, N
+    streams per dispatch.
+
+    Math mirrors FeatureExtractor/DenoiseState/GruModel above
+    operation-for-operation in f64 (reference architecture:
+    audio/audiofx/src/audiornnoise/imp.rs via the nnnoiseless crate);
+    host-vs-device parity is tested in tests/test_rnnoise_device.py.
+    The pitch correlation search runs as one grouped convolution per
+    frame (the sliding dot products never materialize), which is what
+    makes the frontend batch cleanly onto the MXU.
+
+    init(batch) -> state;  step(state, x (B, frames*480) SCALED
+    [-32767, 32767]) -> (state, out (B, frames*480), vads (B, frames))
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f64 = jnp.float64
+    win = jnp.asarray(vorbis_window())
+    Wb = jnp.asarray(_band_matrix())
+    Gi = jnp.asarray(_interp_matrix())
+    Dct = jnp.asarray(_dct_matrix())
+    w = {k: jnp.asarray(np.asarray(v), f64) for k, v in weights.items()}
+    L = PITCH_MAX + WINDOW_SIZE          # pitch buffer length (1728)
+    lags = np.arange(PITCH_MIN, PITCH_MAX)          # all t, full res
+    # c_all[s] = dot(buf[s:s+960], x); lag t starts at s = L-960-t
+    s_idx = jnp.asarray(PITCH_MAX - lags)
+    n_vad = np.asarray(weights["vad_gru_U"]).shape[1]
+    n_noise = np.asarray(weights["noise_gru_U"]).shape[1]
+    n_den = np.asarray(weights["denoise_gru_U"]).shape[1]
+
+    def gru(name, h, x, act="relu"):
+        W, U, b = w[f"{name}_W"], w[f"{name}_U"], w[f"{name}_b"]
+        n = U.shape[1]
+        zrh = x @ W.T + b
+        rec = h @ U.T
+        z = jax.nn.sigmoid(zrh[..., :n] + rec[..., :n])
+        r = jax.nn.sigmoid(zrh[..., n:2 * n] + rec[..., n:2 * n])
+        hh = zrh[..., 2 * n:] + r * rec[..., 2 * n:]
+        hh = jnp.tanh(hh) if act == "tanh" else jnp.maximum(hh, 0.0)
+        return z * h + (1 - z) * hh
+
+    def init(batch: int) -> dict:
+        z = lambda *s: jnp.zeros(s, f64)  # noqa: E731
+        return dict(analysis=z(batch, FRAME_SIZE),
+                    synth=z(batch, FRAME_SIZE),
+                    pitch=z(batch, L),
+                    ceps_hist=z(batch, CEPS_MEM, NB_BANDS),
+                    hist_pos=jnp.zeros(batch, jnp.int32),
+                    h_vad=z(batch, n_vad),
+                    h_noise=z(batch, n_noise),
+                    h_den=z(batch, n_den),
+                    vad=z(batch))
+
+    def pitch_search(pbuf):
+        """FeatureExtractor._pitch, batched: grid argmax over
+        normalized autocorrelation + submultiple preference."""
+        B = pbuf.shape[0]
+        x = pbuf[:, -WINDOW_SIZE:]
+        xe = jnp.sum(x * x, axis=1) + 1e-6
+        # c_all[s] = dot(buf[s:s+960], x): one grouped correlation
+        # (XLA "convolution" IS cross-correlation — no kernel flip)
+        c_all = jax.lax.conv_general_dilated(
+            pbuf[None], x[:, None, :],
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=B)[0]              # (B, L-960+1)
+        # sliding window energies via cumulative sums
+        c2 = jnp.cumsum(pbuf * pbuf, axis=1)
+        c2 = jnp.concatenate([jnp.zeros((B, 1), f64), c2], axis=1)
+        ye_all = c2[:, WINDOW_SIZE:] - c2[:, :-WINDOW_SIZE] + 1e-6
+        c_t = c_all[:, s_idx]                       # by lag t
+        ye_t = ye_all[:, s_idx]
+        scores = c_t / jnp.sqrt(xe[:, None] * ye_t)
+        grid = scores[:, ::4]                       # t = 60, 64, ...
+        gi = jnp.argmax(grid, axis=1)
+        bt0 = PITCH_MIN + 4 * gi
+        bc0 = jnp.take_along_axis(grid, gi[:, None], 1)[:, 0]
+        bt, bc = bt0, bc0
+        taken = jnp.zeros_like(bt0, bool)
+        for k in (4, 3, 2):                # first success wins (host)
+            t2 = bt0 // k
+            idx = jnp.clip(t2 - PITCH_MIN, 0, len(lags) - 1)
+            s2 = jnp.take_along_axis(scores, idx[:, None], 1)[:, 0]
+            cond = (t2 >= PITCH_MIN) & ~taken & (s2 > 0.85 * bc0)
+            bt = jnp.where(cond, t2, bt)
+            bc = jnp.where(cond, s2, bc)
+            taken = taken | cond
+        return bt
+
+    def features(st, spec, eb, x, pbuf):
+        B = x.shape[0]
+        logs = jnp.log10(eb + 1e-2)
+        ceps = logs @ Dct.T
+        pos = st["hist_pos"]
+        hist = st["ceps_hist"]
+        take = lambda p: jnp.take_along_axis(   # noqa: E731
+            hist, (p % CEPS_MEM)[:, None, None], 1)[:, 0]
+        prev1 = take(pos - 1)
+        prev2 = take(pos - 2)
+        d1 = ceps[:, :6] - prev1[:, :6]
+        d2 = ceps[:, :6] - 2 * prev1[:, :6] + prev2[:, :6]
+        slot = jax.nn.one_hot(pos % CEPS_MEM, CEPS_MEM, dtype=f64)
+        hist = (hist * (1 - slot[:, :, None])
+                + slot[:, :, None] * ceps[:, None, :])
+        pos = pos + 1
+
+        period = pitch_search(pbuf)
+        start = L - WINDOW_SIZE - period
+        delayed = jax.vmap(
+            lambda b, s: jax.lax.dynamic_slice(b, (s,), (WINDOW_SIZE,))
+        )(pbuf, start)
+        pspec = jnp.fft.rfft(delayed * win)
+        num = (spec * jnp.conj(pspec)).real @ Wb
+        den = jnp.sqrt(eb * ((jnp.abs(pspec) ** 2) @ Wb)) + 1e-6
+        band_corr = jnp.clip(num / den, -1.0, 1.0)
+        pitch_dct = (band_corr @ Dct.T)[:, :6]
+
+        # spectral variability over the valid history rows
+        n = jnp.minimum(pos, CEPS_MEM)              # (B,)
+        valid = (jnp.arange(CEPS_MEM)[None, :]
+                 < n[:, None])                      # (B, 8)
+        diff = hist[:, :, None, :] - hist[:, None, :, :]
+        d = jnp.sum(diff * diff, axis=-1)           # (B, 8, 8)
+        pair_ok = valid[:, :, None] & valid[:, None, :]
+        d = jnp.where(pair_ok, d, 1e9)
+        d = d + jnp.eye(CEPS_MEM, dtype=f64) * 1e9
+        mins = jnp.min(d, axis=2)                   # (B, 8)
+        var = jnp.sum(jnp.where(valid, mins, 0.0), axis=1) \
+            / jnp.maximum(n, 1)
+        var = jnp.where(n > 1, var, 0.0)
+
+        feat = jnp.concatenate([
+            ceps, d1, d2, pitch_dct,
+            (0.01 * (period - 300))[:, None].astype(f64),
+            (var / 100.0)[:, None]], axis=1)        # (B, 42)
+        return dict(st, ceps_hist=hist, hist_pos=pos), feat
+
+    def frame(st, x):
+        buf = jnp.concatenate([st["analysis"], x], axis=1)
+        spec = jnp.fft.rfft(buf * win)
+        eb = (jnp.abs(spec) ** 2) @ Wb
+        pbuf = jnp.concatenate([st["pitch"][:, FRAME_SIZE:], x], axis=1)
+        st, feat = features(st, spec, eb, x, pbuf)
+
+        d = jnp.tanh(feat @ w["input_dense_W"].T + w["input_dense_b"])
+        h_vad = gru("vad_gru", st["h_vad"], d)
+        vad = jax.nn.sigmoid(h_vad @ w["vad_output_W"].T
+                             + w["vad_output_b"])[:, 0]
+        noise_in = jnp.concatenate([d, h_vad, feat], axis=1)
+        h_noise = gru("noise_gru", st["h_noise"], noise_in)
+        dn_in = jnp.concatenate([h_vad, h_noise, feat], axis=1)
+        h_den = gru("denoise_gru", st["h_den"], dn_in)
+        gains = jax.nn.sigmoid(h_den @ w["denoise_output_W"].T
+                               + w["denoise_output_b"])
+
+        g = gains @ Gi
+        fr = jnp.fft.irfft(spec * g) * win
+        out = fr[:, :FRAME_SIZE] + st["synth"]
+        return dict(st, analysis=x, synth=fr[:, FRAME_SIZE:],
+                    pitch=pbuf, h_vad=h_vad, h_noise=h_noise,
+                    h_den=h_den, vad=vad), out
+
+    @jax.jit
+    def step(st, xb):
+        B = xb.shape[0]
+        xs = jnp.moveaxis(xb.reshape(B, -1, FRAME_SIZE), 1, 0)
+
+        def body(st, xk):
+            st, out = frame(st, xk)
+            return st, (out, st["vad"])
+
+        st, (outs, vads) = jax.lax.scan(body, st, xs)
+        out = jnp.moveaxis(outs, 0, 1).reshape(B, -1)
+        return st, out, jnp.moveaxis(vads, 0, 1)
+
+    return step, init

@@ -247,3 +247,68 @@ def test_element_device_engine_pipeline(tmp_path):
     out = sink.pull_all()
     assert sum(b.size for b in out) >= FRAME_SIZE * 4 * 4
     p.set_state(State.NULL)
+
+
+def _noisy_speech(rng, seconds=2.0):
+    """Synthetic 'speech' (AM harmonic bursts with gaps) + white
+    noise; returns (clean, noisy) f32 at 48 kHz."""
+    n = int(seconds * RATE)
+    t = np.arange(n) / RATE
+    f0 = 140.0
+    voiced = sum(np.sin(2 * np.pi * f0 * k * t) / k
+                 for k in range(1, 9))
+    # burst envelope: 300 ms on / 200 ms off syllables
+    env = (np.sin(2 * np.pi * 2.0 * t) > 0.1).astype(np.float64)
+    env = np.convolve(env, np.ones(960) / 960, mode="same")
+    clean = (0.25 * voiced * env).astype(np.float32)
+    noise = (0.08 * rng.standard_normal(n)).astype(np.float32)
+    return clean, clean + noise
+
+
+def _denoise(noisy, model_location=None):
+    h = Harness(make("audiornnoise", **(
+        {"model_location": model_location} if model_location else {})))
+    h.set_caps("audio/x-raw, format=F32LE, rate=48000, channels=1, "
+               "layout=interleaved")
+    h.push(Buffer(noisy.reshape(-1, 1)))
+    h.push_eos()
+    out = np.concatenate([np.asarray(b.array).reshape(-1)
+                          for b in h.pull_all()])
+    h.teardown()
+    return out
+
+
+def test_spectral_gate_improves_snr():
+    """Denoise quality of the DEFAULT engine, in numbers: on synthetic
+    noisy speech the spectral gate improves SNR by several dB (the
+    reference's rnnoise weights are not redistributable, so the
+    default engine must earn its place as a denoiser, not just an
+    architecture)."""
+    rng = np.random.default_rng(42)
+    clean, noisy = _noisy_speech(rng)
+    out = _denoise(noisy)
+    n = min(out.size, clean.size)
+    # the OLA pipeline delays output by one frame
+    d = FRAME_SIZE
+    c, y, x = clean[:n - d], out[d:n], noisy[:n - d]
+    snr_in = 10 * np.log10(np.mean(c ** 2) / np.mean((x - c) ** 2))
+    snr_out = 10 * np.log10(np.mean(c ** 2) / np.mean((y - c) ** 2))
+    # measured: ~5.3 dB in -> ~13.3 dB out (+8 dB) on this signal
+    assert snr_out > snr_in + 5.0, (snr_in, snr_out)
+    # and the gaps (noise-only) are strongly suppressed
+    gap = np.abs(c) < 1e-4
+    assert np.mean(y[gap] ** 2) < 0.25 * np.mean(x[gap] ** 2)
+
+
+def test_gru_runs_same_quality_harness(tmp_path):
+    """The same harness runs the GRU engine when weights are given
+    (synthetic weights: asserting execution + bounded output, not
+    quality — trained weights are a drop-in)."""
+    rng = np.random.default_rng(43)
+    path = str(tmp_path / "w.npz")
+    np.savez(path, **_synthetic_weights(np.random.default_rng(1)))
+    clean, noisy = _noisy_speech(rng)
+    out = _denoise(noisy, model_location=path)
+    assert out.size >= noisy.size - FRAME_SIZE
+    assert np.all(np.isfinite(out))
+    assert np.abs(out).max() <= 4.0      # sigmoid band gains <= 1

@@ -78,3 +78,104 @@ def test_rnnoise_context_vad_mute():
     assert np.abs(out).max() == 0.0
     p.set_state(State.NULL)
     DeviceContext.release("rnv")
+
+
+def _gru_weights(rng):
+    def gru(inputs, units):
+        return {"W": rng.normal(0, 0.1, (3 * units, inputs)),
+                "U": rng.normal(0, 0.1, (3 * units, units)),
+                "b": rng.normal(0, 0.1, 3 * units)}
+    w = {"input_dense_W": rng.normal(0, 0.1, (24, 42)),
+         "input_dense_b": rng.normal(0, 0.1, 24),
+         "denoise_output_W": rng.normal(0, 0.1, (22, 96)),
+         "denoise_output_b": rng.normal(0, 0.1, 22),
+         "vad_output_W": rng.normal(0, 0.1, (1, 24)),
+         "vad_output_b": rng.normal(0, 0.1, 1)}
+    for name, d in (("vad_gru", gru(24, 24)),
+                    ("noise_gru", gru(90, 48)),
+                    ("denoise_gru", gru(114, 96))):
+        for k, v in d.items():
+            w[f"{name}_{k}"] = v
+    return w
+
+
+def test_gru_device_twin_matches_host_oracle():
+    """make_device_gru_denoiser runs the ENTIRE RNNoise chain (STFT +
+    42-feature frontend incl. pitch search + GRU stack + iSTFT) on
+    device, batched; parity vs the host DenoiseState+GruModel oracle
+    at the fp-reassociation level."""
+    import jax
+    import jax.numpy as jnp
+
+    from gstpu.ops.rnnoise import (DenoiseState, GruModel,
+                                   make_device_gru_denoiser)
+    rng = np.random.default_rng(7)
+    w = _gru_weights(rng)
+    B, F = 3, 12
+    t = np.arange(F * FRAME) / 48000
+    x = np.stack([0.3 * np.sin(2 * np.pi * (200 + 60 * b) * t)
+                  + 0.05 * rng.standard_normal(F * FRAME)
+                  for b in range(B)]) * 32767.0
+
+    host_out = np.zeros_like(x)
+    host_vad = np.zeros((B, F))
+    for b in range(B):
+        ds = DenoiseState(GruModel(w))
+        for f in range(F):
+            y, v = ds.process_frame(x[b, f * FRAME:(f + 1) * FRAME])
+            host_out[b, f * FRAME:(f + 1) * FRAME] = y
+            host_vad[b, f] = v
+
+    step, init = make_device_gru_denoiser(w, frames_per_block=F)
+    st, out, vads = step(init(B), jnp.asarray(x))
+    assert np.abs(np.asarray(out) - host_out).max() < 1e-9 * 32767
+    assert np.abs(np.asarray(vads) - host_vad).max() < 1e-12
+
+
+def test_rnnoise_gru_context_matches_host_element(tmp_path):
+    """The element's DeviceContext path with model-location batches
+    the GRU chain across streams and matches the streaming host-GRU
+    element sample for sample (f32 output quantum)."""
+    path = str(tmp_path / "w.npz")
+    np.savez(path, **_gru_weights(np.random.default_rng(11)))
+    rng = np.random.default_rng(5)
+    sigs = [0.1 * rng.standard_normal((3, 10 * FRAME))
+            for _ in range(3)]
+
+    def run(ctx: bool):
+        DeviceContext.release("rng")
+        caps = ("audio/x-raw, format=F32LE, rate=48000, channels=1, "
+                "layout=interleaved")
+        extra = (f"context=rng context-block={10 * FRAME} "
+                 if ctx else "engine=host ")
+        pipes = [parse_launch(
+            f'appsrc name=src caps="{caps}" ! '
+            f'audiornnoise model-location={path} {extra}! '
+            f'appsink name=sink') for _ in sigs]
+        for p in pipes:
+            p.set_state(State.PLAYING)
+        for k in range(sigs[0].shape[0]):
+            for s, p in enumerate(pipes):
+                p.get_by_name("src").push_buffer(
+                    Buffer(sigs[s][k].astype(np.float32)
+                           .reshape(-1, 1), pts=k * 100_000_000))
+                while p.iterate():
+                    pass
+        outs = []
+        for p in pipes:
+            p.get_by_name("src").end_of_stream()
+            p.run()
+            outs.append(np.concatenate(
+                [np.asarray(b.array).reshape(-1)
+                 for b in p.get_by_name("sink").pull_all()]))
+            p.set_state(State.NULL)
+        DeviceContext.release("rng")
+        return outs
+
+    batched = run(True)
+    host = run(False)
+    for s in range(3):
+        n = min(batched[s].size, host[s].size)
+        assert n >= 2 * 10 * FRAME
+        d = np.abs(batched[s][:n] - host[s][:n]).max()
+        assert d <= 1e-6, f"stream {s}: {d}"
