@@ -116,9 +116,11 @@ def bench_rnnoise_fleet(n_streams=64, rounds=20, settle=3):
     iSTFT) runs as ONE device dispatch per 100 ms block round
     (ops/rnnoise.make_device_gru_denoiser).  Aggregate realtime
     multiple across the fleet — the P7 multi-stream shape from
-    SURVEY.md §2.8 applied to BASELINE config #5's denoise half."""
+    SURVEY.md §2.8 applied to BASELINE config #5's denoise half.
+    precision=f32: the TPU production mode (reference RNNoise is
+    f32; device-vs-host parity at both precisions is gated in
+    tests/test_rnnoise_device.py)."""
     import jax
-    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from gstpu import Buffer, State, parse_launch
@@ -150,7 +152,7 @@ def bench_rnnoise_fleet(n_streams=64, rounds=20, settle=3):
         pipes = [parse_launch(
             f'appsrc name=src caps="audio/x-raw, format=F32LE, '
             f'rate=48000, channels=1, layout=interleaved" ! '
-            f'audiornnoise model-location={tf.name} '
+            f'audiornnoise model-location={tf.name} precision=f32 '
             f'context={ctx_name} context-block={block} ! '
             f'appsink name=sink') for _ in range(n_streams)]
         for p in pipes:
@@ -162,10 +164,10 @@ def bench_rnnoise_fleet(n_streams=64, rounds=20, settle=3):
         keys = jax.random.split(key, 8)
 
         def make_bank(k):
-            t = jnp.arange(block, dtype=jnp.float64) / 48_000.0
+            t = jnp.arange(block, dtype=jnp.float32) / 48_000.0
             base = 0.2 * jnp.sin(2 * jnp.pi * (150.0 + 20 * k) * t)
             return (base[None, :] + 0.02 * jax.random.normal(
-                keys[k], (B, block), dtype=jnp.float64))
+                keys[k], (B, block), dtype=jnp.float32))
 
         banks = [make_bank(k) for k in range(8)]
         for b in banks:

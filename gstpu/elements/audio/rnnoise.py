@@ -181,6 +181,15 @@ def _ctx_patch():
               "default 10 frames)")
     p2.__set_name__(AudioRNNoise, "context_block")
     AudioRNNoise.context_block = p2
+    p3 = Property(
+        str, default="f64", mutable=Mutability.READY,
+        enum_values=("f64", "f32"),
+        blurb="Device compute precision for the batched GRU chain: "
+              "f64 matches the host oracle bit-tight; f32 is the "
+              "TPU production mode (the reference RNNoise pipeline "
+              "is itself f32)")
+    p3.__set_name__(AudioRNNoise, "precision")
+    AudioRNNoise.precision = p3
 
     orig_start = getattr(AudioRNNoise, "start", None)
 
@@ -228,11 +237,15 @@ def _ctx_patch():
             # full RNNoise GRU chain on device (STFT + 42-feature
             # frontend + GRU stack + iSTFT), batched across streams
             from gstpu.ops.rnnoise import make_device_gru_denoiser
+            dt = jnp.float32 if self.precision == "f32" \
+                else jnp.float64
             step, init = make_device_gru_denoiser(
                 dict(np.load(self.model_location)),
-                frames_per_block=frames)
-            key = ("audiornnoise-gru", C, frames, self.model_location)
+                frames_per_block=frames, dtype=dt)
+            key = ("audiornnoise-gru", C, frames, self.precision,
+                   self.model_location)
         else:
+            dt = jnp.float64
             step, init = make_device_denoiser(frames_per_block=frames)
             key = ("audiornnoise", C, frames)
 
@@ -268,7 +281,7 @@ def _ctx_patch():
                     init_state=init_nobatch,
                     uniforms=lambda: (
                         self.voice_activity_threshold,),
-                    compute_dtype=np.float64)
+                    compute_dtype=np.dtype(dt).type)
 
     def make_batch_buffer(self, flat, pts, dur):
         from gstpu.runtime.device_batch import DeviceRow

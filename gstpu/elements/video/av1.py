@@ -54,6 +54,11 @@ class Rav1Enc(BaseTransform):
     speed_preset = Property(int, default=6, minimum=0, maximum=10,
                             mutable=Mutability.READY,
                             blurb="rav1e speed preset (10 fastest)")
+    engine = Property(str, default="rav1e", mutable=Mutability.READY,
+                      enum_values=("rav1e", "svt", "aom"),
+                      blurb="AV1 engine: 'rav1e' (reference parity), "
+                            "'svt' (SVT-AV1, realtime-class), 'aom' "
+                            "(libaom realtime mode)")
     quantizer = Property(int, default=100, minimum=0, maximum=255,
                          mutable=Mutability.READY)
     bitrate = Property(int, default=0, minimum=0,
@@ -69,12 +74,28 @@ class Rav1Enc(BaseTransform):
                          mutable=Mutability.READY)
     error_resilient = Property(bool, default=False,
                                mutable=Mutability.READY)
+    rc_mode = Property(str, default="engine", mutable=Mutability.READY,
+                       enum_values=("engine", "device"),
+                       blurb="'engine' = the engine's own rate "
+                             "control; 'device' = TPU intra analysis "
+                             "(ops/av1_intra.py) picks the quantizer "
+                             "closed-loop against `bitrate`")
+    rc_interval = Property(int, default=8, minimum=1, maximum=600,
+                           mutable=Mutability.READY,
+                           blurb="Frames between device rate-control "
+                                 "analyses (amortizes the frame "
+                                 "upload)")
 
     def __init__(self, name=None):
         super().__init__(name)
         self._enc = None
         self._info = None
         self._frame_n = 0
+        self._analyze = None
+        self._rc = None
+        self._rc_bits = 0           # bits since last rc decision
+        self._rc_crf = None
+        self._rc_pending = None     # in-flight device curve
 
     def transform_caps(self, direction, caps, filter):
         if direction is PadDirection.SINK:
@@ -95,6 +116,102 @@ class Rav1Enc(BaseTransform):
         fr = self._info.framerate
         fps = ((fr.numerator, fr.denominator)
                if fr and fr.numerator else (30, 1))
+        self._fps = fps
+        self._analyze = self._rc = self._rc_pending = None
+        if self.rc_mode == "device":
+            if self.bitrate <= 0:
+                self.post_error("rav1enc: rc-mode=device needs "
+                                "bitrate > 0")
+                return False
+            from gstpu.ops.av1_intra import (DeviceRateControl,
+                                             make_intra_analyzer)
+            try:
+                self._analyze = make_intra_analyzer(
+                    self._info.height, self._info.width)
+            except ValueError as e:
+                self.post_error(f"rav1enc: {e}")
+                return False
+            self._rc = DeviceRateControl(self.bitrate,
+                                         fps[0] / fps[1])
+            self._rc_crf = 32
+            self._rc_bits = 0
+        if not self._open_engine():
+            return False
+        self._frame_n = 0
+        return True
+
+    def _open_engine(self) -> bool:
+        from gstpu.native_codec import NativeEncoder
+        codec, opts = self._engine_opts()
+        try:
+            self._enc = NativeEncoder(codec, self._info.width,
+                                      self._info.height, self._fps,
+                                      opts)
+        except RuntimeError as e:
+            self.post_error(f"rav1enc: {e}")
+            return False
+        return True
+
+    def _engine_opts(self):
+        """Map the rav1e-shaped property surface onto the selected
+        engine.  'svt' and 'aom' exist because this container's single
+        host core caps rav1e ~2 fps at 1080p all-intra; SVT-AV1's
+        high presets and libaom's realtime usage are the in-image
+        engines built for that regime (both produce conformant AV1 —
+        verified under libdav1d in tests/test_codec_native.py)."""
+        speed = self.speed_preset
+        if self._rc is not None:
+            # device rate control owns the rate: engine runs in
+            # constant-quality mode at the TPU-picked quantizer
+            bitrate, quantizer = 0, self._rc_crf * 4
+        else:
+            bitrate, quantizer = self.bitrate, self.quantizer
+        if self.engine == "svt":
+            import os
+            os.environ.setdefault("SVT_LOG", "1")   # errors only
+            # rav1e speed 0-10 -> svt preset 0-13
+            opts = {"preset": min(13, round(speed * 1.3)),
+                    "g": self.max_key_frame_interval}
+            params = ["lp=1"]       # one logical processor (1 core)
+            if self._rc is not None:
+                # device rc observes output bits closed-loop; cut the
+                # engine's ~17-frame internal pipeline so observations
+                # track decisions
+                params.append("lookahead=0")
+                params.append("pred-struct=1")
+            if self.low_latency:
+                params.append("pred-struct=1")  # low-delay
+            if bitrate > 0:
+                opts["b"] = bitrate
+                params.append("rc=2")           # CBR needs pred-struct
+                params.append("pred-struct=1")
+            else:
+                # rav1e qp 0-255 -> crf 0-63
+                opts["crf"] = min(63, quantizer // 4)
+            if self.tile_cols:
+                params.append(f"tile-columns={self.tile_cols}")
+            if self.tile_rows:
+                params.append(f"tile-rows={self.tile_rows}")
+            opts["svtav1-params"] = ":".join(params)
+            return "libsvtav1", opts
+        if self.engine == "aom":
+            opts = {"cpu-used": min(8, speed),
+                    "usage": "realtime" if speed >= 7 else "good",
+                    "lag-in-frames": 0 if self.low_latency else 8,
+                    "g": self.max_key_frame_interval,
+                    "threads": 1}
+            if bitrate > 0:
+                opts["b"] = bitrate
+            else:
+                opts["crf"] = min(63, quantizer // 4)
+                opts["b"] = 0               # constant-quality mode
+            if self.error_resilient:
+                opts["error-resilience"] = "default"
+            if self.tile_cols:
+                opts["tile-columns"] = self.tile_cols
+            if self.tile_rows:
+                opts["tile-rows"] = self.tile_rows
+            return "libaom-av1", opts
         params = []
         if self.low_latency:
             # rav1e still queues its rdo lookahead even with
@@ -105,28 +222,21 @@ class Rav1Enc(BaseTransform):
         if self.error_resilient:
             params.append("error_resilient=true")
         opts = {
-            "speed": self.speed_preset,
+            "speed": speed,
             "g": self.max_key_frame_interval,
             "threads": 8,
         }
         if params:
             opts["rav1e-params"] = ":".join(params)
-        if self.bitrate > 0:
-            opts["b"] = self.bitrate
+        if bitrate > 0:
+            opts["b"] = bitrate
         else:
-            opts["qp"] = self.quantizer
+            opts["qp"] = quantizer
         if self.tile_cols:
             opts["tile-columns"] = self.tile_cols
         if self.tile_rows:
             opts["tile-rows"] = self.tile_rows
-        try:
-            self._enc = NativeEncoder("librav1e", self._info.width,
-                                      self._info.height, fps, opts)
-        except RuntimeError as e:
-            self.post_error(f"rav1enc: {e}")
-            return False
-        self._frame_n = 0
-        return True
+        return "librav1e", opts
 
     def _emit(self, pkts) -> list[Buffer]:
         info = self._info
@@ -156,11 +266,41 @@ class Rav1Enc(BaseTransform):
             return out
         return out
 
+    def _rc_tick(self, buf: Buffer) -> list[Buffer]:
+        """Device rate-control step, every rc-interval frames: settle
+        the in-flight analysis (dispatched one interval ago, so the
+        device worked while the host encoded), steer the engine, and
+        dispatch this frame's analysis.  An engine restart opens on a
+        keyframe — the same valid-continuation semantics as
+        reconfigure_bitrate."""
+        drained: list[Buffer] = []
+        if self._rc_pending is not None:
+            curve, frames = self._rc_pending
+            self._rc.observe(self._rc_bits / max(frames, 1))
+            crf = self._rc.pick(np.asarray(curve))
+            self._rc_bits = 0
+            if abs(crf - self._rc_crf) >= 2:
+                self._rc_crf = crf
+                drained = self._emit(self._enc.finish())
+                self._enc.close()
+                self._enc = None
+                if not self._open_engine():
+                    return drained
+        y = np.asarray(self._info.planes(buf)[0])
+        self._rc_pending = (self._analyze(y)[0], self.rc_interval)
+        return drained
+
     def transform(self, buf: Buffer) -> list[Buffer] | None:
+        out: list[Buffer] = []
+        if self._rc is not None and \
+                self._frame_n % self.rc_interval == 0:
+            out += self._rc_tick(buf)
         pkts = self._enc.send(_planes_to_i420(self._info, buf),
                               self._frame_n)
         self._frame_n += 1
-        return self._emit(pkts) or None
+        if self._rc is not None:
+            self._rc_bits += sum(len(d) * 8 for d, _, _ in pkts)
+        return (out + self._emit(pkts)) or None
 
     def drain(self) -> list[Buffer]:
         if self._enc is None:

@@ -549,7 +549,8 @@ def make_device_denoiser(frames_per_block: int = 10,
 # fully-device GRU denoiser (DeviceContext execution path, weights set)
 # ---------------------------------------------------------------------------
 
-def make_device_gru_denoiser(weights: dict, frames_per_block: int = 10):
+def make_device_gru_denoiser(weights: dict, frames_per_block: int = 10,
+                             dtype=None):
     """Batched device twin of DenoiseState with the RNNoise GRU model:
     the WHOLE per-frame chain — STFT, band energies, 42-feature
     frontend (BFCC + deltas, pitch search/correlation, spectral
@@ -567,15 +568,20 @@ def make_device_gru_denoiser(weights: dict, frames_per_block: int = 10):
 
     init(batch) -> state;  step(state, x (B, frames*480) SCALED
     [-32767, 32767]) -> (state, out (B, frames*480), vads (B, frames))
+
+    dtype: jnp.float64 (default; bit-tight parity with the host
+    oracle on CPU) or jnp.float32 — the TPU production precision (the
+    reference RNNoise/nnnoiseless pipeline is itself f32; f64 FFTs
+    and grouped convs do not lower well on TPU).
     """
     import jax
     import jax.numpy as jnp
 
-    f64 = jnp.float64
-    win = jnp.asarray(vorbis_window())
-    Wb = jnp.asarray(_band_matrix())
-    Gi = jnp.asarray(_interp_matrix())
-    Dct = jnp.asarray(_dct_matrix())
+    f64 = dtype or jnp.float64
+    win = jnp.asarray(vorbis_window(), f64)
+    Wb = jnp.asarray(_band_matrix(), f64)
+    Gi = jnp.asarray(_interp_matrix(), f64)
+    Dct = jnp.asarray(_dct_matrix(), f64)
     w = {k: jnp.asarray(np.asarray(v), f64) for k, v in weights.items()}
     L = PITCH_MAX + WINDOW_SIZE          # pitch buffer length (1728)
     lags = np.arange(PITCH_MIN, PITCH_MAX)          # all t, full res
@@ -720,6 +726,7 @@ def make_device_gru_denoiser(weights: dict, frames_per_block: int = 10):
     @jax.jit
     def step(st, xb):
         B = xb.shape[0]
+        xb = xb.astype(f64)         # device rows may arrive f64/f32
         xs = jnp.moveaxis(xb.reshape(B, -1, FRAME_SIZE), 1, 0)
 
         def body(st, xk):

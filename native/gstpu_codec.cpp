@@ -29,6 +29,8 @@ struct Encoder {
     AVFrame* frame = nullptr;
     std::deque<AVPacket*> packets;
     std::string err;
+    bool flushed = false;
+    int64_t nsent = 0;
 };
 
 struct Decoder {
@@ -135,6 +137,7 @@ int gc_encoder_send(void* h, const uint8_t* data, int64_t pts) {
         src += cw * ch;
     }
     e->frame->pts = pts;
+    e->nsent++;
     int r = avcodec_send_frame(e->ctx, e->frame);
     drain_encoder(e);
     return r;
@@ -143,6 +146,7 @@ int gc_encoder_send(void* h, const uint8_t* data, int64_t pts) {
 int gc_encoder_finish(void* h) {
     auto* e = static_cast<Encoder*>(h);
     int r = avcodec_send_frame(e->ctx, nullptr);
+    e->flushed = true;
     drain_encoder(e);
     return r;
 }
@@ -166,6 +170,27 @@ long gc_encoder_packet(void* h, uint8_t* buf, long cap, int64_t* pts,
 
 void gc_encoder_close(void* h) {
     auto* e = static_cast<Encoder*>(h);
+    if (!e->flushed) {
+        // some engines (SVT-AV1 1.4.1) deadlock in deinit when the
+        // context is freed before EOS — and ALSO when EOS arrives
+        // with zero frames sent; feed one gray frame in that case
+        if (e->nsent == 0 && e->frame && e->frame->data[0]) {
+            av_frame_make_writable(e->frame);
+            int w = e->ctx->width, ht = e->ctx->height;
+            for (int row = 0; row < ht; row++)
+                memset(e->frame->data[0] + row * e->frame->linesize[0],
+                       128, w);
+            int cw = (w + 1) / 2, ch = (ht + 1) / 2;
+            for (int p = 1; p <= 2; p++)
+                for (int row = 0; row < ch; row++)
+                    memset(e->frame->data[p]
+                           + row * e->frame->linesize[p], 128, cw);
+            e->frame->pts = 0;
+            avcodec_send_frame(e->ctx, e->frame);
+        }
+        avcodec_send_frame(e->ctx, nullptr);
+        drain_encoder(e);
+    }
     for (auto* p : e->packets) av_packet_free(&p);
     av_frame_free(&e->frame);
     avcodec_free_context(&e->ctx);
@@ -285,6 +310,7 @@ struct AEncoder {
     AVCodecContext* ctx = nullptr;
     AVFrame* frame = nullptr;
     std::deque<AVPacket*> packets;
+    bool flushed = false;
 };
 
 struct ADecoder {
@@ -432,6 +458,7 @@ int ga_encoder_send(void* h, const float* samples, int nsamples,
 int ga_encoder_finish(void* h) {
     auto* e = static_cast<AEncoder*>(h);
     int r = avcodec_send_frame(e->ctx, nullptr);
+    e->flushed = true;
     drain_aencoder(e);
     return r;
 }
@@ -453,6 +480,10 @@ long ga_encoder_packet(void* h, uint8_t* buf, long cap, int64_t* pts,
 
 void ga_encoder_close(void* h) {
     auto* e = static_cast<AEncoder*>(h);
+    if (!e->flushed) {          // see gc_encoder_close
+        avcodec_send_frame(e->ctx, nullptr);
+        drain_aencoder(e);
+    }
     for (auto* p : e->packets) av_packet_free(&p);
     av_frame_free(&e->frame);
     avcodec_free_context(&e->ctx);

@@ -132,6 +132,37 @@ def test_gru_device_twin_matches_host_oracle():
     assert np.abs(np.asarray(vads) - host_vad).max() < 1e-12
 
 
+def test_gru_device_twin_f32_production_precision():
+    """The f32 variant (TPU production mode — reference RNNoise is
+    itself f32) tracks the f64 host oracle within single-precision
+    accumulation error over the chain."""
+    import jax.numpy as jnp
+
+    from gstpu.ops.rnnoise import (DenoiseState, GruModel,
+                                   make_device_gru_denoiser)
+    rng = np.random.default_rng(17)
+    w = _gru_weights(rng)
+    B, F = 2, 10
+    t = np.arange(F * FRAME) / 48000
+    x = np.stack([0.3 * np.sin(2 * np.pi * (220 + 40 * b) * t)
+                  + 0.05 * rng.standard_normal(F * FRAME)
+                  for b in range(B)]) * 32767.0
+
+    host_out = np.zeros_like(x)
+    for b in range(B):
+        ds = DenoiseState(GruModel(w))
+        for f in range(F):
+            y, _ = ds.process_frame(x[b, f * FRAME:(f + 1) * FRAME])
+            host_out[b, f * FRAME:(f + 1) * FRAME] = y
+
+    step, init = make_device_gru_denoiser(w, frames_per_block=F,
+                                          dtype=jnp.float32)
+    _, out, _ = step(init(B), jnp.asarray(x, jnp.float32))
+    # absolute error on the +-32767 scale; f32 eps * scale * chain
+    # depth ~ O(1)
+    assert np.abs(np.asarray(out) - host_out).max() < 8.0
+
+
 def test_rnnoise_gru_context_matches_host_element(tmp_path):
     """The element's DeviceContext path with model-location batches
     the GRU chain across streams and matches the streaming host-GRU
