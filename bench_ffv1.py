@@ -1,13 +1,19 @@
 """ffv1enc throughput: gstpu's TPU-split FFV1 encoder vs libavcodec's.
 
-The split (SURVEY.md §2.8 P4): prediction/context/residual fields for
-each frame compute on the TPU as one fused pass, overlapped with the
-host C++ range coder working on the previous frame — so the single
-host core spends its cycles ONLY on the inherently sequential entropy
+The split (SURVEY.md §2.8 P4): prediction/residual fields for each
+frame compute on the TPU as one fused pass, overlapped with the host
+C++ range coder working on the previous frame — so the single host
+core spends its cycles ONLY on the inherently sequential entropy
 coding, while libavcodec's encoder must also run prediction on that
-same core.  Both encoders see identical 1080p I420 content; ours is
+same core.  hop=diff (the element default) ships 1 byte/px off the
+device — the folded residuals only; the 3-gradient contexts are
+re-derived inline in the native scan from the host-resident source
+plane (+1.3 ms/frame, hidden in the coder's dependency stalls) —
+so even this dev tunnel's ~20 MB/s D2H moves a frame's fields in
+less than the coder's service time and the download pipelines to
+zero.  Both encoders see identical 1080p I420 content; ours is
 conformance-gated (libavcodec decodes it bit-exactly,
-tests/test_ffv1enc.py).
+tests/test_ffv1enc.py, byte-identity across hop modes included).
 
 Prints ONE JSON line: value = gstpu fps, vs_baseline = gstpu fps /
 libavcodec fps (same machine, same content, coder=ac).
@@ -78,16 +84,16 @@ def bench_gstpu(frames):
 
     # architectural split: entropy-only rate on pre-materialized
     # fields = the host-core cost with the device field pass + its
-    # PCIe-class transfer hidden (the dev tunnel moves the 7 MB/frame
-    # field download at ~20 MB/s; a PCIe host moves it in ~2 ms)
+    # transfer fully hidden (the ideal the pipelined element
+    # approaches as the hop shrinks below the coder's service time)
     fields = []
     for f in frames[:8]:
-        dev = [enc._pred.dispatch_packed(pl) for pl in f]
-        fields.append(enc._materialize(dev))
-    enc._coder.encode_packed(True, fields[0])
+        dev = [enc._pred.dispatch_diff(pl) for pl in f]
+        fields.append((f, enc._materialize_diff(dev)))
+    enc._coder.encode_from_plane(True, *fields[0])
     t1 = time.perf_counter()
-    for i, fl in enumerate(fields):
-        enc._coder.encode_packed(i == 0, fl)
+    for i, (pl, dl) in enumerate(fields):
+        enc._coder.encode_from_plane(i == 0, pl, dl)
     entropy_fps = len(fields) / (time.perf_counter() - t1)
     enc.stop()
     return len(frames) / dt, nbytes, entropy_fps
@@ -118,12 +124,13 @@ def main():
     raw = FRAMES * (W * H * 3 // 2)
     print(json.dumps({
         "metric": "1080p frames/s through the ffv1enc element "
-                  "(TPU field pass + download pipelined one frame "
-                  "under the C++ range coder, conformance-gated); "
-                  "vs_baseline = vs libavcodec's ffv1 encoder, same "
-                  "content/core.  host_core_fps = range-coder-only "
-                  "rate (the end-to-end rate once the 2.25 B/px "
-                  "field hop rides PCIe instead of this dev tunnel)",
+                  "(TPU residual pass + 1 B/px download pipelined "
+                  "one frame under the C++ range coder, which "
+                  "re-derives contexts inline from the source plane; "
+                  "conformance-gated); vs_baseline = vs libavcodec's "
+                  "ffv1 encoder, same content/core.  host_core_fps = "
+                  "coder-only rate on pre-materialized fields (the "
+                  "PCIe-host ideal the pipeline approaches)",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / av_fps, 3),

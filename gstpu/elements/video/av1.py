@@ -418,6 +418,14 @@ class Ffv1Enc(BaseTransform):
                    blurb="Keyframe interval (1 = all-intra, the "
                          "archival norm; context states persist "
                          "across intra-coded inter frames)")
+    hop = Property(str, default="diff", mutable=Mutability.READY,
+                   enum_values=("diff", "packed"),
+                   blurb="device->host field layout: 'diff' ships "
+                         "1 B/px (residuals only; contexts re-derived "
+                         "in the native scan from the host-resident "
+                         "source), 'packed' ships 2.25 B/px "
+                         "(precomputed context fields; zero host "
+                         "context work).  Identical bitstreams.")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -468,9 +476,18 @@ class Ffv1Enc(BaseTransform):
         return [(np.asarray(d, np.int8), np.asarray(lo, np.uint8),
                  np.asarray(h4, np.uint8)) for d, lo, h4 in dev_fields]
 
+    @staticmethod
+    def _materialize_diff(dev_diffs):
+        import numpy as np
+        return [np.asarray(d, np.int8) for d in dev_diffs]
+
     def _code(self, frame) -> Buffer:
-        fut, key, pts, duration = frame
-        data = self._coder.encode_packed(key, fut.result())
+        fut, key, pts, duration, planes = frame
+        if planes is None:
+            data = self._coder.encode_packed(key, fut.result())
+        else:
+            data = self._coder.encode_from_plane(key, planes,
+                                                 fut.result())
         out = Buffer(data, pts=pts, duration=duration)
         if not key:
             out.set_flag(BufferFlags.DELTA_UNIT)
@@ -481,10 +498,17 @@ class Ffv1Enc(BaseTransform):
         if self._coder is not None:
             key = (self._frame_n % self.gop) == 0
             self._frame_n += 1
-            dev = [self._pred.dispatch_packed(p) for p in planes]
-            fut = self._dl.submit(self._materialize, dev)
+            if self.hop == "diff":
+                host = [np.ascontiguousarray(p, np.uint8)
+                        for p in planes]
+                dev = [self._pred.dispatch_diff(p) for p in host]
+                fut = self._dl.submit(self._materialize_diff, dev)
+            else:
+                host = None
+                dev = [self._pred.dispatch_packed(p) for p in planes]
+                fut = self._dl.submit(self._materialize, dev)
             prev = self._pending
-            self._pending = (fut, key, buf.pts, buf.duration)
+            self._pending = (fut, key, buf.pts, buf.duration, host)
             return [self._code(prev)] if prev is not None else []
         data, key = self._model.encode(list(planes))
         self._frame_n += 1

@@ -59,6 +59,12 @@ def load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    L.fe_encode_from_plane.restype = ctypes.c_long
+    L.fe_encode_from_plane.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
     _LIB = L
     return L
 
@@ -151,6 +157,38 @@ class NativeFrameCoder:
                 diff.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
                 lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 hi4.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                pw.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                ph.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+            if n >= 0:
+                return out[:n].tobytes()
+            if -n <= cap:
+                break
+            cap = -n
+        raise ValueError("ffv1 native encode failed")
+
+    def encode_from_plane(self, key: bool, planes, diffs) -> bytes:
+        """The 1-byte/px hop: `planes` are the SOURCE (h, w) uint8
+        planes (host-resident anyway), `diffs` the device-computed
+        folded residuals (int8, same shapes); the 3-gradient context
+        is re-derived inline in the native scan.  Byte-identical
+        output to encode_packed on the device context fields."""
+        pl = np.ascontiguousarray(np.concatenate(
+            [np.asarray(p, np.uint8).ravel() for p in planes]))
+        diff = np.ascontiguousarray(np.concatenate(
+            [np.asarray(d, np.int8).ravel() for d in diffs]))
+        clong = np.dtype(ctypes.c_long)
+        pw = np.ascontiguousarray(np.asarray(
+            [np.asarray(p).shape[1] for p in planes], clong))
+        ph = np.ascontiguousarray(np.asarray(
+            [np.asarray(p).shape[0] for p in planes], clong))
+        cap = diff.size * 2 + 4096
+        for _ in range(2):
+            out = np.empty(cap, np.uint8)
+            n = self._L.fe_encode_from_plane(
+                self._h, 1 if key else 0, len(planes),
+                pl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                diff.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
                 pw.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
                 ph.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)

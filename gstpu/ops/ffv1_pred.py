@@ -108,6 +108,12 @@ class Predictor:
         (diff, ctx_lo, ctx_hi4) for fe_encode_packed."""
         return predict_fields_packed(jnp.asarray(plane), *self.q)
 
+    def dispatch_diff(self, plane: np.ndarray):
+        """Async dispatch of the minimal 1-byte/px hop: the folded
+        residual only; fe_encode_from_plane re-derives contexts from
+        the host-resident source plane."""
+        return predict_fields(jnp.asarray(plane), *self.q)[1]
+
     def batched(self, planes: np.ndarray):
         ctx, diff = predict_fields_batched(jnp.asarray(planes), *self.q)
         return np.asarray(ctx, np.uint16), np.asarray(diff, np.int8)

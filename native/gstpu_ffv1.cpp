@@ -341,4 +341,96 @@ long fe_encode_packed(void *h, int key, int nplanes,
     return len;
 }
 
+// Plane-context variant: the device ships ONLY the folded residual
+// field (1 byte/px — the minimal hop); the 3-gradient quantized
+// context is re-derived inline from the SOURCE plane, which the host
+// already owns (FFV1 is lossless, so decoder reconstruction == source
+// and context derivation is a pure function of the neighbors).  The
+// per-pixel cost is three L1-resident table lookups riding the same
+// raster scan the coder performs anyway.  Border rules mirror
+// gstpu/ops/ffv1_pred.predict_fields exactly (pinned against
+// libavcodec): row 0 has t=tl=tr=0, l(0)=t(0), tl(0) = sample two
+// rows up, tr(w-1)=t(w-1).  Bitstream is byte-identical to
+// fe_encode_packed on the device-computed context fields.
+long fe_encode_from_plane(void *h, int key, int nplanes,
+                          const uint8_t *planes, const int8_t *diff,
+                          const long *plane_w, const long *plane_h,
+                          uint8_t *out, long cap) {
+    Ffv1Enc *e = (Ffv1Enc *)h;
+    RangeEncoder c;
+    long total = 0;
+    for (int i = 0; i < nplanes; i++) total += plane_w[i] * plane_h[i];
+    c.reserve((size_t)total / 2 + 4096);
+    uint8_t keystate[kCS];
+    std::memset(keystate, 128, kCS);
+    c.put_rac(keystate, key ? 1 : 0);
+    if (key) {
+        e->write_header(c);
+        e->reset_states();
+    } else if (e->states[0].empty()) {
+        return -1;  // first frame must be a keyframe
+    }
+    const std::vector<uint8_t> snap0 = e->states[0];
+    const std::vector<uint8_t> snap1 = e->states[1];
+    const int32_t *q0 = e->quant[0];
+    const int32_t *q1 = e->quant[1];
+    const int32_t *q2 = e->quant[2];
+    const int8_t *dp = diff;
+    const uint8_t *pp = planes;
+    std::vector<uint8_t> zrow;
+    for (int i = 0; i < nplanes; i++) {
+        uint8_t *bank = e->states[i == 0 ? 0 : 1].data();
+        const long w = plane_w[i], hgt = plane_h[i];
+        if ((long)zrow.size() < w) zrow.assign((size_t)w, 0);
+        for (long y = 0; y < hgt; y++) {
+            const uint8_t *row = pp + y * w;
+            const uint8_t *up = y > 0 ? pp + (y - 1) * w : zrow.data();
+            // x = 0: l = t, tl = two rows up
+            {
+                const int T = up[0];
+                const int RT = w > 1 ? up[1] : up[0];
+                const int L = T;
+                const int LT = y > 1 ? pp[(y - 2) * w] : 0;
+                int s = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF]
+                        + q2[(T - RT) & 0xFF];
+                unsigned cx = (unsigned)(s < 0 ? -s : s);
+                c.put_symbol(bank + (size_t)cx * kCS, dp[0], true);
+            }
+            for (long x = 1; x < w - 1; x++) {
+                const int T = up[x];
+                const int RT = up[x + 1];
+                const int L = row[x - 1];
+                const int LT = up[x - 1];
+                int s = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF]
+                        + q2[(T - RT) & 0xFF];
+                unsigned cx = (unsigned)(s < 0 ? -s : s);
+                c.put_symbol(bank + (size_t)cx * kCS, dp[x], true);
+            }
+            if (w > 1) {  // x = w-1: tr = t
+                const long x = w - 1;
+                const int T = up[x];
+                const int RT = T;
+                const int L = row[x - 1];
+                const int LT = up[x - 1];
+                int s = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF]
+                        + q2[(T - RT) & 0xFF];
+                unsigned cx = (unsigned)(s < 0 ? -s : s);
+                c.put_symbol(bank + (size_t)cx * kCS, dp[x], true);
+            }
+            dp += w;
+        }
+        pp += w * hgt;
+    }
+    c.terminate();
+    long len = (long)c.size();
+    if (len > cap) {
+        e->states[0] = snap0;
+        e->states[1] = snap1;
+        return -len;
+    }
+    std::memcpy(out, c.buf, (size_t)len);
+    return len;
+}
+
 }  // extern "C"
+

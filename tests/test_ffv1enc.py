@@ -173,6 +173,31 @@ def test_packed_fields_byte_identical():
 
 @pytest.mark.skipif(not _have_native_coder(),
                     reason="native ffv1 coder unavailable")
+def test_plane_ctx_byte_identical():
+    """The minimal 1-byte/px hop (device residuals + contexts
+    re-derived natively from the source plane) must be byte-identical
+    to the full-field path — border rules (row 0, col 0 two-rows-up
+    tl, tr clamp) and odd widths included."""
+    from gstpu.native_ffv1 import NativeFrameCoder
+    from gstpu.ops.ffv1_pred import Predictor
+    for w, h in [(W, H), (64, 48), (1, 7), (7, 1)]:
+        p = ffv1.Params(w, h)
+        pred = Predictor(p.quant)
+        a, b = NativeFrameCoder(p), NativeFrameCoder(p)
+        for i, planes in enumerate(_frames(3, w, h, seed=11)):
+            fields = [ffv1.predict_plane(pl, p.quant) for pl in planes]
+            want = a.encode(i == 0, [c for c, _ in fields],
+                            [d for _, d in fields])
+            diffs = [np.asarray(pred.dispatch_diff(pl))
+                     for pl in planes]
+            got = b.encode_from_plane(i == 0, planes, diffs)
+            assert got == want, (w, h, i)
+        a.close()
+        b.close()
+
+
+@pytest.mark.skipif(not _have_native_coder(),
+                    reason="native ffv1 coder unavailable")
 def test_native_coder_failed_attempt_preserves_states():
     """An undersized-cap attempt must not advance the adaptive context
     states: the retry (and every later frame) must produce the same
