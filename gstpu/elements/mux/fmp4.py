@@ -50,10 +50,24 @@ class FMP4KeyframeMeta(Meta):
 
 
 META_CODECS = ("application/x-onvif-metadata",)
+CENC_CAPS = "application/x-cenc"
+
+
+class CencAuxMeta(Meta):
+    """Per-sample CENC auxiliary info attached by an upstream
+    protector: the IV actually used and the (clear, encrypted)
+    subsample runs.  The muxer serializes these as senc + saiz/saio
+    in the fragment (ISO/IEC 23001-7 §7; reference fmp4mux aux-info
+    plumbing)."""
+
+    def __init__(self, iv: bytes, subsamples=()):
+        self.iv = bytes(iv)
+        self.subsamples = [(int(c), int(e)) for c, e in subsamples]
 
 
 def _mux_sink_caps(meta: bool = False) -> Caps:
-    names = AUDIO_CODECS + VIDEO_CODECS + (META_CODECS if meta else ())
+    names = AUDIO_CODECS + VIDEO_CODECS + (CENC_CAPS,) \
+        + (META_CODECS if meta else ())
     return Caps([Structure(n) for n in names])
 
 
@@ -96,6 +110,16 @@ class FMP4MuxBase(Aggregator):
     write_mehd = Property(bool, default=False, mutable=Mutability.READY,
                           blurb="Write mehd (total duration) in mvex "
                                 "(reference fmp4mux write-mehd)")
+    interleave_bytes = Property(
+        int, default=0, minimum=0, mutable=Mutability.READY,
+        blurb="Interleave streams inside a fragment in chunks of at "
+              "most this many bytes (0 = one run per stream; "
+              "reference fmp4mux interleave-bytes)")
+    interleave_time = Property(
+        int, default=0, minimum=0, mutable=Mutability.READY,
+        blurb="Interleave streams inside a fragment in chunks of at "
+              "most this duration in ns (0 = off; reference fmp4mux "
+              "interleave-time, default 500ms there)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -109,6 +133,20 @@ class FMP4MuxBase(Aggregator):
     def _make_cfg(self, pad: AggregatorPad, track_id: int) -> StreamConfig:
         caps = pad.current_caps
         s = caps[0]
+        cenc = None
+        if s.name == CENC_CAPS:
+            # protected stream: sample entry follows the ORIGINAL
+            # media type, wrapped encv/enca + sinf/tenc
+            # (ISO/IEC 23001-7 §8; reference fmp4mux cenc aux-info)
+            orig = s.get("original-media-type")
+            if not orig:
+                raise ValueError("application/x-cenc caps need "
+                                 "original-media-type")
+            kid = bytes.fromhex(str(s.get("kid", "00" * 16)))
+            iv_size = int(s.get("iv-size", 8))
+            s = s.copy()
+            s.name = str(orig)
+            cenc = (kid, iv_size)
         is_video = s.name in VIDEO_CODECS
         codec_data = s.get("codec_data", b"")
         if isinstance(codec_data, str):
@@ -124,12 +162,14 @@ class FMP4MuxBase(Aggregator):
                                 width=int(s.get("width", 0)),
                                 height=int(s.get("height", 0)),
                                 codec_data=codec_data,
-                                raw_format=str(s.get("format", "")))
+                                raw_format=str(s.get("format", "")),
+                                cenc=cenc)
         rate = int(s.get("rate", 48000))
         return StreamConfig(track_id, rate, False, s.name,
                             channels=int(s.get("channels", 2)),
                             sample_rate=rate, codec_data=codec_data,
-                            raw_format=str(s.get("format", "")))
+                            raw_format=str(s.get("format", "")),
+                            cenc=cenc)
 
     def _setup_streams(self) -> bool:
         pads = self.agg_sink_pads()
@@ -143,7 +183,14 @@ class FMP4MuxBase(Aggregator):
         for i, pad in enumerate(sorted(pads, key=lambda p: p.name)):
             if pad.current_caps is None:
                 return False  # wait until every pad has caps
-            streams[pad.name] = _Stream(pad, self._make_cfg(pad, i + 1))
+            try:
+                cfg = self._make_cfg(pad, i + 1)
+            except ValueError as e:
+                if not getattr(self, "_caps_error_posted", False):
+                    self._caps_error_posted = True
+                    self.post_error(f"{type(self).__name__}: {e}")
+                return False
+            streams[pad.name] = _Stream(pad, cfg)
         self._streams = streams
         return True
 
@@ -232,35 +279,80 @@ class FMP4MuxBase(Aggregator):
             acc += dur
         return None
 
+    def _chunk(self, st: _Stream,
+               take: list[tuple[Buffer, int]]
+               ) -> list[list[tuple[Buffer, int]]]:
+        """Split one stream's fragment share into interleave chunks
+        (reference fmp4mux interleave-bytes/interleave-time: bound
+        how much of one stream is written before switching)."""
+        if not self.interleave_bytes and not self.interleave_time:
+            return [take]
+        chunks, cur, acc_b, acc_t = [], [], 0, 0
+        for buf, dur in take:
+            cur.append((buf, dur))
+            acc_b += buf.size
+            acc_t += dur
+            if (self.interleave_bytes
+                    and acc_b >= self.interleave_bytes) or \
+               (self.interleave_time
+                    and acc_t >= self.interleave_time):
+                chunks.append(cur)
+                cur, acc_b, acc_t = [], 0, 0
+        if cur:
+            chunks.append(cur)
+        return chunks
+
     def _drain_fragment(self, final: bool = False) -> FlowReturn:
-        runs = []
-        payload = b""
-        keyframe = False
+        # per-stream share of this fragment, split into interleave
+        # chunks, then emitted round-robin: one traf/trun per chunk
+        per_stream: list[tuple[_Stream, list]] = []
         for st in self._streams.values():
-            if not st.pending:
-                continue
             take = st.pending if final else self._take_fragment(st)
-            if not take:
-                continue
-            samples = []
-            for buf, dur in take:
+            if final:
+                st.pending = []
+            if take:
+                per_stream.append((st, self._chunk(st, take)))
+        order: list[tuple[_Stream, list]] = []
+        depth = 0
+        while True:
+            layer = [(st, chs[depth]) for st, chs in per_stream
+                     if depth < len(chs)]
+            if not layer:
+                break
+            order += layer
+            depth += 1
+
+        runs, cenc, payload, keyframe = [], [], b"", False
+        for st, chunk in order:
+            samples, aux, has_aux = [], [], False
+            for buf, dur in chunk:
                 samples.append(Mp4Sample(buf.to_bytes(),
                                          st.caps_duration_to_ts(dur),
                                          buf.is_keyframe()))
                 keyframe = keyframe or buf.is_keyframe()
-            runs.append((st.cfg.track_id, st.next_decode_time, samples))
+                m = buf.get_meta(CencAuxMeta)
+                if m is not None:
+                    has_aux = True
+                    aux.append((m.iv, m.subsamples))
+                else:
+                    iv = (st.cfg.cenc[1] if st.cfg.cenc else 8)
+                    aux.append((b"\x00" * iv, []))
+            runs.append((st.cfg.track_id, st.next_decode_time,
+                         samples))
+            cenc.append(aux if (has_aux or st.cfg.cenc) else None)
             st.next_decode_time += sum(s.duration for s in samples)
             st.total_duration_ts += sum(s.duration for s in samples)
             payload += b"".join(s.data for s in samples)
-            if final:
-                st.pending = []
         if not runs:
             return FlowReturn.OK
         self._seqno += 1
         frag = b""
         if self.FRAGMENT_STYP:
             frag += boxes.styp("msdh", 0, ["msdh", "msix"])
-        frag += boxes.moof(self._seqno, runs) + boxes.mdat(payload)
+        frag += boxes.moof(
+            self._seqno, runs,
+            cenc=cenc if any(a is not None for a in cenc) else None) \
+            + boxes.mdat(payload)
         b = Buffer(frag)
         b.add_meta(FMP4KeyframeMeta(keyframe))
         if not keyframe:

@@ -44,9 +44,25 @@ class TranscriberBin(Element):
                     Caps.new("audio/x-raw")),
     ]
 
-    transcriber = Property(str, default=None, mutable=Mutability.READY,
+    transcriber = Property(str, default=None,
+                           mutable=Mutability.PLAYING,
                            blurb="Transcriber element description "
-                                 "(audio in, text/x-raw out)")
+                                 "(audio in, text/x-raw out); setting "
+                                 "it at PLAYING swaps the transcriber "
+                                 "live (reference transcriberbin "
+                                 "relinks at runtime)")
+    latency = Property(int, default=1000, minimum=0, maximum=60_000,
+                       mutable=Mutability.READY,
+                       blurb="Transcription latency (ms) announced on "
+                             "the video path: how long cccombiner "
+                             "may wait for captions (reference "
+                             "`latency`)")
+    translate_latency = Property(int, default=500, minimum=0,
+                                 maximum=60_000,
+                                 mutable=Mutability.READY,
+                                 blurb="Extra latency (ms) when "
+                                       "translators are configured "
+                                       "(reference translate-latency)")
     passthrough = Property(bool, default=False,
                            mutable=Mutability.PLAYING,
                            blurb="Bypass captioning live (the "
@@ -93,6 +109,54 @@ class TranscriberBin(Element):
         self._combiner = None
         self._children: list = []
         self._active = False
+        self._audio_stream_events: list[Event] = []
+        self._video_stream_events: list[Event] = []
+        self._vsrc.query_function = self._latency_query
+        self._asrc.query_function = self._latency_query
+        self.connect_notify("transcriber", self._on_transcriber_set)
+
+    # -- latency -----------------------------------------------------------
+    def _latency_query(self, pad: Pad, q) -> bool:
+        from gstpu.core.query import LatencyQuery
+        sink = self._vsink if pad is self._vsrc else self._asink
+        if isinstance(q, LatencyQuery):
+            if not sink.query(q):
+                return False
+            if self._active and not self.passthrough:
+                ms = self.latency
+                if self.translators:
+                    ms += self.translate_latency
+                ns = ms * 1_000_000
+                q.add(ns, ns)   # the combiner genuinely waits this long
+            return True
+        return sink.query(q)
+
+    # -- live transcriber swap ---------------------------------------------
+    def _on_transcriber_set(self, _obj, _value) -> None:
+        """Reference behavior: setting `transcriber` at PLAYING tears
+        the old transcription subtree down and relinks a fresh one
+        without interrupting the audio/video flow; the recorded audio
+        stream events (stream-start/caps/segment) replay into the new
+        transcriber so it negotiates mid-stream."""
+        if not self._children and self._trans is None:
+            return                  # not started yet: start() wires it
+        if self._active:
+            # drain the old subtree: audio EOS first so the last
+            # transcript reaches the combiner, then video EOS so
+            # pending frames flush out with their captions
+            from gstpu.core.event import EosEvent
+            self._afeed.push_event(EosEvent())
+            self._vfeed.push_event(EosEvent())
+        self.stop()
+        if not self.start():
+            self.post_error("transcriberbin: live transcriber swap "
+                            "failed")
+            return
+        if self._active:
+            for ev in self._audio_stream_events:
+                self._afeed.push_event(ev)
+            for ev in self._video_stream_events:
+                self._vfeed.push_event(ev)
 
     # -- wiring ----------------------------------------------------------
     def _feeder(self, name, target):
@@ -231,6 +295,10 @@ class TranscriberBin(Element):
         return self._vfeed.push(buf)
 
     def _video_event(self, pad: Pad, ev: Event) -> bool:
+        if ev.sticky:
+            self._video_stream_events = [
+                e for e in self._video_stream_events
+                if type(e) is not type(ev)] + [ev]
         ok = True
         if self._active and not self.passthrough:
             ok = self._vfeed.push_event(ev)
@@ -244,6 +312,12 @@ class TranscriberBin(Element):
         return self._asrc.push(buf)
 
     def _audio_event(self, pad: Pad, ev: Event) -> bool:
+        # remember the sticky stream events so a live transcriber swap
+        # can replay them into the fresh subtree
+        if ev.sticky:
+            self._audio_stream_events = [
+                e for e in self._audio_stream_events
+                if type(e) is not type(ev)] + [ev]
         if self._active:
             self._afeed.push_event(ev)
         return self._asrc.push_event(ev)

@@ -125,13 +125,39 @@ def saiz(entry_lengths: list[int], aux_type: str | None = None,
 
 
 def saio(chunk_offsets: list[int], aux_type: str | None = None,
-         aux_param: int = 0) -> bytes:
-    """SampleAuxiliaryInformationOffsetsBox (aux_info.rs)."""
-    version = 1 if chunk_offsets and max(chunk_offsets) > 0xFFFFFFFF else 0
+         aux_param: int = 0, version: int | None = None) -> bytes:
+    """SampleAuxiliaryInformationOffsetsBox (aux_info.rs).  `version`
+    pins the offset width (two-pass moof building needs stable sizes
+    before the real offsets are known)."""
+    if version is None:
+        version = (1 if chunk_offsets
+                   and max(chunk_offsets) > 0xFFFFFFFF else 0)
     head = (aux_type.encode("ascii") + u32(aux_param)) if aux_type else b""
     offs = b"".join((u64(o) if version else u32(o)) for o in chunk_offsets)
     return full_box("saio", version, 1 if aux_type else 0, head,
                     u32(len(chunk_offsets)), offs)
+
+
+def senc(entries: list[tuple[bytes, list[tuple[int, int]] | None]]) -> bytes:
+    """SampleEncryptionBox (ISO/IEC 23001-7 §7.2): per-sample IV and
+    optional subsample (clear, encrypted) runs."""
+    use_sub = any(subs for _, subs in entries)
+    body = [u32(len(entries))]
+    for iv, subs in entries:
+        body.append(iv)
+        if use_sub:
+            subs = subs or []
+            body.append(u16(len(subs)))
+            for clear, enc in subs:
+                body.append(u16(clear) + u32(enc))
+    return full_box("senc", 0, 0x2 if use_sub else 0, b"".join(body))
+
+
+def cenc_aux_sizes(entries) -> list[int]:
+    """Per-sample auxiliary info sizes for saiz, matching senc()."""
+    use_sub = any(subs for _, subs in entries)
+    return [len(iv) + (2 + 6 * len(subs or []) if use_sub else 0)
+            for iv, subs in entries]
 
 
 @dataclass
@@ -165,6 +191,9 @@ class StreamConfig:
     tai_clock_info: TaiClockInfo | None = None
     # edit list entries -> edts/elst
     elst_infos: list[ElstInfo] = field(default_factory=list)
+    # CENC protection (ISO/IEC 23001-7): (default KID 16 bytes,
+    # per-sample IV size) -> encv/enca sample entry with sinf/tenc
+    cenc: tuple[bytes, int] | None = None
 
 
 def _sample_entry_audio(fourcc: str, cfg: StreamConfig,
@@ -339,8 +368,33 @@ def uncompressed_boxes(fmt: str) -> bytes:
     return cmpd + uncc
 
 
+def _protect_entry(entry: bytes, cfg: StreamConfig) -> bytes:
+    """Wrap a plain sample entry into its CENC-protected form
+    (ISO/IEC 23001-7 §8): fourcc -> encv/enca, original fourcc in
+    sinf/frma, scheme cenc 1.0, defaults in schi/tenc."""
+    orig = entry[4:8]
+    body = entry[8:]
+    kid, iv_size = cfg.cenc
+    if len(kid) != 16:
+        raise ValueError("cenc KID must be 16 bytes")
+    sinf = box("sinf",
+               box("frma", orig),
+               full_box("schm", 0, 0, b"cenc", u32(0x00010000)),
+               box("schi", full_box(
+                   "tenc", 0, 0,
+                   u8(0), u8(0),            # reserved, pattern (none)
+                   u8(1),                   # default_isProtected
+                   u8(iv_size), kid)))
+    fourcc = "encv" if cfg.is_video else "enca"
+    return box(fourcc, body + sinf)
+
+
 def sample_entry(cfg: StreamConfig) -> bytes:
     """Codec-specific sample entry (reference boxes.rs codec builders)."""
+    if cfg.cenc is not None:
+        import dataclasses
+        plain = dataclasses.replace(cfg, cenc=None)
+        return _protect_entry(sample_entry(plain), cfg)
     n = cfg.caps_name
     tai = taic(cfg.tai_clock_info) if cfg.tai_clock_info else b""
     if cfg.is_meta:
@@ -610,13 +664,22 @@ TRUN_FLAGS = 0x000400
 TRUN_CTS = 0x000800
 
 
-def moof(seqno: int, runs: list[tuple[int, int, list[Mp4Sample]]]) -> bytes:
+def moof(seqno: int, runs: list[tuple[int, int, list[Mp4Sample]]],
+         cenc: list[list[tuple[bytes, list | None]] | None] | None = None
+         ) -> bytes:
     """runs: [(track_id, base_decode_time, samples)]. Computes the
-    data offsets so that mdat payload immediately follows."""
-    # build twice: first to learn sizes, then with offsets
-    def build(offsets: list[int]) -> bytes:
+    data offsets so that mdat payload immediately follows.  The same
+    track may appear in several runs (interleaved chunks).  `cenc`,
+    when given, aligns with `runs`: per-sample (iv, subsamples) aux
+    info emitting senc + saiz + saio in that traf (23001-7 §7)."""
+    cenc = cenc or [None] * len(runs)
+
+    # build twice: first to learn sizes (offset widths are pinned so
+    # sizes are offset-independent), then with the real offsets
+    def build(offsets: list[int], saio_offs: list[int]) -> bytes:
         parts = [full_box("mfhd", 0, 0, u32(seqno))]
-        for (track_id, bdt, samples), off in zip(runs, offsets):
+        for i, ((track_id, bdt, samples), off) in enumerate(
+                zip(runs, offsets)):
             tfhd = full_box("tfhd", 0, 0x020000, u32(track_id))
             tfdt = full_box("tfdt", 1, 0, u64(bdt))
             flags = (TRUN_DATA_OFFSET | TRUN_DURATION | TRUN_SIZE
@@ -628,17 +691,39 @@ def moof(seqno: int, runs: list[tuple[int, int, list[Mp4Sample]]]) -> bytes:
                                + u32(sflags) + i32(s.composition_offset))
             trun = full_box("trun", 1, flags, u32(len(samples)),
                             i32(off), b"".join(entries))
-            parts.append(box("traf", tfhd, tfdt, trun))
+            aux = cenc[i]
+            if aux is None:
+                parts.append(box("traf", tfhd, tfdt, trun))
+            else:
+                parts.append(box(
+                    "traf", tfhd, tfdt, trun, senc(aux),
+                    saiz(cenc_aux_sizes(aux), "cenc"),
+                    saio([saio_offs[i]], "cenc", version=1)))
         return box("moof", *parts)
 
-    probe = build([0] * len(runs))
+    probe = build([0] * len(runs), [0] * len(runs))
     moof_size = len(probe)
     offsets = []
     data_off = moof_size + 8  # mdat header
     for _, _, samples in runs:
         offsets.append(data_off)
         data_off += sum(len(s.data) for s in samples)
-    return build(offsets)
+    # saio points at the first senc entry (offset from moof start,
+    # default-base-is-moof); sizes are pass-stable, so parse the probe
+    # to locate each traf's senc payload
+    saio_offs = [0] * len(runs)
+    if any(a is not None for a in cenc):
+        trafs = [b for b in parse_boxes(probe)[0].children
+                 if b.fourcc == "traf"]
+        j = 0
+        for i in range(len(runs)):
+            if cenc[i] is None:
+                j += 1
+                continue
+            sb = trafs[j].find("senc")
+            saio_offs[i] = sb.offset + 12 + 4   # hdr + sample_count
+            j += 1
+    return build(offsets, saio_offs)
 
 
 def mdat(payload: bytes) -> bytes:

@@ -532,3 +532,93 @@ def test_cea608mux_pts_ordered_merge():
     assert got[0].to_bytes()[0] & 0x80          # cc1 -> field 1
     assert not got[1].to_bytes()[0] & 0x80      # cc3 -> field 2
     assert got[0].to_bytes()[1:3] == b"\x94\x2c"
+
+
+def test_transcriberbin_live_transcriber_swap():
+    """Setting `transcriber` at PLAYING swaps the transcription
+    subtree live (reference transcriberbin runtime relink): captions
+    before the swap decode to the old transcript, after to the new,
+    with no pipeline restart."""
+    from gstpu.codecs.cea608 import Cea608Decoder
+    from gstpu.core.element import State
+    from gstpu.core.registry import Rank, _registry, register_element
+    import numpy as np
+
+    if "mocktranscriber" not in _registry:
+        test_transcriberbin_with_mock_transcriber()
+    if "mockworld" not in _registry:
+        @register_element("mockworld", Rank.NONE)
+        class MockWorld(type(make("mocktranscriber"))):
+            def transform(self, buf):
+                return Buffer(b"WORLD", pts=buf.pts,
+                              duration=buf.duration)
+
+    tb = make("transcriberbin", transcriber="mocktranscriber")
+    vout = _capture(tb.static_pad("src_video"))
+    _capture(tb.static_pad("src_audio"))
+    tb.set_state(State.PLAYING)
+    acaps = "audio/x-raw, format=S16LE, rate=48000, channels=1"
+    vcaps = ("video/x-raw, format=RGBA, width=4, height=4, "
+             "framerate=30/1")
+    af, vf = _feeder(acaps), _feeder(vcaps)
+    af.link(tb.static_pad("sink_audio"))
+    vf.link(tb.static_pad("sink_video"))
+    _start(af, acaps)
+    _start(vf, vcaps)
+    vi = VideoInfo("RGBA", 4, 4)
+
+    def one_frame(i):
+        af.push(Buffer(bytes(96), pts=i * SECOND, duration=SECOND))
+        vf.push(vi.make_buffer(np.zeros((4, 4, 4), np.uint8),
+                               pts=i * SECOND, duration=SECOND))
+
+    def decode(buf):
+        dec = Cea608Decoder()
+        text = None
+        for m in [m for m in buf.metas
+                  if isinstance(m, VideoCaptionMeta)]:
+            text = dec.push_pair(m.data) or text
+        return text
+
+    one_frame(0)
+    tb.transcriber = "mockworld"            # live swap
+    one_frame(1)
+    af.push_event(EosEvent())
+    vf.push_event(EosEvent())
+    assert len(vout) == 2
+    assert decode(vout[0]) == "HELLO"
+    assert decode(vout[1]) == "WORLD"
+    tb.set_state(State.NULL)
+
+
+def test_transcriberbin_latency_query():
+    """The bin announces its transcription latency on the video path
+    (reference `latency`/`translate-latency` properties)."""
+    from gstpu.core.element import State
+    from gstpu.core.query import LatencyQuery
+    from gstpu.core.registry import _registry
+
+    if "mocktranscriber" not in _registry:
+        test_transcriberbin_with_mock_transcriber()
+    tb = make("transcriberbin", transcriber="mocktranscriber",
+              latency=1500)
+    _capture(tb.static_pad("src_video"))
+    _capture(tb.static_pad("src_audio"))
+    tb.set_state(State.PLAYING)
+    acaps = "audio/x-raw, format=S16LE, rate=48000, channels=1"
+    vcaps = ("video/x-raw, format=RGBA, width=4, height=4, "
+             "framerate=30/1")
+    af, vf = _feeder(acaps), _feeder(vcaps)
+    af.link(tb.static_pad("sink_audio"))
+    vf.link(tb.static_pad("sink_video"))
+    vf.query_function = lambda p, q: True   # upstream: live, 0 latency
+    q = LatencyQuery()
+    pad = tb.static_pad("src_video")
+    assert pad.query_function(pad, q)
+    assert q.min_latency == 1_500_000_000
+    # passthrough drops the announced latency
+    tb.passthrough = True
+    q2 = LatencyQuery()
+    assert pad.query_function(pad, q2)
+    assert q2.min_latency == 0
+    tb.set_state(State.NULL)

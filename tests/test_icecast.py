@@ -135,15 +135,24 @@ def test_icecastsink_reconnect_resends_headers():
     hb = Buffer(header)
     hb.set_flag(BufferFlags.HEADER)
     src.push_buffer(hb)
-    # push until the server has dropped us and we reconnected
-    # (deadline-based; under full-suite load on one core the drop can
-    #  take many seconds to surface)
+    # 1) push + pump until the SERVER has dropped the connection
+    #    (srv.streams grows only after its close) — deterministic, no
+    #    race against the drain speed
     deadline = time.monotonic() + 30.0
     i = 0
-    while time.monotonic() < deadline and len(srv.requests) < 2:
+    while time.monotonic() < deadline and not srv.streams:
         src.push_buffer(Buffer(bytes([i % 256]) * 64))
         i += 1
-        time.sleep(0.02)
+        while p.iterate():
+            pass
+        time.sleep(0.01)
+    assert srv.streams, "server never saw/dropped the stream"
+    # 2) the FIN is now in flight/received: the next pushes must make
+    #    the sink detect the dead socket and reconnect
+    for j in range(3):
+        src.push_buffer(Buffer(bytes([j]) * 64))
+        while p.iterate():
+            pass
     src.end_of_stream()
     p.run()
     p.set_state(State.NULL)

@@ -515,3 +515,124 @@ def test_fmp4_header_rewrite_with_mehd(tmp_path):
     assert mehd_dur == 200
     # fragments still intact after the rewrite
     assert any(b.fourcc == "moof" for b in tree)
+
+
+def test_interleave_bytes_chunks_runs():
+    """interleave-bytes splits each stream's fragment share into
+    chunks emitted round-robin — one traf/trun per chunk (reference
+    fmp4mux interleave-bytes/interleave-time)."""
+    mux = make("isofmp4mux", fragment_duration=int(0.5 * SECOND),
+               interleave_bytes=200)
+    d = MuxDriver(mux, [
+        "video/x-h264, width=64, height=64, codec_data=0142c01e",
+        "audio/x-opus, rate=48000, channels=2",
+    ])
+    for i in range(8):
+        d.push(0, bytes(250), pts=i * SECOND // 4, dur=SECOND // 4)
+        d.push(1, bytes(120), pts=i * SECOND // 4, dur=SECOND // 4)
+    d.eos()
+    frags = [b.to_bytes() for b in d.out[1:]]
+    assert frags
+    saw_multi = False
+    for frag in frags:
+        moof = [b for b in parse_boxes(frag) if b.fourcc == "moof"]
+        if not moof:
+            continue
+        trafs = moof[0].find_all("traf")
+        ids = [struct.unpack(">I", t.find("tfhd").data[4:8])[0]
+               for t in trafs]
+        # chunks alternate between the two tracks
+        if len(trafs) > 2:
+            saw_multi = True
+            assert ids != sorted(ids) or len(set(ids)) < len(ids)
+        # every trun's sizes sum to the mdat payload
+        mdat = [b for b in parse_boxes(frag) if b.fourcc == "mdat"][0]
+        total = 0
+        for t in trafs:
+            tr = t.find("trun")
+            n = struct.unpack(">I", tr.data[4:8])[0]
+            for k in range(n):
+                total += struct.unpack(
+                    ">I", tr.data[12 + 16 * k + 4:12 + 16 * k + 8])[0]
+        assert total == len(mdat.data)
+    assert saw_multi
+
+
+def test_cenc_protected_stream_skeleton():
+    """application/x-cenc input: the sample entry wraps encv + sinf
+    (frma/schm cenc/tenc with KID), and each fragment carries
+    senc + saiz + saio auxiliary info from the per-buffer
+    CencAuxMeta (ISO/IEC 23001-7; reference fmp4mux cenc aux)."""
+    from gstpu.core.caps import Structure
+    from gstpu.elements.mux.fmp4 import CencAuxMeta
+
+    kid = bytes(range(16))
+    mux = make("isofmp4mux", fragment_duration=10 * SECOND)
+    d = MuxDriver.__new__(MuxDriver)
+    d.mux = mux
+    d.out = []
+    sink = Pad("cap", PadDirection.SINK,
+               PadTemplate("sink", PadDirection.SINK,
+                           PadPresence.ALWAYS, Caps.any()))
+    sink.chain_function = lambda pad, b: (d.out.append(b)
+                                          or __import__("gstpu").FlowReturn.OK)
+    sink.event_function = lambda pad, ev: True
+    mux.static_pad("src").link(sink)
+    mux.set_state(State.PLAYING)
+    pad = mux.request_pad()
+    feeder = Pad("feed0", PadDirection.SRC,
+                 PadTemplate("src", PadDirection.SRC,
+                             PadPresence.ALWAYS, Caps.any()))
+    feeder.link(pad)
+    feeder.push_event(StreamStartEvent("s0"))
+    feeder.push_event(CapsEvent(Caps([Structure(
+        "application/x-cenc",
+        **{"original-media-type": "video/x-h264",
+           "kid": kid.hex(), "iv-size": 8,
+           "width": 64, "height": 64,
+           "codec_data": bytes.fromhex("0142")})])))
+    feeder.push_event(SegmentEvent(Segment()))
+    ivs = [bytes([i] * 8) for i in range(1, 4)]
+    for i, iv in enumerate(ivs):
+        b = Buffer(bytes(100 + i), pts=i * SECOND, duration=SECOND)
+        b.add_meta(CencAuxMeta(iv, [(10, 90 + i)]))
+        feeder.push(b)
+    feeder.push_event(EosEvent())
+
+    header = d.out[0].to_bytes()
+    moov = [b for b in parse_boxes(header) if b.fourcc == "moov"][0]
+    stsd = _descend(moov, ["trak", "mdia", "minf", "stbl",
+                          "stsd"])
+    assert b"encv" in stsd.data
+    assert b"frma" in stsd.data and b"avc1" in stsd.data
+    assert b"schm" in stsd.data and b"cenc" in stsd.data
+    tenc_at = stsd.data.index(b"tenc")
+    # tenc: ver/flags(4) reserved(1) pattern(1) isProtected(1)
+    # iv_size(1) KID(16)
+    tenc = stsd.data[tenc_at + 4:]
+    assert tenc[4 + 2] == 1            # default_isProtected
+    assert tenc[4 + 3] == 8            # Per_Sample_IV_Size
+    assert tenc[4 + 4:4 + 20] == kid
+
+    frag = b"".join(b.to_bytes() for b in d.out[1:])
+    boxes_ = parse_boxes(frag)
+    moof = [b for b in boxes_ if b.fourcc == "moof"][0]
+    traf = moof.find("traf")
+    sb = traf.find("senc")
+    assert sb is not None
+    n = struct.unpack(">I", sb.data[4:8])[0]
+    assert n == len(ivs)
+    # flags bit 2: subsample encryption present
+    assert sb.data[3] & 0x2
+    # first entry: IV + subsample count + (clear, enc)
+    assert sb.data[8:16] == ivs[0]
+    assert struct.unpack(">H", sb.data[16:18])[0] == 1
+    assert struct.unpack(">HI", sb.data[18:24]) == (10, 90)
+    assert traf.find("saiz") is not None
+    saio_b = traf.find("saio")
+    assert saio_b is not None
+    # saio (v1, aux-type present): offset -> first senc entry,
+    # relative to moof start (default-base-is-moof)
+    off = struct.unpack(">Q", saio_b.data[16:24])[0]
+    moof_bytes = frag[moof.offset:moof.offset + moof.size]
+    assert moof_bytes[off:off + 8] == ivs[0]
