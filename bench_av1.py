@@ -198,6 +198,8 @@ def bench_rnnoise_fleet(n_streams=64, rounds=20, settle=3):
         np.savez(tf.name, **w)
 
         DeviceContext.release(ctx_name)
+        # overlapped distribution (bit-identical; see bench_batch.py)
+        ctx = DeviceContext.acquire(ctx_name, block, depth=2)
         pipes = [parse_launch(
             f'appsrc name=src caps="audio/x-raw, format=F32LE, '
             f'rate=48000, channels=1, layout=interleaved" ! '
@@ -233,6 +235,7 @@ def bench_rnnoise_fleet(n_streams=64, rounds=20, settle=3):
         sinks = [p.get_by_name("sink") for p in pipes]
         t0 = time.perf_counter()
         push_round(banks[0], 0)         # compile
+        ctx.flush_pending()             # warm-up only
         out0 = sinks[0].samples[-1].data
         float(checksum(out0.parent if isinstance(out0, DeviceRow)
                        else out0))
@@ -246,12 +249,14 @@ def bench_rnnoise_fleet(n_streams=64, rounds=20, settle=3):
         t0 = time.perf_counter()
         for k in range(rounds):
             push_round(banks[k % 8], 8 + k)
+        ctx.flush_pending()
         last = sinks[0].samples[-1].data
         float(checksum(last.parent if isinstance(last, DeviceRow)
                        else last))      # force a real device sync
         wall = time.perf_counter() - t0
         got = sum(len(s.samples) for s in sinks)
-        assert got == n_streams * rounds, (got, n_streams * rounds)
+        assert got == n_streams * (rounds + 1), (
+            got, n_streams * (rounds + 1))
         for p in pipes:
             p.set_state(State.NULL)
         DeviceContext.release(ctx_name)

@@ -47,6 +47,11 @@ def run_chain(n_streams: int, frames: int = 20, channels: int = 2,
     block = FRAME * C
     ctx_name = "bench-chain"
     DeviceContext.release(ctx_name)
+    # depth=2: distribution of batch k happens after batch k+1 is
+    # dispatched, so the host never waits for the device inside a
+    # round (bit-identical outputs —
+    # tests/test_chain_context.py::test_chain_context_depth2...)
+    ctx = DeviceContext.acquire(ctx_name, block, depth=2)
     caps = (f"audio/x-raw, format=F64LE, rate=192000, channels={C}, "
             f"layout=interleaved")
     pipes = [parse_launch(
@@ -92,6 +97,7 @@ def run_chain(n_streams: int, frames: int = 20, channels: int = 2,
 
     t0 = time.perf_counter()
     push_round(prime_bank, 0)      # 3 s priming frame + compile
+    ctx.flush_pending()            # warm-up only: see the output now
     sinks = [p.get_by_name("sink") for p in pipes]
     out0 = sinks[0].samples[-1].data
     float(checksum(out0.parent if isinstance(out0, DeviceRow)
@@ -100,6 +106,7 @@ def run_chain(n_streams: int, frames: int = 20, channels: int = 2,
           file=sys.stderr)
     t0 = time.perf_counter()
     push_round(banks[0], 30)
+    ctx.flush_pending()
     out0 = sinks[0].samples[-1].data
     float(checksum(out0.parent if isinstance(out0, DeviceRow)
                    else out0))
@@ -113,13 +120,17 @@ def run_chain(n_streams: int, frames: int = 20, channels: int = 2,
     t0 = time.perf_counter()
     for k in range(frames):
         push_round(banks[k % 12], 40 + k)
+    ctx.flush_pending()            # hand out the overlapped last round
     last = sinks[0].samples[-1].data
     float(checksum(last.parent if isinstance(last, DeviceRow)
                    else last))                    # force a real sync
     wall = time.perf_counter() - t0
 
     got = sum(len(s.samples) for s in sinks)
-    assert got == n_streams * frames, (got, n_streams * frames)
+    # depth=2 lag: the settle phase's last round lands inside the
+    # window and the flush adds the final one -> frames+1 per stream
+    assert got == n_streams * (frames + 1), (got,
+                                             n_streams * (frames + 1))
     audio_s = n_streams * frames * FRAME / 192_000.0
     for p in pipes:
         p.set_state(State.NULL)

@@ -165,3 +165,60 @@ def test_chain_context_vs_host_element(chain_signals):
     assert outs[0].size == host.size, (outs[0].size, host.size)
     d = np.abs(outs[0] - host).max()
     assert d <= 1e-9, f"context chain vs host element: max diff {d}"
+
+
+def test_chain_context_depth2_bit_identical(chain_signals):
+    """depth=2 (overlapped distribution: batch k's outputs/aux are
+    handed out only after batch k+1 is dispatched — the pipelining the
+    TPU bench uses to avoid a device sync per block round) changes
+    NOTHING in the data: outputs are byte-identical to depth=1 and the
+    metering messages still arrive."""
+    base_outs, base_msgs = _run_context_chain(chain_signals)
+
+    DeviceContext.release("tchain")
+    DeviceContext.acquire("tchain", FRAME, depth=2)
+    outs, msgs = _run_context_chain.__wrapped__(chain_signals) \
+        if hasattr(_run_context_chain, "__wrapped__") \
+        else _run_context_chain_keep(chain_signals)
+    for a, b in zip(base_outs, outs):
+        assert a.shape == b.shape
+        assert np.array_equal(a, b)
+    assert all(m for m in msgs)
+
+
+def _run_context_chain_keep(sigs):
+    """_run_context_chain minus the initial release (the test
+    pre-acquires the context with depth=2)."""
+    caps = ("audio/x-raw, format=F64LE, rate=192000, channels=1, "
+            "layout=interleaved")
+    pipes = [parse_launch(
+        f'appsrc name=src caps="{caps}" ! '
+        f'rsaudioecho delay=250000000 max-delay=250000000 '
+        f'intensity=0.4 feedback=0.3 context=tchain '
+        f'context-block={FRAME} ! '
+        f'audioloudnorm context=tchain device-gating-blocks={GATING} ! '
+        f'ebur128level context=tchain mode=momentary,short-term '
+        f'interval=200000000 device-gating-blocks={GATING} ! '
+        f'appsink name=sink')
+        for _ in sigs]
+    for p in pipes:
+        p.set_state(State.PLAYING)
+    for k in range(sigs[0].shape[0]):
+        for s, p in enumerate(pipes):
+            p.get_by_name("src").push_buffer(
+                Buffer(sigs[s][k], pts=k * 100_000_000))
+            while p.iterate():
+                pass
+    for p in pipes:
+        p.get_by_name("src").end_of_stream()
+        p.run()
+    outs, msgs = [], []
+    for p in pipes:
+        bufs = p.get_by_name("sink").pull_all()
+        outs.append(np.concatenate([np.asarray(b.array).reshape(-1)
+                                    for b in bufs]))
+        msgs.append([m for m in p.bus.drain()
+                     if getattr(m, "name", "") == "ebur128-level"])
+        p.set_state(State.NULL)
+    DeviceContext.release("tchain")
+    return outs, msgs
