@@ -78,6 +78,7 @@ class _Stream:
     pending: list[tuple[Buffer, int]] = field(default_factory=list)
     next_decode_time: int = 0          # in track timescale
     total_duration_ts: int = 0
+    frag_filled_ns: int = 0            # chunk mode: ns into fragment
 
     def caps_duration_to_ts(self, dur_ns: int) -> int:
         return dur_ns * self.cfg.timescale // SECOND
@@ -120,6 +121,14 @@ class FMP4MuxBase(Aggregator):
         blurb="Interleave streams inside a fragment in chunks of at "
               "most this duration in ns (0 = off; reference fmp4mux "
               "interleave-time, default 500ms there)")
+    chunk_duration = Property(
+        int, default=0, minimum=0, mutable=Mutability.READY,
+        blurb="CMAF low-latency chunking (ns; 0 = off): emit a "
+              "moof+mdat every chunk-duration WITHOUT waiting for "
+              "the fragment boundary; fragments still open on "
+              "keyframes every fragment-duration (styp + non-delta "
+              "buffer), so LL-HLS/DASH packagers can ship partial "
+              "segments (reference fmp4mux chunk-duration)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -128,6 +137,7 @@ class FMP4MuxBase(Aggregator):
         self._header_size = 0
         self._seqno = 0
         self._frag_start_ns: int | None = None
+        self._chunk_frag_open = False
 
     # -- setup ---------------------------------------------------------
     def _make_cfg(self, pad: AggregatorPad, track_id: int) -> StreamConfig:
@@ -253,6 +263,13 @@ class FMP4MuxBase(Aggregator):
                 return ret
             self._header_sent = True
 
+        if self.chunk_duration:
+            ret = FlowReturn.OK
+            while self._chunk_ready():
+                ret = self._drain_chunk()
+                if not ret.is_ok:
+                    return ret
+            return ret
         if self._fragment_ready():
             return self._drain_fragment()
         return FlowReturn.OK
@@ -322,6 +339,15 @@ class FMP4MuxBase(Aggregator):
             order += layer
             depth += 1
 
+        runs, cenc, payload, keyframe = self._build_runs(order)
+        if not runs:
+            return FlowReturn.OK
+        self._frag_start_ns = None
+        return self._push_moof(runs, cenc, payload,
+                               styp=self.FRAGMENT_STYP,
+                               keyframe=keyframe)
+
+    def _build_runs(self, order):
         runs, cenc, payload, keyframe = [], [], b"", False
         for st, chunk in order:
             samples, aux, has_aux = [], [], False
@@ -343,11 +369,13 @@ class FMP4MuxBase(Aggregator):
             st.next_decode_time += sum(s.duration for s in samples)
             st.total_duration_ts += sum(s.duration for s in samples)
             payload += b"".join(s.data for s in samples)
-        if not runs:
-            return FlowReturn.OK
+        return runs, cenc, payload, keyframe
+
+    def _push_moof(self, runs, cenc, payload, styp: bool,
+                   keyframe: bool) -> FlowReturn:
         self._seqno += 1
         frag = b""
-        if self.FRAGMENT_STYP:
+        if styp:
             frag += boxes.styp("msdh", 0, ["msdh", "msix"])
         frag += boxes.moof(
             self._seqno, runs,
@@ -357,8 +385,60 @@ class FMP4MuxBase(Aggregator):
         b.add_meta(FMP4KeyframeMeta(keyframe))
         if not keyframe:
             b.set_flag(BufferFlags.DELTA_UNIT)
-        self._frag_start_ns = None
         return self.srcpad.push(b)
+
+    # -- CMAF low-latency chunk mode --------------------------------------
+    def _chunk_ready(self) -> bool:
+        if not self._streams:
+            return False
+        return all(sum(d for _, d in st.pending) >= self.chunk_duration
+                   and st.pending
+                   for st in self._streams.values())
+
+    def _at_boundary(self, st: _Stream) -> bool:
+        return (st.frag_filled_ns >= self.fragment_duration
+                and bool(st.pending)
+                and (not st.cfg.is_video
+                     or st.pending[0][0].is_keyframe()))
+
+    def _take_chunk(self, st: _Stream):
+        """Take ~chunk-duration from one stream, never crossing a
+        fragment boundary (>= fragment-duration into the fragment AND,
+        for video, the next sample is a keyframe)."""
+        take, acc = [], 0
+        while st.pending:
+            if take and self._at_boundary(st):
+                break
+            if acc >= self.chunk_duration:
+                break
+            buf, dur = st.pending.pop(0)
+            take.append((buf, dur))
+            acc += dur
+            st.frag_filled_ns += dur
+        return take
+
+    def _drain_chunk(self) -> FlowReturn:
+        # fragment closure first: when every stream sits at a
+        # boundary, the chunk taken below OPENS the next fragment
+        if self._chunk_frag_open and self._streams and all(
+                self._at_boundary(st)
+                for st in self._streams.values()):
+            for st in self._streams.values():
+                st.frag_filled_ns = 0
+            self._chunk_frag_open = False
+        new_frag = not self._chunk_frag_open
+        order = []
+        for st in self._streams.values():
+            take = self._take_chunk(st)
+            if take:
+                order.append((st, take))
+        runs, cenc, payload, _kf = self._build_runs(order)
+        if not runs:
+            return FlowReturn.OK
+        self._chunk_frag_open = True
+        return self._push_moof(runs, cenc, payload,
+                               styp=self.FRAGMENT_STYP and new_frag,
+                               keyframe=new_frag)
 
     def _take_fragment(self, st: _Stream) -> list[tuple[Buffer, int]]:
         """Take up to the keyframe-aligned cut point."""
@@ -382,7 +462,24 @@ class FMP4MuxBase(Aggregator):
                 if not st.cfg.first_frame:
                     st.cfg.first_frame = buf.to_bytes()
                 st.pending.append((buf, buf.duration or 0))
-        self._drain_fragment(final=True)
+        if self.chunk_duration:
+            # close the open fragment with one final chunk (no styp
+            # mid-fragment)
+            while self._chunk_ready():
+                self._drain_chunk()
+            order = []
+            for st in self._streams.values():
+                if st.pending:
+                    order.append((st, st.pending))
+                    st.pending = []
+            runs, cenc, payload, _kf = self._build_runs(order)
+            if runs:
+                new_frag = not self._chunk_frag_open
+                self._push_moof(runs, cenc, payload,
+                                styp=self.FRAGMENT_STYP and new_frag,
+                                keyframe=new_frag)
+        else:
+            self._drain_fragment(final=True)
         if self.header_update_mode == "rewrite" and self._header_sent:
             # seek the sink back to byte 0 and overwrite the moov with
             # final durations (reference fmp4mux update_header at EOS,

@@ -636,3 +636,50 @@ def test_cenc_protected_stream_skeleton():
     off = struct.unpack(">Q", saio_b.data[16:24])[0]
     moof_bytes = frag[moof.offset:moof.offset + moof.size]
     assert moof_bytes[off:off + 8] == ivs[0]
+
+
+def test_cmaf_chunk_mode_low_latency():
+    """chunk-duration emits a moof+mdat per chunk WITHOUT waiting for
+    the fragment boundary: styp + keyframe flag only on
+    fragment-opening chunks, delta chunks in between, fragments still
+    cut at keyframes every fragment-duration (CMAF LL; reference
+    fmp4mux chunk-duration)."""
+    mux = make("cmafmux", fragment_duration=SECOND,
+               chunk_duration=SECOND // 4)
+    d = MuxDriver(mux, [
+        "video/x-h264, width=64, height=64, codec_data=0142c01e",
+    ])
+    # 2s of 4 fps video, keyframe every second (every 4th frame)
+    for i in range(8):
+        d.push(0, bytes(200), pts=i * SECOND // 4, dur=SECOND // 4,
+               keyframe=(i % 4 == 0))
+    d.eos()
+    frags = d.out[1:]
+    # 8 frames / 1 frame per chunk-duration -> ~8 chunks
+    assert len(frags) >= 6
+    stypes, kf_flags = 0, []
+    for b in frags:
+        raw = b.to_bytes()
+        names = [x.fourcc for x in parse_boxes(raw)]
+        assert "moof" in names and "mdat" in names
+        has_styp = "styp" in names
+        stypes += has_styp
+        meta = [m for m in b.metas
+                if type(m).__name__ == "FMP4KeyframeMeta"]
+        kf = bool(meta and meta[0].keyframe)
+        kf_flags.append(kf)
+        # styp exactly on fragment-opening (keyframe) chunks
+        assert has_styp == kf
+        assert b.has_flag(BufferFlags.DELTA_UNIT) != kf
+    # exactly 2 fragments were opened (keyframes at 0s and 1s)
+    assert stypes == 2
+    assert kf_flags[0] is True
+    # decode times stay contiguous across chunks
+    tfdts = []
+    for b in frags:
+        raw = b.to_bytes()
+        moof = [x for x in parse_boxes(raw) if x.fourcc == "moof"][0]
+        tfdt = moof.find("traf").find("tfdt")
+        tfdts.append(struct.unpack(">Q", tfdt.data[4:12])[0])
+    assert tfdts == sorted(tfdts)
+    assert tfdts[0] == 0
