@@ -98,6 +98,7 @@ class OpusEnc(BaseTransform):
 
     def _open(self) -> bool:
         from gstpu.native_codec import NativeAudioEncoder
+        self._enc = None
         info = self._info
         opts = {
             "application": ("voip" if self.audio_type == "voice"
@@ -141,7 +142,8 @@ class OpusEnc(BaseTransform):
             return []
         out = self._flush_engine()
         self._enc.close()
-        self._open()
+        self._enc = None
+        self._open()                # error posted on failure
         return out
 
     def _to_f32(self, buf: Buffer) -> np.ndarray:
@@ -166,6 +168,8 @@ class OpusEnc(BaseTransform):
         return out
 
     def transform(self, buf: Buffer) -> list[Buffer] | None:
+        if self._enc is None:       # live reopen failed; error posted
+            return None
         if self._base_pts is None and buf.pts is not None:
             self._base_pts = buf.pts
         samples = np.concatenate([self._tail, self._to_f32(buf)])

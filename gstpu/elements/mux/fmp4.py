@@ -269,6 +269,12 @@ class FMP4MuxBase(Aggregator):
                 ret = self._drain_chunk()
                 if not ret.is_ok:
                     return ret
+            if timeout and any(st.pending
+                               for st in self._streams.values()):
+                # sparse streams (metadata/caption tracks) must not
+                # stall low-latency output: on timeout ship whatever
+                # is queued (the reference drains on timeout too)
+                ret = self._drain_chunk()
             return ret
         if self._fragment_ready():
             return self._drain_fragment()
@@ -339,7 +345,10 @@ class FMP4MuxBase(Aggregator):
             order += layer
             depth += 1
 
-        runs, cenc, payload, keyframe = self._build_runs(order)
+        built = self._build_runs(order)
+        if built is None:
+            return FlowReturn.ERROR
+        runs, cenc, payload, keyframe = built
         if not runs:
             return FlowReturn.OK
         self._frag_start_ns = None
@@ -348,9 +357,14 @@ class FMP4MuxBase(Aggregator):
                                keyframe=keyframe)
 
     def _build_runs(self, order):
+        """Returns (runs, cenc, payload, keyframe), or None after
+        posting an error (protection metadata inconsistency — a track
+        advertising tenc isProtected=1 MUST NOT carry samples without
+        real per-sample aux info)."""
         runs, cenc, payload, keyframe = [], [], b"", False
         for st, chunk in order:
-            samples, aux, has_aux = [], [], False
+            samples, aux = [], []
+            n_meta = 0
             for buf, dur in chunk:
                 samples.append(Mp4Sample(buf.to_bytes(),
                                          st.caps_duration_to_ts(dur),
@@ -358,14 +372,20 @@ class FMP4MuxBase(Aggregator):
                 keyframe = keyframe or buf.is_keyframe()
                 m = buf.get_meta(CencAuxMeta)
                 if m is not None:
-                    has_aux = True
+                    n_meta += 1
                     aux.append((m.iv, m.subsamples))
-                else:
-                    iv = (st.cfg.cenc[1] if st.cfg.cenc else 8)
-                    aux.append((b"\x00" * iv, []))
+            protected = st.cfg.cenc is not None or n_meta > 0
+            if protected and n_meta != len(samples):
+                self.post_error(
+                    f"{type(self).__name__}: track "
+                    f"{st.cfg.track_id} is CENC-protected but "
+                    f"{len(samples) - n_meta}/{len(samples)} samples "
+                    f"carry no CencAuxMeta (clear samples cannot be "
+                    f"advertised as encrypted)")
+                return None
             runs.append((st.cfg.track_id, st.next_decode_time,
                          samples))
-            cenc.append(aux if (has_aux or st.cfg.cenc) else None)
+            cenc.append(aux if protected else None)
             st.next_decode_time += sum(s.duration for s in samples)
             st.total_duration_ts += sum(s.duration for s in samples)
             payload += b"".join(s.data for s in samples)
@@ -407,7 +427,11 @@ class FMP4MuxBase(Aggregator):
         for video, the next sample is a keyframe)."""
         take, acc = [], 0
         while st.pending:
-            if take and self._at_boundary(st):
+            # never cross the boundary — even with an empty take: a
+            # stream that reached it WAITS until every stream has
+            # (the keyframe must open the next fragment, not leak
+            # into a mid-fragment chunk)
+            if self._at_boundary(st):
                 break
             if acc >= self.chunk_duration:
                 break
@@ -432,7 +456,10 @@ class FMP4MuxBase(Aggregator):
             take = self._take_chunk(st)
             if take:
                 order.append((st, take))
-        runs, cenc, payload, _kf = self._build_runs(order)
+        built = self._build_runs(order)
+        if built is None:
+            return FlowReturn.ERROR
+        runs, cenc, payload, _kf = built
         if not runs:
             return FlowReturn.OK
         self._chunk_frag_open = True
@@ -472,7 +499,8 @@ class FMP4MuxBase(Aggregator):
                 if st.pending:
                     order.append((st, st.pending))
                     st.pending = []
-            runs, cenc, payload, _kf = self._build_runs(order)
+            built = self._build_runs(order)
+            runs, cenc, payload, _kf = built or ([], [], b"", False)
             if runs:
                 new_frag = not self._chunk_frag_open
                 self._push_moof(runs, cenc, payload,

@@ -281,7 +281,12 @@ class Rav1Enc(BaseTransform):
             self._rc_bits = 0
             if abs(crf - self._rc_crf) >= 2:
                 self._rc_crf = crf
-                drained = self._emit(self._enc.finish())
+                pkts = self._enc.finish()
+                # drained bits belong to the window that just opened —
+                # they leave the element now (unaccounted bits would
+                # make observe() under-report and the loop overshoot)
+                self._rc_bits += sum(len(d) * 8 for d, _, _ in pkts)
+                drained = self._emit(pkts)
                 self._enc.close()
                 self._enc = None
                 if not self._open_engine():
@@ -295,6 +300,8 @@ class Rav1Enc(BaseTransform):
         if self._rc is not None and \
                 self._frame_n % self.rc_interval == 0:
             out += self._rc_tick(buf)
+        if self._enc is None:       # live reopen failed; error posted
+            return out or None
         pkts = self._enc.send(_planes_to_i420(self._info, buf),
                               self._frame_n)
         self._frame_n += 1

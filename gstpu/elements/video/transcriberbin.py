@@ -138,7 +138,7 @@ class TranscriberBin(Element):
         without interrupting the audio/video flow; the recorded audio
         stream events (stream-start/caps/segment) replay into the new
         transcriber so it negotiates mid-stream."""
-        if not self._children and self._trans is None:
+        if not getattr(self, "_started", False):
             return                  # not started yet: start() wires it
         if self._active:
             # drain the old subtree: audio EOS first so the last
@@ -241,6 +241,7 @@ class TranscriberBin(Element):
         return mux.static_pad("src")
 
     def start(self) -> bool:
+        self._started = True
         if not self.transcriber:
             self._active = False
             return True
@@ -272,6 +273,7 @@ class TranscriberBin(Element):
             el.set_state(State.NULL)
         self._children = []
         self._active = False
+        self._started = False
         return True
 
     # -- dataflow ---------------------------------------------------------

@@ -140,6 +140,8 @@ class _VpxEnc(BaseTransform):
         return out
 
     def transform(self, buf: Buffer) -> list[Buffer] | None:
+        if self._enc is None:       # live reopen failed; error posted
+            return None
         pkts = self._enc.send(buf.to_bytes(), self._frame_n)
         self._frame_n += 1
         return self._emit(pkts) or None

@@ -683,3 +683,46 @@ def test_cmaf_chunk_mode_low_latency():
         tfdts.append(struct.unpack(">Q", tfdt.data[4:12])[0])
     assert tfdts == sorted(tfdts)
     assert tfdts[0] == 0
+
+
+def test_cmaf_chunk_mode_async_stream_boundaries():
+    """Streams reach the fragment boundary at different drain rounds
+    (different block durations): the fragment-opening keyframe must
+    never leak into a mid-fragment chunk — a stream AT the boundary
+    waits until every stream arrives, then the next chunk opens the
+    fragment with styp."""
+    mux = make("isofmp4mux", fragment_duration=SECOND,
+               chunk_duration=SECOND // 5)
+    d = MuxDriver(mux, [
+        "video/x-h264, width=64, height=64, codec_data=0142c01e",
+        "audio/x-opus, rate=48000, channels=2",
+    ])
+    n_v, n_a = 20, 13                       # 2s of each
+    for i in range(max(n_v, n_a)):
+        if i < n_v:                          # 10 fps video, kf @ 0,1s
+            d.push(0, bytes(180), pts=i * SECOND // 10,
+                   dur=SECOND // 10, keyframe=(i % 10 == 0))
+        if i < n_a:                          # 160ms audio blocks
+            d.push(1, bytes(90), pts=i * 160_000_000,
+                   dur=160_000_000)
+    d.eos()
+    frags = d.out[1:]
+    assert len(frags) >= 6
+    stypes = 0
+    for b in frags:
+        raw = b.to_bytes()
+        boxes_ = parse_boxes(raw)
+        names = [x.fourcc for x in boxes_]
+        has_styp = "styp" in names
+        stypes += has_styp
+        # fragment-opening chunks carry the keyframe flag; only they
+        # may start with a video keyframe sample
+        kf_flag = not b.has_flag(BufferFlags.DELTA_UNIT)
+        assert has_styp == kf_flag
+        if has_styp:
+            moof = [x for x in boxes_ if x.fourcc == "moof"][0]
+            trafs = moof.find_all("traf")
+            ids = [struct.unpack(">I", t.find("tfhd").data[4:8])[0]
+                   for t in trafs]
+            assert 1 in ids                 # video present at open
+    assert stypes == 2                      # keyframes at 0s and 1s
