@@ -573,6 +573,11 @@ class Element(HasProperties):
         self.post_message(Message(MessageType.ERROR, self, text=text,
                                   debug=debug or traceback.format_exc()))
 
+    def post_warning(self, text: str, debug: str = "") -> None:
+        CAT.warning("%s: %s %s", self.name, text, debug)
+        self.post_message(Message(MessageType.WARNING, self, text=text,
+                                  debug=debug))
+
     def post_element_message(self, name: str, **fields) -> None:
         self.post_message(Message(MessageType.ELEMENT, self,
                                   name=name, **fields))

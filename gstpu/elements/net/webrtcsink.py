@@ -55,6 +55,23 @@ _DO_FEC_THRESHOLD = 2_000_000
 _MITIGATION_THRESHOLD = 500_000  # below this, downscale video
 
 
+_SVT_CACHE: bool | None = None
+
+
+def _have_svt() -> bool:
+    global _SVT_CACHE
+    if _SVT_CACHE is None:
+        from gstpu.native_codec import NativeEncoder
+        try:
+            NativeEncoder("libsvtav1", 64, 64, (30, 1),
+                          {"preset": 13, "g": 240,
+                           "svtav1-params": "lp=1"}).close()
+            _SVT_CACHE = True
+        except RuntimeError:
+            _SVT_CACHE = False
+    return _SVT_CACHE
+
+
 def _run_discovery(enc_factory: str, is_video: bool) -> bool:
     """Prove a codec is producible by actually encoding one tiny
     buffer through the encoder factory (reference webrtcsink's
@@ -121,6 +138,12 @@ class _EncoderChain:
             # low latency in the webrtc path)
             self.enc.low_latency = True
             self.enc.speed_preset = 10
+            # prefer the realtime-class engine when present: SVT-AV1
+            # sustains 1080p30 on one host core where rav1e does ~2
+            # fps (engine property, elements/video/av1.py; discovery
+            # still proves the factory out by test-encoding)
+            if _have_svt():
+                self.enc.engine = "svt"
         self.pay = make(pay_factory)
         self.pay._gstpu_encoding = encoding
         elements = [self.enc, self.pay]

@@ -90,6 +90,7 @@ class Rav1Enc(BaseTransform):
         super().__init__(name)
         self._enc = None
         self._info = None
+        self._engine_active = "rav1e"
         self._frame_n = 0
         self._analyze = None
         self._rc = None
@@ -117,6 +118,11 @@ class Rav1Enc(BaseTransform):
         fps = ((fr.numerator, fr.denominator)
                if fr and fr.numerator else (30, 1))
         self._fps = fps
+        # engine actually driving this open: resolved fresh from the
+        # property on every renegotiation so a transient fallback
+        # (svt refusing a sub-64px mitigation downscale) doesn't
+        # stick once the caps recover
+        self._engine_active = self.engine
         self._analyze = self._rc = self._rc_pending = None
         if self.rc_mode == "device":
             if self.bitrate <= 0:
@@ -148,6 +154,19 @@ class Rav1Enc(BaseTransform):
                                       self._info.height, self._fps,
                                       opts)
         except RuntimeError as e:
+            if self._engine_active != "rav1e":
+                # engine limits (SVT-AV1 refuses frames < 64x64 —
+                # webrtcsink's downscale mitigation can go below
+                # that); fall back to the reference-parity engine,
+                # which encodes any size, rather than erroring out
+                # of a live session.  Transient: the next caps
+                # renegotiation re-resolves from the property.
+                self.post_warning(
+                    f"rav1enc: {self._engine_active} refused "
+                    f"{self._info.width}x{self._info.height} "
+                    f"({e}); falling back to rav1e")
+                self._engine_active = "rav1e"
+                return self._open_engine()
             self.post_error(f"rav1enc: {e}")
             return False
         return True
@@ -166,7 +185,7 @@ class Rav1Enc(BaseTransform):
             bitrate, quantizer = 0, self._rc_crf * 4
         else:
             bitrate, quantizer = self.bitrate, self.quantizer
-        if self.engine == "svt":
+        if self._engine_active == "svt":
             import os
             os.environ.setdefault("SVT_LOG", "1")   # errors only
             # rav1e speed 0-10 -> svt preset 0-13
@@ -194,7 +213,7 @@ class Rav1Enc(BaseTransform):
                 params.append(f"tile-rows={self.tile_rows}")
             opts["svtav1-params"] = ":".join(params)
             return "libsvtav1", opts
-        if self.engine == "aom":
+        if self._engine_active == "aom":
             opts = {"cpu-used": min(8, speed),
                     "usage": "realtime" if speed >= 7 else "good",
                     "lag-in-frames": 0 if self.low_latency else 8,

@@ -145,6 +145,11 @@ int gc_encoder_send(void* h, const uint8_t* data, int64_t pts) {
 
 int gc_encoder_finish(void* h) {
     auto* e = static_cast<Encoder*>(h);
+    // SVT-AV1 1.4.1 deadlocks when EOS arrives with zero frames sent
+    // (the same engine bug gc_encoder_close works around below).
+    // Zero frames in = zero packets out, so skip the flush here and
+    // leave EOS to close()'s gray-frame path.
+    if (e->nsent == 0) return 0;
     int r = avcodec_send_frame(e->ctx, nullptr);
     e->flushed = true;
     drain_encoder(e);

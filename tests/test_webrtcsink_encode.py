@@ -104,10 +104,19 @@ def test_bitrate_distribution_and_mitigation():
     # engine has a few frames of startup latency)
     rig.push_frames(10, start=3)
     assert len(rig.rtp) > n_before
+    # 32x32 is below SVT-AV1's minimum: the element must fall back to
+    # rav1e transiently WITHOUT rewriting the engine property
+    from gstpu.elements.net.webrtcsink import _have_svt
+    if _have_svt():
+        assert enc.enc.engine == "svt"
+        assert enc.enc._engine_active == "rav1e"
     # recovering bitrate clears mitigation
     rig.sink.apply_bitrate(1_500_000)
     assert enc.mitigation_mode == "none"
     rig.push_frames(3, start=13)
+    if _have_svt():
+        # full-size caps renegotiated: back on the realtime engine
+        assert enc.enc._engine_active == "svt"
 
 
 def test_gcc_feedback_drives_bitrate():
@@ -129,3 +138,26 @@ def test_cc_disabled():
     rig = Rig(congestion_control="disabled")
     rig.push_frames(1)
     assert rig.sink.process_feedback([]) is None
+
+
+def test_av1_chain_prefers_realtime_engine(monkeypatch):
+    """webrtcsink is a LIVE path: when the realtime-class SVT-AV1
+    engine is present the AV1 chain must select it (rav1e does ~2 fps
+    at 1080p on one host core; reference webrtcsink likewise picks
+    realtime-capable encoders from the registry, imp.rs:106-346)."""
+    import gstpu.elements.net.webrtcsink as ws
+    if not ws._have_svt():
+        import pytest
+        pytest.skip("libsvtav1 not in image")
+    rig = Rig()
+    # svt holds a few frames in its internal pipeline before the
+    # first packet pops even in low-delay mode
+    rig.push_frames(12)
+    enc = rig.sink._encoders["sink_0"]
+    assert enc.enc.engine == "svt"
+    assert len(rig.rtp) >= 1
+    # without svt the chain keeps the reference-parity rav1e engine
+    monkeypatch.setattr(ws, "_SVT_CACHE", False)
+    rig2 = Rig()
+    rig2.push_frames(1)
+    assert rig2.sink._encoders["sink_0"].enc.engine == "rav1e"
