@@ -87,7 +87,11 @@ class DeviceRow:
     def __init__(self, parent, idx: int, n: int | None = None):
         self.parent = parent
         self.idx = idx
-        self.n = int(np.prod(parent.shape[1:]) if n is None else n)
+        if n is None:
+            n = 1
+            for d in parent.shape[1:]:      # math over ints: this is
+                n *= d                      # per-stream-per-fire hot
+        self.n = int(n)
 
     @property
     def shape(self):
@@ -152,6 +156,9 @@ class _Member:
     active: bool = True
     primed: bool = False     # chain-head flag: priming fire done
     out_pts: int | None = None   # chain-head output pts cursor
+    chain: object = None     # backref set by _build_chains
+    ready: bool = False      # head flag: avail >= need (incremental
+                             # mirror; authoritative scan in try_fire)
 
 
 @dataclass
@@ -218,6 +225,14 @@ class DeviceContext:
         self.chains: list[_Chain] | None = None
         self.key = None               # tuple of stage keys
         self.fire_count = 0
+        self._has_unfinalized = False
+        self._prime_n = 1
+        # incremental readiness mirror: submit() bumps these instead
+        # of rescanning every chain (the scan was ~70% of per-round
+        # host time at B=64); try_fire's full scan stays the
+        # authority and recounts them exactly
+        self._n_ready = 0
+        self._n_active = 0
         self._fused = None            # (step_fn, prime_fn, n_stages)
         self._pending_fire = None     # (outs, chains, metas, device)
         # steady-state caches: carried states stay BATCHED on device
@@ -296,6 +311,9 @@ class DeviceContext:
         if len(seen) != len(fin):
             raise ValueError(
                 f"device-context {self.name!r}: members form a cycle")
+        for c in chains:
+            for m in c.members:
+                m.chain = c
         key = tuple(tuple(s.spec["key"] for s in c.members)
                     for c in chains)
         if len(set(key)) != 1:
@@ -306,6 +324,8 @@ class DeviceContext:
         self.key = key[0]
         self.chains = chains
         self._fused = self._compose([s.spec for s in chains[0].members])
+        self._prime_n = max((s.spec.get("prime_blocks", 1)
+                             for s in chains[0].members), default=1)
         return True
 
     def _compose(self, specs: list[dict]):
@@ -375,8 +395,7 @@ class DeviceContext:
         return step, prime, n_stages, final
 
     def _prime_blocks(self) -> int:
-        return max((s.spec.get("prime_blocks", 1)
-                    for s in self.chains[0].members), default=1)
+        return self._prime_n
 
     # -- dataflow ---------------------------------------------------------
     def submit(self, element, samples, pts, rate) -> None:
@@ -385,7 +404,9 @@ class DeviceContext:
         element."""
         m = self.member_for(element)
         if _is_device(samples):
-            n = int(np.prod(samples.shape))
+            n = 1
+            for d in samples.shape:     # ints, not np.prod: hot path
+                n *= d
             if m.pts is None and pts is not None:
                 m.pts = pts - m.dev_avail * SECOND // max(rate, 1)
             m.dtype = np.dtype(samples.dtype)
@@ -399,6 +420,21 @@ class DeviceContext:
             m.dtype = samples.dtype
             m.rate = rate
             m.pending.extend(samples.tobytes())
+        # incremental gate: a fire needs EVERY active chain ready, so
+        # only this member's own readiness can have changed here —
+        # update the counter and skip the full B-chain scan until the
+        # set completes (the scan was ~70% of per-round host time at
+        # B=64, measured).  try_fire recounts exactly whenever it
+        # does scan, so the mirror can never wedge the context.
+        c = m.chain
+        if (c is not None and self.chains is not None
+                and not self._has_unfinalized and m.active):
+            now = self._avail(m) >= self._need(c)
+            if now != m.ready:
+                m.ready = now
+                self._n_ready += 1 if now else -1
+            if self._n_ready < self._n_active:
+                return
         self.try_fire()
 
     def _avail(self, m: _Member) -> int:
@@ -413,14 +449,21 @@ class DeviceContext:
     def try_fire(self, force: bool = False) -> None:
         if self.chains is None and not self._build_chains():
             return
-        if getattr(self, "_has_unfinalized", False) and not force:
+        if self._has_unfinalized and not force:
             return                    # membership still incomplete
         active = [c for c in self.chains if c.head.active]
+        self._n_active = len(active)
         if not active:
+            self._n_ready = 0
             return
         while True:
-            ready = [c for c in active
-                     if self._avail(c.head) >= self._need(c)]
+            ready = []
+            for c in active:
+                r = self._avail(c.head) >= self._need(c)
+                c.head.ready = r
+                if r:
+                    ready.append(c)
+            self._n_ready = len(ready)
             # chains must fire in phase lockstep: a mixed
             # primed/unprimed set fires the unprimed group first
             if ready:
@@ -575,6 +618,15 @@ class DeviceContext:
         aux = [AuxView(a) if isinstance(a, dict) else a for a in aux]
         for c in ready:
             c.primed = True
+        # keep the incremental readiness mirror exact: the fired
+        # heads just consumed a block (and may have flipped primed,
+        # which changes their need)
+        for c in ready:
+            h = c.head
+            now = h.active and self._avail(h) >= self._need(c)
+            if now != h.ready:
+                h.ready = now
+                self._n_ready += 1 if now else -1
         self.fire_count += 1
         CAT.log(f"context {self.name}: fired batch of {len(ready)} "
                 f"chains x {n} ({'prime' if priming else 'step'}, "
