@@ -61,10 +61,38 @@ def _enable_compile_cache() -> None:
         pass                      # older jax: defaults are fine
 
 
+def _device_watchdog(timeout_s: float = 240.0):
+    """Fail fast if the TPU runtime never materializes.
+
+    The axon tunnel's client retries device discovery forever when
+    the remote side is down, which would hang the driver's
+    end-of-round bench run indefinitely; a hard exit with a clear
+    note is recoverable, a silent multi-hour hang is not.  Returns a
+    cancel() to call once devices are live."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(timeout_s):
+            print(f"bench: no usable jax device after {timeout_s:.0f}s "
+                  f"(TPU tunnel down?) — aborting instead of hanging",
+                  file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done.set
+
+
 def main() -> None:
+    cancel_watchdog = _device_watchdog()
     import jax
     _enable_compile_cache()
     jax.config.update("jax_enable_x64", True)
+    print(f"bench: devices {jax.devices()}", file=sys.stderr,
+          flush=True)
+    cancel_watchdog()
     import jax.numpy as jnp
     from gstpu.parallel.chains import make_audiofx_exact_chain
 
