@@ -133,6 +133,30 @@ class CustomEvent(Event):
         self.fields = fields
 
 
+class NavigationEvent(Event):
+    """Upstream navigation event (GstNavigation): user input (mouse/
+    key) travelling from a consumer/sink back toward the producing
+    source.  `structure` carries the GstNavigation fields (event,
+    x, y, button, key, delta_x, delta_y, modifier_state, ...).
+    Reference: webrtcsink's enable-data-channel-navigation turns
+    consumer input-channel messages into these
+    (net/webrtc/src/webrtcsink/imp.rs:433-471)."""
+
+    serialized = False
+
+    def __init__(self, **structure: Any):
+        super().__init__()
+        self.structure = structure
+
+    @property
+    def nav_type(self) -> str | None:
+        return self.structure.get("event")
+
+    def __repr__(self):
+        return (f"<NavigationEvent {self.structure.get('event')} "
+                f"seq={self.seqnum}>")
+
+
 class LatencyEvent(Event):
     """Upstream latency configuration event."""
 

@@ -244,6 +244,11 @@ class WebRtcSink(Element):
     start_bitrate = Property(int, default=2_048_000, minimum=0,
                              mutable=Mutability.READY)
     do_fec = Property(bool, default=True, mutable=Mutability.READY)
+    enable_data_channel_navigation = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Open a per-consumer 'input' data channel and turn its "
+              "GstNavigation JSON messages into upstream navigation "
+              "events on the producing video pads")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -270,6 +275,7 @@ class WebRtcSink(Element):
         # opens one for stats/control messages)
         tr.enable_data_channels()
         tr._gstpu_control_channel = None
+        tr._gstpu_input_channel = None
         self._transports[sid] = (tr, sock)
         return tr
 
@@ -323,6 +329,12 @@ class WebRtcSink(Element):
                         and tr.sctp.established:
                     tr._gstpu_control_channel = \
                         tr.create_data_channel("control")
+                    if self.enable_data_channel_navigation:
+                        # reference: a dedicated high-priority
+                        # 'input' channel per consumer
+                        # (webrtcsink/imp.rs:1815-1845)
+                        tr._gstpu_input_channel = \
+                            tr.create_data_channel("input")
                 for ev in tr.sctp.events:
                     if ev[0] == "message":
                         data = ev[3]
@@ -332,12 +344,60 @@ class WebRtcSink(Element):
                                 and data[1] == 205:
                             self.handle_twcc_feedback(data)
                             continue
+                        text = data.decode(errors="replace")
+                        if self._maybe_navigation(ev[1], tr, text):
+                            continue
                         self.post_element_message(
                             "data-channel-message", session=sid,
-                            stream=ev[1],
-                            data=data.decode(errors="replace"))
+                            stream=ev[1], data=text)
                 tr.sctp.events.clear()
         return moved
+
+    def _maybe_navigation(self, stream_id, tr, text: str) -> bool:
+        """Consume a data-channel message if it is consumer input:
+        the bare GstNavigation JSON of the reference's 'input'
+        channel, or this SDK's control-channel envelope
+        {"id": n, "request": {"type": "navigation", "data": {...}}}.
+        Returns True when consumed."""
+        if not self.enable_data_channel_navigation:
+            return False
+        import json as _json
+        try:
+            msg = _json.loads(text)
+        except ValueError:
+            return False
+        if not isinstance(msg, dict):
+            return False
+        if stream_id == getattr(tr, "_gstpu_input_channel", None):
+            data = msg
+        elif isinstance(msg.get("request"), dict) \
+                and msg["request"].get("type") == "navigation":
+            data = msg["request"].get("data") or {}
+        else:
+            return False
+        self._push_navigation(data)
+        return True
+
+    def _push_navigation(self, data: dict) -> None:
+        """Turn one consumer input message into an upstream
+        NavigationEvent on the producing video pads — by mid/stream
+        name when given, else every video pad (reference
+        create_navigation_event, webrtcsink/imp.rs:433-471)."""
+        from gstpu.core.event import NavigationEvent
+        mid = data.get("mid")
+        fields = {k: v for k, v in data.items() if k != "mid"}
+        for pad in list(self.pads.values()):
+            if pad.direction is not PadDirection.SINK:
+                continue
+            caps = pad.caps()
+            if caps is None or not caps[0].name.startswith("video/"):
+                continue
+            if mid is not None and pad.name != mid:
+                continue
+            if not pad.push_event(NavigationEvent(**fields)):
+                self.post_element_message(
+                    "navigation-event-dropped", pad=pad.name,
+                    event=str(fields.get("event")))
 
     def send_control_message(self, sid: str, text: str) -> bool:
         """Send on the session's control data channel (reference
