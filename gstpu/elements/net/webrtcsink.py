@@ -1026,6 +1026,11 @@ class WebRtcSrc(Element):
                              "sans-IO jitterbuffer: reordering is "
                              "fixed up and losses surface as "
                              "webrtcsrc-lost-packet messages")
+    enable_data_channel_navigation = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Forward upstream navigation events arriving from "
+              "downstream (a display sink's user input) to the "
+              "producer over its 'input' data channel")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -1033,9 +1038,32 @@ class WebRtcSrc(Element):
         self.session_id: str | None = None
         self.remote_sdp: str | None = None
         self.srcpad = self.static_pad("src")
+        self.srcpad.event_function = self._src_event
         self._started = False
         self._transport = None
         self._sock = None
+        self._input_channel: int | None = None   # producer's channel
+
+    # -- navigation (reference GstBaseWebRTCSrc
+    #    enable-data-channel-navigation, webrtcsrc/imp.rs:126-134) ---
+    def _src_event(self, pad: Pad, ev: Event) -> bool:
+        from gstpu.core.event import NavigationEvent
+        if isinstance(ev, NavigationEvent):
+            if not self.enable_data_channel_navigation:
+                return False
+            return self.send_navigation_event(ev.structure)
+        return self.default_pad_event(pad, ev)
+
+    def send_navigation_event(self, structure: dict) -> bool:
+        """Serialize one GstNavigation structure onto the producer's
+        'input' channel (announced by DCEP channel-open)."""
+        tr = self._transport
+        if tr is None or self._input_channel is None:
+            return False
+        import json as _json
+        tr.send_data(self._input_channel,
+                     _json.dumps(structure).encode(), binary=False)
+        return True
 
     def signalling_connect(self, welcome_msg: dict) -> list[dict]:
         self.peer_id = welcome_msg["peerId"]
@@ -1152,6 +1180,8 @@ class WebRtcSrc(Element):
                         "data-channel-message", stream=ev[1],
                         data=ev[3].decode(errors="replace"))
                 elif ev[0] == "channel-open":
+                    if ev[2] == "input":
+                        self._input_channel = ev[1]
                     self.post_element_message(
                         "data-channel-open", stream=ev[1],
                         label=ev[2])

@@ -114,7 +114,21 @@ export default class ConsumerSession extends WebRTCSession {
       }
     };
     pc.ondatachannel = (ev) => {
-      if (!ev.channel || ev.channel.label !== "control") {
+      if (!ev.channel) {
+        return;
+      }
+      if (ev.channel.label === "input") {
+        /* producer opened the dedicated navigation channel
+         * (enable-data-channel-navigation): route GstNavigation
+         * there as bare JSON, the reference wire format */
+        if (this._remoteController) {
+          this._remoteController.attachInputChannel(ev.channel);
+        } else {
+          this._pendingInputChannel = ev.channel;
+        }
+        return;
+      }
+      if (ev.channel.label !== "control") {
         return;
       }
       if (this._remoteController) {
@@ -123,6 +137,10 @@ export default class ConsumerSession extends WebRTCSession {
         prev.close();
       }
       const rc = new RemoteController(ev.channel, this);
+      if (this._pendingInputChannel) {
+        rc.attachInputChannel(this._pendingInputChannel);
+        this._pendingInputChannel = null;
+      }
       this._remoteController = rc;
       this.dispatchEvent(new Event("remoteControllerChanged"));
       rc.addEventListener("closed", () => {

@@ -18,6 +18,7 @@ export default class RemoteController extends EventTarget {
     this._channel = rtcDataChannel;
     this._session = consumerSession;
     this._videoElement = null;
+    this._inputChannel = null;
     this._requestId = 0;
     this._listeners = null;
 
@@ -75,7 +76,24 @@ export default class RemoteController extends EventTarget {
     return { scale, padX, padY };
   }
 
+  /* Attaches the producer's dedicated "input" channel
+   * (enable-data-channel-navigation); navigation then rides it as
+   * bare GstNavigation JSON, the reference wire format. */
+  attachInputChannel(channel) {
+    this._inputChannel = channel;
+    channel.onclose = () => {
+      if (this._inputChannel === channel) {
+        this._inputChannel = null;
+      }
+    };
+  }
+
   _sendNavigation(data) {
+    if (this._inputChannel &&
+        this._inputChannel.readyState === "open") {
+      this._inputChannel.send(JSON.stringify(data));
+      return;
+    }
     this.sendControlRequest({ type: "navigation", data });
   }
 

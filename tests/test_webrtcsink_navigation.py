@@ -110,3 +110,78 @@ def test_non_navigation_messages_pass_through():
     assert not sink._maybe_navigation(5, tr, "not json")
     assert not sink._maybe_navigation(
         5, tr, json.dumps({"id": 1, "request": {"type": "other"}}))
+
+
+def test_navigation_rides_live_session():
+    """End to end over the real transport: a consumer-side
+    NavigationEvent pushed upstream into webrtcsrc rides the
+    producer's 'input' data channel (ICE+DTLS+SCTP over live UDP)
+    and comes out as an upstream NavigationEvent on the producer's
+    video pad — the reference's remote-control flow
+    (webrtcsink/imp.rs:1815-1845 + webrtcsrc/imp.rs:126-134)."""
+    import time
+
+    from gstpu.core.element import Bus
+
+    sink = _sink(enable_data_transport=True,
+                 enable_data_channel_navigation=True)
+    src = make("webrtcsrc", enable_data_transport=True,
+               enable_data_channel_navigation=True)
+    sink.bus = Bus()
+    src.bus = Bus()
+    src.set_state(State.PLAYING)
+
+    # producer video input (pre-encoded path: only the caps matter
+    # for navigation routing)
+    _vpad, vevents = _feed(sink, "video/x-vp8, width=64, height=64",
+                           "v")
+
+    sink.signalling_connect({"peerId": "prod"})
+    src.signalling_connect({"peerId": "cons"})
+    src.handle_signalling(
+        {"type": "list", "producers": [{"id": "prod"}]})
+    offer = sink.handle_signalling(
+        {"type": "startSession", "sessionId": "s1", "peerId": "cons"})
+    answer = src.handle_signalling({**offer[0], "sessionId": "s1"})
+    sink.handle_signalling({**answer[0], "sessionId": "s1"})
+
+    deadline = time.monotonic() + 10
+    tr = sink._transports["s1"][0]
+    while time.monotonic() < deadline and not (
+            tr.connected and src._transport
+            and src._transport.connected):
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+    assert tr.connected and src._transport.connected
+
+    # wait until the producer's input channel is announced through
+    # DCEP on the consumer side
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and src._input_channel is None:
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+    assert src._input_channel is not None
+
+    # downstream display sink sends its user's click upstream
+    cap = Pad("cap", PadDirection.SINK,
+              PadTemplate("sink", PadDirection.SINK,
+                          PadPresence.ALWAYS, Caps.any()))
+    cap.event_function = lambda p, e: True
+    src.srcpad.link(cap)
+    assert cap.push_event(NavigationEvent(
+        event="MouseButtonPress", x=320, y=200, button=1,
+        modifier_state=0))
+
+    deadline = time.monotonic() + 10
+    navs = []
+    while time.monotonic() < deadline and not navs:
+        sink.pump()
+        src.pump()
+        navs = [e for e in vevents if isinstance(e, NavigationEvent)]
+        time.sleep(0.001)
+    assert navs and navs[0].nav_type == "MouseButtonPress"
+    assert navs[0].structure["x"] == 320
+    sink.set_state(State.NULL)
+    src.set_state(State.NULL)
