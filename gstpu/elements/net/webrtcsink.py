@@ -126,11 +126,14 @@ class _EncoderChain:
     def __init__(self, sink: "WebRtcSink", pad_name: str,
                  raw_caps: Caps, codec_row: tuple):
         caps_name, enc_factory, pay_factory, encoding = codec_row
+        self.sink = sink
         self.encoding = encoding
         self.is_video = caps_name.startswith("video/")
         self.stream_name = pad_name
         self._raw_caps = raw_caps.copy()
         self.mitigation_mode = "none"
+        self._downsample = False
+        self._ds_toggle = False
         self.bitrate = 0
         self.enc = make(enc_factory)
         if enc_factory == "rav1enc":
@@ -171,6 +174,14 @@ class _EncoderChain:
         self.feed.push_event(SegmentEvent(Segment()))
 
     def push(self, buf: Buffer) -> FlowReturn:
+        if self._downsample:
+            # DOWNSAMPLED mitigation = halved framerate (reference
+            # mitigation caps set framerate*1/2; with no videorate in
+            # the chain, dropping alternate frames is the same
+            # constraint applied at the chain head)
+            self._ds_toggle = not self._ds_toggle
+            if not self._ds_toggle:
+                return FlowReturn.OK
         return self.feed.push(buf)
 
     def set_bitrate(self, bps: int) -> None:
@@ -188,20 +199,38 @@ class _EncoderChain:
             self._update_mitigation(bps)
 
     def _update_mitigation(self, bps: int) -> None:
-        mode = "downscaled" if bps < _MITIGATION_THRESHOLD else "none"
+        """The reference mitigation ladder (webrtcsink/imp.rs:
+        1226-1260): DOWNSCALED clamps height to 360 below 1 Mbps and
+        720 below 2 Mbps (never upscaling); DOWNSAMPLED halves the
+        framerate below 500 kbps.  Which modes congestion control
+        may apply is the sink's enable-mitigation-modes property."""
+        modes = {m for m in
+                 (self.sink.enable_mitigation_modes or "").split("+")
+                 if m and m != "none"}
+        s = self._raw_caps[0]
+        w, h = int(s.get("width", 0)), int(s.get("height", 0))
+        fw, fh = w, h
+        applied = []
+        if "downscale" in modes and w and h:
+            target = h if bps >= 2_000_000 else \
+                (720 if bps >= 1_000_000 else 360)
+            if target < h:
+                fh = max(2, target & ~1)
+                fw = max(2, round(w * fh / h) & ~1)
+                applied.append("downscaled")
+        down = "downsample" in modes and bps < _MITIGATION_THRESHOLD
+        if down:
+            applied.append("downsampled")
+        mode = "+".join(applied) or "none"
         if mode == self.mitigation_mode:
             return
         self.mitigation_mode = mode
-        s = self._raw_caps[0]
-        w, h = int(s.get("width", 0)), int(s.get("height", 0))
-        if not (w and h):
-            return
-        if mode == "downscaled":
-            # halve the resolution, even dimensions for I420
-            w, h = max(2, (w // 2) & ~1), max(2, (h // 2) & ~1)
-        self.filter.caps = Caps.new("video/x-raw", width=w, height=h)
-        # renegotiate the chain through the new constraint
-        self.feed.push_event(CapsEvent(self._raw_caps.copy()))
+        self._downsample = down
+        if w and h:
+            self.filter.caps = Caps.new("video/x-raw", width=fw,
+                                        height=fh)
+            # renegotiate the chain through the new constraint
+            self.feed.push_event(CapsEvent(self._raw_caps.copy()))
 
 
 @register_element("webrtcsink", Rank.NONE)
@@ -226,6 +255,10 @@ class WebRtcSink(Element):
                     Caps.new("application/x-rtp")),
     ]
 
+    # reference signal surface (webrtcsink/imp.rs:4108,4155):
+    # handlers get (element, peer_id, session_pad)
+    SIGNALS = ("consumer-added", "consumer-removed")
+
     display_name = Property(str, default="gstpu-webrtcsink",
                             mutable=Mutability.READY)
     enable_data_transport = Property(
@@ -249,6 +282,12 @@ class WebRtcSink(Element):
         blurb="Open a per-consumer 'input' data channel and turn its "
               "GstNavigation JSON messages into upstream navigation "
               "events on the producing video pads")
+    enable_mitigation_modes = Property(
+        str, default="downscale+downsample", mutable=Mutability.READY,
+        blurb="Mitigation modes congestion control may apply: "
+              "'none', 'downscale', 'downsample', or "
+              "'downscale+downsample' (reference "
+              "WebRTCSinkMitigationMode flags, default all)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -487,6 +526,10 @@ class WebRtcSink(Element):
                 self._make_transport(sid)
             self.post_element_message("consumer-added", session=sid,
                                       peer=msg.get("peerId"))
+            # reference signal surface (imp.rs:4108): handlers get
+            # the peer id and the session's media pad (our analogue
+            # of the per-consumer webrtcbin)
+            self.emit("consumer-added", msg.get("peerId"), pad)
             return [{"type": "peer", "sessionId": sid,
                      "sdp": {"type": "offer",
                              "sdp": self._offer_sdp(sid)}}]
@@ -510,8 +553,14 @@ class WebRtcSink(Element):
             if tr is not None:
                 tr[1].close()
             self.post_element_message("consumer-removed", session=sid)
+            self.emit("consumer-removed", msg.get("peerId"), pad)
             return []
         return []
+
+    def get_sessions(self) -> list[str]:
+        """Active session ids (reference 'get-sessions' action
+        signal, webrtcsink/imp.rs)."""
+        return list(self._sessions)
 
     def _offer_sdp(self, sid: str | None = None) -> str:
         # materialize payloaders/encoder chains for every sink pad

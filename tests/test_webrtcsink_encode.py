@@ -35,7 +35,8 @@ def test_discovery_finds_all_canonical_codecs():
 
 
 class Rig:
-    def __init__(self, **props):
+    def __init__(self, caps: str = RAW_CAPS, **props):
+        self.caps_str = caps
         self.sink = make("webrtcsink", **props)
         self.sink.set_state(State.PLAYING)
         self.pad = self.sink.request_pad()
@@ -44,7 +45,7 @@ class Rig:
                                       PadPresence.ALWAYS, Caps.any()))
         self.feeder.link(self.pad)
         self.feeder.push_event(StreamStartEvent("v"))
-        self.feeder.push_event(CapsEvent(parse_caps(RAW_CAPS)))
+        self.feeder.push_event(CapsEvent(parse_caps(self.caps_str)))
         self.feeder.push_event(SegmentEvent(Segment()))
         # a consumer session to observe the produced RTP
         self.rtp: list[Buffer] = []
@@ -63,11 +64,12 @@ class Rig:
         spad.link(cap)
 
     def push_frames(self, n, start=0):
-        info = VideoInfo.from_caps(parse_caps(RAW_CAPS))
+        info = VideoInfo.from_caps(parse_caps(self.caps_str))
+        w, h = info.width, info.height
         rng = np.random.default_rng(7)
         for i in range(start, start + n):
-            y = rng.integers(0, 255, W * H, dtype=np.uint8)
-            uv = np.full(W * H // 2, 128, np.uint8)
+            y = rng.integers(0, 255, w * h, dtype=np.uint8)
+            uv = np.full(w * h // 2, 128, np.uint8)
             self.feeder.push(Buffer(
                 np.concatenate([y, uv]), pts=i * SECOND // 30,
                 duration=SECOND // 30))
@@ -86,37 +88,87 @@ def test_raw_video_encoded_to_av1_rtp():
     assert enc.enc.__class__.__name__ == "Rav1Enc"
 
 
+BIG_CAPS = ("video/x-raw, format=I420, width=640, height=480, "
+            "framerate=30/1")
+
+
 def test_bitrate_distribution_and_mitigation():
-    rig = Rig()
+    """The reference mitigation ladder (webrtcsink/imp.rs:1226-1260):
+    downscale clamps height to 360 (<1 Mbps) / 720 (<2 Mbps), never
+    upscaling; downsample halves framerate below 500 kbps."""
+    rig = Rig(caps=BIG_CAPS)
     rig.push_frames(3)
     enc = rig.sink._encoders["sink_0"]
-    # high bitrate: no mitigation
+    # high bitrate: no mitigation (480 < the 720 clamp)
     rig.sink.apply_bitrate(2_000_000)
     assert enc.mitigation_mode == "none"
     assert enc.bitrate > 0
     n_before = len(rig.rtp)
-    # low bitrate: downscaled mitigation kicks in below 500 kbps
+    # low bitrate: 360p downscale AND framerate halving below 500k
     rig.sink.apply_bitrate(300_000)
-    assert enc.mitigation_mode == "downscaled"
-    half = enc.filter.caps[0]
-    assert int(half.get("width")) == W // 2
+    assert enc.mitigation_mode == "downscaled+downsampled"
+    s = enc.filter.caps[0]
+    assert int(s.get("height")) == 360
+    assert int(s.get("width")) == 480           # aspect preserved
     # the chain still encodes after the renegotiation (the rebuilt
-    # engine has a few frames of startup latency)
-    rig.push_frames(10, start=3)
+    # engine has a few frames of startup latency); downsampling
+    # drops every second frame at the chain head
+    rig.push_frames(16, start=3)
     assert len(rig.rtp) > n_before
-    # 32x32 is below SVT-AV1's minimum: the element must fall back to
-    # rav1e transiently WITHOUT rewriting the engine property
-    from gstpu.elements.net.webrtcsink import _have_svt
-    if _have_svt():
-        assert enc.enc.engine == "svt"
-        assert enc.enc._engine_active == "rav1e"
-    # recovering bitrate clears mitigation
+    # recovering bitrate clears mitigation (720 clamp > 480 native)
     rig.sink.apply_bitrate(1_500_000)
     assert enc.mitigation_mode == "none"
-    rig.push_frames(3, start=13)
-    if _have_svt():
-        # full-size caps renegotiated: back on the realtime engine
-        assert enc.enc._engine_active == "svt"
+    rig.push_frames(3, start=19)
+
+
+def test_mitigation_modes_property_gates_the_ladder():
+    # downscale only: no framerate halving below 500k
+    rig = Rig(caps=BIG_CAPS, enable_mitigation_modes="downscale")
+    rig.push_frames(1)
+    enc = rig.sink._encoders["sink_0"]
+    rig.sink.apply_bitrate(300_000)
+    assert enc.mitigation_mode == "downscaled"
+    assert not enc._downsample
+    # none: congestion control may not touch the stream shape
+    rig2 = Rig(caps=BIG_CAPS, enable_mitigation_modes="none")
+    rig2.push_frames(1)
+    enc2 = rig2.sink._encoders["sink_0"]
+    rig2.sink.apply_bitrate(300_000)
+    assert enc2.mitigation_mode == "none"
+
+
+def test_sub64_input_falls_back_to_rav1e():
+    """SVT-AV1 refuses frames below 64x64; a tiny raw input must
+    fall back to the reference-parity engine transiently WITHOUT
+    rewriting the engine property."""
+    from gstpu.elements.net.webrtcsink import _have_svt
+    if not _have_svt():
+        import pytest
+        pytest.skip("libsvtav1 not in image")
+    rig = Rig(caps="video/x-raw, format=I420, width=32, height=32, "
+                   "framerate=30/1")
+    rig.push_frames(6)
+    enc = rig.sink._encoders["sink_0"]
+    assert enc.enc.engine == "svt"              # property intact
+    assert enc.enc._engine_active == "rav1e"    # engine fell back
+    assert len(rig.rtp) >= 1                    # and still encodes
+
+
+def test_consumer_signals_and_sessions():
+    rig = Rig()
+    added, removed = [], []
+    rig.sink.connect("consumer-added", lambda *a: added.append(a))
+    rig.sink.connect("consumer-removed", lambda *a: removed.append(a))
+    rig.sink.handle_signalling({"type": "startSession",
+                                "sessionId": "s9", "peerId": "c9"})
+    # handler args: (element, peer_id, session_pad)
+    assert added and added[0][1] == "c9"
+    assert added[0][2].name == "session_s9"
+    assert set(rig.sink.get_sessions()) == {"s0", "s9"}
+    rig.sink.handle_signalling({"type": "endSession",
+                                "sessionId": "s9", "peerId": "c9"})
+    assert removed and removed[0][1] == "c9"
+    assert rig.sink.get_sessions() == ["s0"]
 
 
 def test_gcc_feedback_drives_bitrate():
