@@ -277,6 +277,11 @@ class WebRtcSink(Element):
     start_bitrate = Property(int, default=2_048_000, minimum=0,
                              mutable=Mutability.READY)
     do_fec = Property(bool, default=True, mutable=Mutability.READY)
+    do_retransmission = Property(
+        bool, default=True, mutable=Mutability.READY,
+        blurb="Answer consumer Generic NACKs (RFC 4585) with RFC "
+              "4588 RTX retransmissions on a dedicated rtx payload "
+              "type (reference do-retransmission, default true)")
     enable_data_channel_navigation = Property(
         bool, default=False, mutable=Mutability.READY,
         blurb="Open a per-consumer 'input' data channel and turn its "
@@ -298,6 +303,8 @@ class WebRtcSink(Element):
         self._transports: dict[str, tuple] = {}     # sid -> (tr, sock)
         self._outbox: list[dict] = []
         self._gcc = None
+        self._rtx_history: dict[int, dict[int, bytes]] = {}
+        self._rtx_seq: dict[int, int] = {}          # rtx ssrc -> seq
 
     # -- data transport (ICE+DTLS+SRTP over a real UDP socket) -----------
     def _make_transport(self, sid: str):
@@ -348,8 +355,11 @@ class WebRtcSink(Element):
                         error=str(e))
                     out = None
                 if out is not None and out[0] == "rtcp":
-                    if len(out[1]) >= 2 and out[1][1] == 205:
-                        # TWCC transport feedback over SRTCP -> GCC
+                    if len(out[1]) >= 2 and out[1][1] == 205 \
+                            and (out[1][0] & 0x1F) == 15:
+                        # TWCC transport feedback (PT 205 FMT 15)
+                        # over SRTCP -> GCC; FMT 1 is Generic NACK
+                        # and belongs to the consumer-RTCP handler
                         self.handle_twcc_feedback(out[1])
                     else:
                         self._handle_consumer_rtcp(sid, out[1])
@@ -587,8 +597,17 @@ class WebRtcSink(Element):
                 else "video"
             pt = pay.pt
             rate = pay.clock_rate or 90000
-            lines.append(f"m={kind} 9 UDP/TLS/RTP/SAVPF {pt}")
+            rtx = self.do_retransmission and kind == "video"
+            pts = f"{pt} {self.rtx_pt(pt)}" if rtx else f"{pt}"
+            lines.append(f"m={kind} 9 UDP/TLS/RTP/SAVPF {pts}")
             lines.append(f"a=rtpmap:{pt} {enc}/{rate}")
+            if rtx:
+                # RFC 4588 rtx stream paired via apt (reference
+                # webrtcsink configures webrtcbin's rtx the same way)
+                lines.append(
+                    f"a=rtpmap:{self.rtx_pt(pt)} rtx/{rate}")
+                lines.append(f"a=fmtp:{self.rtx_pt(pt)} apt={pt}")
+                lines.append(f"a=rtcp-fb:{pt} nack")
             lines.append("a=sendonly")
             lines.extend(transport_lines)
         return "\r\n".join(lines) + "\r\n"
@@ -667,6 +686,13 @@ class WebRtcSink(Element):
             p, o, _ = acct.get(ssrc, (0, 0, 0))
             acct[ssrc] = (p + 1, o + len(data) - 12,
                           int.from_bytes(data[4:8], "big"))
+            if self.do_retransmission:
+                # RTX history: recent packets by (ssrc, seq) so a
+                # consumer NACK can be answered (RFC 4588)
+                hist = self._rtx_history.setdefault(ssrc, {})
+                hist[int.from_bytes(data[2:4], "big")] = data
+                if len(hist) > 512:
+                    hist.pop(next(iter(hist)))
         for sid, spad in self._sessions.items():
             if spad.is_linked():
                 ret = spad.push(buf.copy())
@@ -707,7 +733,8 @@ class WebRtcSink(Element):
             tr.send_rtcp(sr.to_bytes())
 
     def _handle_consumer_rtcp(self, sid: str, data: bytes) -> None:
-        from gstpu.net.rtp.packet import ReceiverReport, parse_rtcp
+        from gstpu.net.rtp.packet import (GenericNack, ReceiverReport,
+                                          parse_rtcp)
         try:
             pkts = parse_rtcp(data)
         except Exception:
@@ -720,6 +747,39 @@ class WebRtcSink(Element):
                     ssrc=rb.ssrc, fraction_lost=rb.fraction_lost,
                     cumulative_lost=rb.cumulative_lost,
                     highest_seq=rb.ext_highest_seq)
+            elif isinstance(p, GenericNack) and self.do_retransmission:
+                self._retransmit(sid, p.media_ssrc, p.lost)
+
+    @staticmethod
+    def rtx_pt(pt: int) -> int:
+        """The rtx payload type paired with a media payload type in
+        our offers (announced via a=rtpmap rtx + a=fmtp apt)."""
+        return (pt + 8) & 0x7F
+
+    def _retransmit(self, sid: str, ssrc: int, seqs: list[int]) -> None:
+        """RFC 4588: answer a NACK with RTX packets — dedicated ssrc
+        and payload type, own sequence space, original sequence
+        number as the first two payload bytes (reference webrtcsink
+        delegates this to webrtcbin's rtprtxsend)."""
+        ent = self._transports.get(sid)
+        hist = self._rtx_history.get(ssrc)
+        if ent is None or not ent[0].connected or not hist:
+            return
+        rtx_ssrc = (ssrc + 1) & 0xFFFFFFFF
+        for seq in seqs:
+            orig = hist.get(seq & 0xFFFF)
+            if orig is None or len(orig) < 12:
+                continue
+            rseq = self._rtx_seq.get(rtx_ssrc, 0)
+            self._rtx_seq[rtx_ssrc] = (rseq + 1) & 0xFFFF
+            hdr = bytes([
+                0x80,
+                (orig[1] & 0x80) | self.rtx_pt(orig[1] & 0x7F)]) + \
+                rseq.to_bytes(2, "big") + orig[4:8] + \
+                rtx_ssrc.to_bytes(4, "big")
+            ent[0].send_rtp(hdr + orig[2:4] + orig[12:])
+            self.post_element_message("webrtcsink-retransmit",
+                                      session=sid, ssrc=ssrc, seq=seq)
 
     def _twcc_sender(self):
         if getattr(self, "_twcc_tx", None) is None:
@@ -1092,6 +1152,11 @@ class WebRtcSrc(Element):
         self._transport = None
         self._sock = None
         self._input_channel: int | None = None   # producer's channel
+        # RFC 4588 rtx reception + RFC 4585 NACK emission
+        self._rtx_apt: dict[int, int] = {}       # rtx pt -> media pt
+        self._pt_ssrc: dict[int, int] = {}       # media pt -> ssrc
+        self._nack_next: dict[int, int] = {}     # ssrc -> expected seq
+        self._nacked: set[int] = set()
 
     # -- navigation (reference GstBaseWebRTCSrc
     #    enable-data-channel-navigation, webrtcsrc/imp.rs:126-134) ---
@@ -1132,6 +1197,11 @@ class WebRtcSrc(Element):
             return []
         if t == "peer" and "sdp" in msg:
             self.remote_sdp = msg["sdp"]["sdp"]
+            import re as _re
+            self._rtx_apt = {
+                int(m.group(1)): int(m.group(2)) for m in
+                _re.finditer(r"a=fmtp:(\d+) apt=(\d+)",
+                             self.remote_sdp)}
             self.post_element_message("offer-received",
                                       session=msg.get("sessionId"))
             answer = self.remote_sdp.replace("sendonly", "recvonly")
@@ -1202,20 +1272,28 @@ class WebRtcSrc(Element):
                 plain = out[1]
                 import time as _time
                 now = _time.monotonic_ns()
-                if len(plain) >= 12:
+                if len(plain) >= 12 \
+                        and (plain[1] & 0x7F) in self._rtx_apt:
+                    # RFC 4588: rebuild the original packet from the
+                    # rtx stream (apt mapping from the offer)
+                    plain = self._unwrap_rtx(plain)
+                if plain is not None and len(plain) >= 12:
                     seq = int.from_bytes(plain[2:4], "big")
                     self._twcc_receiver().record(seq, now)
                     ssrc = int.from_bytes(plain[8:12], "big")
+                    self._pt_ssrc[plain[1] & 0x7F] = ssrc
                     st = getattr(self, "_rx_stats", None)
                     if st is None:
                         st = self._rx_stats = {}
                     rec, hi, first = st.get(ssrc,
                                             (0, 0, seq))
                     st[ssrc] = (rec + 1, max(hi, seq), first)
-                if self.latency > 0 and len(plain) >= 4:
-                    self._jb_queue(plain, now)
-                else:
-                    self.push_rtp(plain)
+                    self._nack_check(ssrc, seq)
+                if plain is not None:
+                    if self.latency > 0 and len(plain) >= 4:
+                        self._jb_queue(plain, now)
+                    else:
+                        self.push_rtp(plain)
                 self._maybe_send_twcc()
             moved = True
         if self.latency > 0:
@@ -1236,6 +1314,48 @@ class WebRtcSrc(Element):
                         label=ev[2])
             tr.sctp.events.clear()
         return moved
+
+    def _unwrap_rtx(self, plain: bytes) -> bytes | None:
+        """RFC 4588 §4: original seq rides the first two payload
+        bytes; pt maps back through apt, ssrc through the media pt
+        already seen on this session (single stream per pt here; the
+        reference maps through rtprtxreceive's ssrc associations)."""
+        if len(plain) < 14:
+            return None
+        apt = self._rtx_apt.get(plain[1] & 0x7F)
+        ssrc = self._pt_ssrc.get(apt)
+        if apt is None or ssrc is None:
+            return None
+        return (bytes([plain[0], (plain[1] & 0x80) | apt])
+                + plain[12:14] + plain[4:8]
+                + ssrc.to_bytes(4, "big") + plain[14:])
+
+    def _nack_check(self, ssrc: int, seq: int) -> None:
+        """Emit a Generic NACK (RFC 4585 §6.2.1) for sequence gaps so
+        the producer retransmits (each seq is NACKed once)."""
+        exp = self._nack_next.get(ssrc)
+        if exp is None or exp == seq:
+            self._nack_next[ssrc] = (seq + 1) & 0xFFFF
+            return
+        delta = (seq - exp) & 0xFFFF
+        if 0 < delta <= 64:
+            lost = [(exp + i) & 0xFFFF for i in range(delta)
+                    if (exp + i) & 0xFFFF not in self._nacked]
+            if lost and self._transport is not None:
+                if len(self._nacked) > 4096:
+                    self._nacked.clear()
+                self._nacked.update(lost)
+                from gstpu.net.rtp.packet import GenericNack
+                self._transport.send_rtcp(
+                    GenericNack(0x6A737263, ssrc, lost).to_bytes())
+                self.post_element_message("webrtcsrc-nack",
+                                          ssrc=ssrc, lost=lost)
+            self._nack_next[ssrc] = (seq + 1) & 0xFFFF
+        elif delta <= 0x8000:
+            # far ahead: resync without flooding NACKs
+            self._nack_next[ssrc] = (seq + 1) & 0xFFFF
+        # else: older than expected (a retransmission arriving) —
+        # the cursor stays where it is
 
     def _handle_rtcp(self, data: bytes) -> None:
         """Ingest SRTCP-decrypted RTCP: Sender Reports feed the

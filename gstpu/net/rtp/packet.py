@@ -93,6 +93,7 @@ RTCP_SR = 200
 RTCP_RR = 201
 RTCP_SDES = 202
 RTCP_BYE = 203
+RTCP_RTPFB = 205
 RTCP_APP = 204
 
 
@@ -190,6 +191,35 @@ class Bye:
         return _rtcp_header(RTCP_BYE, len(self.ssrcs), body) + body
 
 
+@dataclass
+class GenericNack:
+    """RTCP transport-layer feedback Generic NACK (RFC 4585 §6.2.1,
+    PT=205 FMT=1): the receiver's list of lost RTP sequence numbers,
+    packed as PID + 16-bit following-loss bitmask FCI entries.  The
+    retransmission request driving RFC 4588 RTX."""
+
+    sender_ssrc: int
+    media_ssrc: int
+    lost: list[int] = field(default_factory=list)
+
+    def to_bytes(self) -> bytes:
+        fci = b""
+        seqs = sorted({s & 0xFFFF for s in self.lost})
+        i = 0
+        while i < len(seqs):
+            pid = seqs[i]
+            blp = 0
+            j = i + 1
+            while j < len(seqs) and 0 < seqs[j] - pid <= 16:
+                blp |= 1 << (seqs[j] - pid - 1)
+                j += 1
+            fci += struct.pack(">HH", pid, blp)
+            i = j
+        body = struct.pack(">II", self.sender_ssrc,
+                           self.media_ssrc) + fci
+        return _rtcp_header(RTCP_RTPFB, 1, body) + body
+
+
 def _rtcp_header(pt: int, count: int, body: bytes) -> bytes:
     length = (len(body) + 4) // 4 - 1
     return struct.pack(">BBH", (RTP_VERSION << 6) | (count & 0x1F), pt,
@@ -246,6 +276,18 @@ def parse_rtcp(data: bytes) -> list:
                     p += 1
                 chunks.append((ssrc, items))
             out.append(Sdes(chunks))
+        elif pt == RTCP_RTPFB and count == 1:   # FMT=1: Generic NACK
+            if len(body) < 8:
+                raise RtpParseError("truncated NACK")
+            sender, media = struct.unpack_from(">II", body)
+            lost: list[int] = []
+            for p in range(8, len(body) - 3, 4):
+                pid, blp = struct.unpack_from(">HH", body, p)
+                lost.append(pid)
+                for b in range(16):
+                    if blp & (1 << b):
+                        lost.append((pid + b + 1) & 0xFFFF)
+            out.append(GenericNack(sender, media, lost))
         elif pt == RTCP_BYE:
             if len(body) < 4 * count:
                 raise RtpParseError("truncated BYE")
