@@ -136,19 +136,15 @@ class _EncoderChain:
         self._ds_toggle = False
         self.bitrate = 0
         self.enc = make(enc_factory)
-        if enc_factory == "rav1enc":
-            # live streaming defaults (reference configures rav1e for
-            # low latency in the webrtc path)
-            self.enc.low_latency = True
-            self.enc.speed_preset = 10
-            # prefer the realtime-class engine when present: SVT-AV1
-            # sustains 1080p30 on one host core where rav1e does ~2
-            # fps (engine property, elements/video/av1.py; discovery
-            # still proves the factory out by test-encoding)
-            if _have_svt():
-                self.enc.engine = "svt"
+        # app hook first (reference encoder-setup signal,
+        # imp.rs:817-830): a handler returning True owns the
+        # configuration and the defaults below are skipped
+        if not sink.emit("encoder-setup", pad_name, self.enc):
+            self._configure_encoder(enc_factory)
         self.pay = make(pay_factory)
         self.pay._gstpu_encoding = encoding
+        if not sink.emit("payloader-setup", pad_name, self.pay):
+            pass                    # defaults are the factory's own
         elements = [self.enc, self.pay]
         self.scale = self.filter = None
         if self.is_video:
@@ -172,6 +168,22 @@ class _EncoderChain:
         self.feed.push_event(StreamStartEvent(pad_name))
         self.feed.push_event(CapsEvent(self._raw_caps.copy()))
         self.feed.push_event(SegmentEvent(Segment()))
+
+    def _configure_encoder(self, enc_factory: str) -> None:
+        """Default configuration for known encoders (reference
+        configure_encoder, imp.rs:817-860), applied unless an
+        encoder-setup handler claimed the element."""
+        if enc_factory == "rav1enc":
+            # live streaming defaults (reference configures rav1e
+            # for low latency in the webrtc path)
+            self.enc.low_latency = True
+            self.enc.speed_preset = 10
+            # prefer the realtime-class engine when present: SVT-AV1
+            # sustains 1080p30 on one host core where rav1e does ~2
+            # fps (engine property, elements/video/av1.py; discovery
+            # still proves the factory out by test-encoding)
+            if _have_svt():
+                self.enc.engine = "svt"
 
     def push(self, buf: Buffer) -> FlowReturn:
         if self._downsample:
@@ -255,9 +267,12 @@ class WebRtcSink(Element):
                     Caps.new("application/x-rtp")),
     ]
 
-    # reference signal surface (webrtcsink/imp.rs:4108,4155):
-    # handlers get (element, peer_id, session_pad)
-    SIGNALS = ("consumer-added", "consumer-removed")
+    # reference signal surface (webrtcsink/imp.rs:4108,4155 consumer
+    # lifecycle; imp.rs:817-985 encoder/payloader-setup: handlers get
+    # (element, stream_name, enc_or_pay) and return True to own the
+    # configuration)
+    SIGNALS = ("consumer-added", "consumer-removed",
+               "encoder-setup", "payloader-setup")
 
     display_name = Property(str, default="gstpu-webrtcsink",
                             mutable=Mutability.READY)
@@ -626,6 +641,7 @@ class WebRtcSink(Element):
             factory, enc = _PAYLOADERS[caps_name]
             pay = make(factory)
             pay._gstpu_encoding = enc
+            self.emit("payloader-setup", pad.name, pay)
             pay.set_state(State.PLAYING)
             feed = Pad("f", PadDirection.SRC,
                        PadTemplate("src", PadDirection.SRC,

@@ -35,9 +35,14 @@ def test_discovery_finds_all_canonical_codecs():
 
 
 class Rig:
-    def __init__(self, caps: str = RAW_CAPS, **props):
+    def __init__(self, caps: str = RAW_CAPS, hooks: dict | None = None,
+                 **props):
         self.caps_str = caps
         self.sink = make("webrtcsink", **props)
+        # signal handlers must attach before the first session offer
+        # materializes the encoder chains
+        for sig, fn in (hooks or {}).items():
+            self.sink.connect(sig, fn)
         self.sink.set_state(State.PLAYING)
         self.pad = self.sink.request_pad()
         self.feeder = Pad("feed", PadDirection.SRC,
@@ -152,6 +157,38 @@ def test_sub64_input_falls_back_to_rav1e():
     assert enc.enc.engine == "svt"              # property intact
     assert enc.enc._engine_active == "rav1e"    # engine fell back
     assert len(rig.rtp) >= 1                    # and still encodes
+
+
+def test_encoder_setup_signal_claims_configuration():
+    """encoder-setup handlers returning True own the encoder config:
+    the live-streaming defaults (low-latency, speed, svt preference)
+    are skipped (reference configure_encoder, imp.rs:817-830)."""
+    seen = []
+
+    def setup(el, stream, enc):
+        seen.append((stream, type(enc).__name__))
+        enc.speed_preset = 3
+        return True                   # claimed
+
+    rig = Rig(hooks={"encoder-setup": setup})
+    rig.push_frames(1)
+    enc = rig.sink._encoders["sink_0"].enc
+    assert seen and seen[0] == ("sink_0", "Rav1Enc")
+    assert enc.speed_preset == 3
+    assert enc.low_latency is False   # default config skipped
+    assert enc.engine == "rav1e"
+    # an unclaiming handler (returns None) keeps the defaults
+    rig2 = Rig(hooks={"encoder-setup": lambda *a: None})
+    rig2.push_frames(1)
+    assert rig2.sink._encoders["sink_0"].enc.low_latency is True
+
+
+def test_payloader_setup_signal():
+    seen = []
+    rig = Rig(hooks={"payloader-setup":
+                     lambda el, stream, pay: seen.append(stream)})
+    rig.push_frames(1)
+    assert seen == ["sink_0"]
 
 
 def test_consumer_signals_and_sessions():
