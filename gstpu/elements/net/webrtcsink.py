@@ -72,6 +72,19 @@ def _have_svt() -> bool:
     return _SVT_CACHE
 
 
+def _stun_addr(url: str) -> tuple[str, int] | None:
+    """'stun://host:port' | 'host:port' -> (host, port)."""
+    if not url:
+        return None
+    if url.startswith("stun://"):
+        url = url[len("stun://"):]
+    host, _, port = url.rpartition(":")
+    try:
+        return (host or url, int(port))
+    except ValueError:
+        return None
+
+
 def _run_discovery(enc_factory: str, is_video: bool) -> bool:
     """Prove a codec is producible by actually encoding one tiny
     buffer through the encoder factory (reference webrtcsink's
@@ -297,6 +310,11 @@ class WebRtcSink(Element):
         blurb="Answer consumer Generic NACKs (RFC 4585) with RFC "
               "4588 RTX retransmissions on a dedicated rtx payload "
               "type (reference do-retransmission, default true)")
+    stun_server = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="STUN server ('stun://host:port' or 'host:port'): each "
+              "session transport gathers a server-reflexive "
+              "candidate from it alongside the host candidate")
     enable_data_channel_navigation = Property(
         bool, default=False, mutable=Mutability.READY,
         blurb="Open a per-consumer 'input' data channel and turn its "
@@ -332,6 +350,17 @@ class WebRtcSink(Element):
         sock.setblocking(False)
         tr = WebRtcTransport(controlling=True)
         tr.add_local_candidate(host_candidate(*sock.getsockname()))
+        server = _stun_addr(self.stun_server)
+        if server is not None:
+            from gstpu.net.webrtc.ice import gather_srflx
+            srflx = gather_srflx(sock, server)
+            if srflx is not None:
+                tr.add_local_candidate(srflx)
+            else:
+                self.post_warning(
+                    f"webrtcsink: STUN server {self.stun_server} "
+                    f"did not answer; session {sid} offers host "
+                    f"candidates only")
         # per-consumer control data channel (reference webrtcsink
         # opens one for stats/control messages)
         tr.enable_data_channels()
@@ -1156,6 +1185,10 @@ class WebRtcSrc(Element):
         blurb="Forward upstream navigation events arriving from "
               "downstream (a display sink's user input) to the "
               "producer over its 'input' data channel")
+    stun_server = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="STUN server ('stun://host:port' or 'host:port') for "
+              "server-reflexive candidate gathering")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -1248,6 +1281,12 @@ class WebRtcSrc(Element):
         self._transport.enable_data_channels()
         self._transport.add_local_candidate(
             host_candidate(*self._sock.getsockname()))
+        server = _stun_addr(self.stun_server)
+        if server is not None:
+            from gstpu.net.webrtc.ice import gather_srflx
+            srflx = gather_srflx(self._sock, server)
+            if srflx is not None:
+                self._transport.add_local_candidate(srflx)
         self._transport.set_remote_description(remote)
         # strip the producer's transport attrs from the echoed
         # answer, append ours

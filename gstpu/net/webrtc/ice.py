@@ -60,6 +60,55 @@ class Candidate:
                          parts[7])
 
 
+def gather_srflx(sock, server: Addr, timeout: float = 0.5,
+                 retries: int = 3) -> Candidate | None:
+    """One classic STUN Binding round toward a STUN server (RFC
+    8489): the XOR-MAPPED-ADDRESS of the response becomes a
+    server-reflexive candidate (RFC 8445 §5.1.1.2; the reference's
+    stun-server property feeds webrtcbin the same way).  Blocking but
+    bounded (retries x timeout); the socket's blocking state is
+    restored.  Returns None when the server never answers."""
+    import select
+
+    from gstpu.net.webrtc.stun import (ATTR_XOR_MAPPED_ADDRESS,
+                                       BINDING_SUCCESS, StunMessage,
+                                       is_stun, unxor_address)
+    req = StunMessage(BINDING_REQUEST)
+    data = req.to_bytes()
+    blocking = sock.getblocking()
+    sock.setblocking(False)
+    try:
+        for _ in range(max(1, retries)):
+            sock.sendto(data, server)
+            r, _w, _x = select.select([sock], [], [], timeout)
+            if not r:
+                continue
+            try:
+                resp, src = sock.recvfrom(2048)
+            except OSError:
+                continue
+            if src != server or not is_stun(resp):
+                continue
+            try:
+                msg = StunMessage.parse(resp)
+            except Exception:
+                continue
+            if msg.msg_type != BINDING_SUCCESS \
+                    or msg.transaction_id != req.transaction_id:
+                continue
+            xma = msg.get(ATTR_XOR_MAPPED_ADDRESS)
+            if xma is None:
+                continue
+            addr, port = unxor_address(xma, msg.transaction_id)
+            # srflx type preference 110 (RFC 8445 §5.1.2.1 formula)
+            return Candidate(f"srflx{port}", 1, "udp",
+                             (110 << 24) | (65535 << 8) | 255,
+                             addr, port, "srflx")
+    finally:
+        sock.setblocking(blocking)
+    return None
+
+
 def host_candidate(address: str, port: int,
                    component: int = 1) -> Candidate:
     """Host candidate with the RFC 8445 §5.1.2.1 priority formula."""
