@@ -315,6 +315,16 @@ class WebRtcSink(Element):
         blurb="STUN server ('stun://host:port' or 'host:port'): each "
               "session transport gathers a server-reflexive "
               "candidate from it alongside the host candidate")
+    signaller_uri = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="ws:// signalling server to connect to at READY "
+              "(reference signaller::uri); empty = app drives "
+              "signalling_connect/handle_signalling itself")
+    run_signalling_server = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Spawn an in-process signalling server at READY and "
+              "connect to it (reference run-signalling-server); the "
+              "chosen uri is posted as signalling-server-started")
     enable_data_channel_navigation = Property(
         bool, default=False, mutable=Mutability.READY,
         blurb="Open a per-consumer 'input' data channel and turn its "
@@ -338,6 +348,34 @@ class WebRtcSink(Element):
         self._gcc = None
         self._rtx_history: dict[int, dict[int, bytes]] = {}
         self._rtx_seq: dict[int, int] = {}          # rtx ssrc -> seq
+        self._sig_client = None
+        self._sig_server = None
+
+    # -- live signalling (reference signaller::uri +
+    #    run-signalling-server) ---------------------------------------
+    def start(self) -> bool:
+        uri = self.signaller_uri
+        if self.run_signalling_server:
+            from gstpu.net.webrtc.signalling import SignallingServer
+            self._sig_server = SignallingServer()
+            self._sig_server.start()
+            uri = f"ws://127.0.0.1:{self._sig_server.port}"
+            self.post_element_message("signalling-server-started",
+                                      uri=uri)
+        if uri:
+            from gstpu.net.webrtc.signalling import SignallingClient
+            self._sig_client = SignallingClient(uri, self)
+            self._sig_client.start()
+        return True
+
+    def stop(self) -> bool:
+        if self._sig_client is not None:
+            self._sig_client.stop()
+            self._sig_client = None
+        if self._sig_server is not None:
+            self._sig_server.stop()
+            self._sig_server = None
+        return True
 
     # -- data transport (ICE+DTLS+SRTP over a real UDP socket) -----------
     def _make_transport(self, sid: str):
@@ -1189,6 +1227,10 @@ class WebRtcSrc(Element):
         str, default="", mutable=Mutability.READY,
         blurb="STUN server ('stun://host:port' or 'host:port') for "
               "server-reflexive candidate gathering")
+    signaller_uri = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="ws:// signalling server to connect to at READY "
+              "(reference signaller::uri)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -1206,6 +1248,21 @@ class WebRtcSrc(Element):
         self._pt_ssrc: dict[int, int] = {}       # media pt -> ssrc
         self._nack_next: dict[int, int] = {}     # ssrc -> expected seq
         self._nacked: set[int] = set()
+        self._sig_client = None
+
+    def start(self) -> bool:
+        if self.signaller_uri:
+            from gstpu.net.webrtc.signalling import SignallingClient
+            self._sig_client = SignallingClient(self.signaller_uri,
+                                                self)
+            self._sig_client.start()
+        return True
+
+    def stop(self) -> bool:
+        if self._sig_client is not None:
+            self._sig_client.stop()
+            self._sig_client = None
+        return True
 
     # -- navigation (reference GstBaseWebRTCSrc
     #    enable-data-channel-navigation, webrtcsrc/imp.rs:126-134) ---

@@ -313,3 +313,76 @@ class SignallingServer:
                 out = self.core.handle_disconnect(peer_id)
             self._dispatch(out)
             conn.close()
+
+
+class SignallingClient:
+    """Live signalling binding: connects an element's sans-IO
+    signalling surface (`signalling_connect` / `handle_signalling`)
+    to a signalling server over WebSocket — the signaller object
+    every reference webrtcsink/webrtcsrc owns
+    (net/webrtc/src/signaller/imp.rs `uri` property).
+
+    A reader thread turns incoming JSON into handler calls and sends
+    each returned message back; `send` lets the element originate
+    messages (e.g. endSession)."""
+
+    def __init__(self, uri: str, element):
+        self.uri = uri
+        self.element = element
+        self.connected = threading.Event()
+        self._ws = None
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._lock = threading.Lock()
+
+    def start(self) -> None:
+        from gstpu.net.ws import WsClient
+        self._ws = WsClient(self.uri)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def send(self, msg: dict) -> None:
+        with self._lock:
+            if self._ws is not None:
+                self._ws.send_text(json.dumps(msg))
+
+    def stop(self) -> None:
+        self._stop.set()
+        with self._lock:
+            if self._ws is not None:
+                try:
+                    self._ws.close()
+                except OSError:
+                    pass
+                self._ws = None
+
+    def _run(self) -> None:
+        import socket as _socket
+        first = True
+        try:
+            while not self._stop.is_set():
+                try:
+                    data = self._ws.recv(timeout=0.25)
+                except (TimeoutError, _socket.timeout):
+                    continue
+                except OSError:
+                    break
+                if data is None:
+                    break
+                try:
+                    msg = json.loads(data)
+                except json.JSONDecodeError:
+                    continue
+                if first and msg.get("type") == "welcome":
+                    first = False
+                    replies = self.element.signalling_connect(msg)
+                    self.connected.set()
+                else:
+                    replies = self.element.handle_signalling(msg)
+                for r in replies or []:
+                    self.send(r)
+        finally:
+            self.connected.set()
+            if hasattr(self.element, "post_element_message"):
+                self.element.post_element_message(
+                    "signalling-closed", uri=self.uri)
