@@ -1194,16 +1194,37 @@ for _short, _long in (("whipsink", "whipclientsink"),
             type(_cls.__name__ + "Alias", (_cls,), {}))
 
 
+# consumer-side depayloading: encoding-name (from the offer's
+# a=rtpmap) -> (depayloader factory, pad kind) — the reference
+# webrtcsrc likewise exposes typed video_%u/audio_%u pads built from
+# the negotiated streams (webrtcsrc/imp.rs:1945-1953, parsebin path)
+_DEPAYLOADERS = {
+    "VP8": ("rtpvp8depay2", "video"),
+    "VP9": ("rtpvp9depay2", "video"),
+    "AV1": ("rtpav1depay2", "video"),
+    "OPUS": ("rtpopusdepay2", "audio"),
+    "PCMA": ("rtppcmadepay2", "audio"),
+    "PCMU": ("rtppcmudepay2", "audio"),
+}
+
+
 @register_element("webrtcsrc", Rank.NONE)
+
+
 class WebRtcSrc(Element):
     """Consumer side (reference webrtcsrc): lists producers, starts a
     session, accepts the producer's SDP offer and answers; the media
     plane (injected via push_rtp once the app's transport delivers
-    it) surfaces on the always src pad."""
+    it) surfaces on the always src pad — and, per negotiated stream,
+    depayloaded media on typed video_%u/audio_%u sometimes pads."""
 
     PAD_TEMPLATES = [
         PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
                     Caps.new("application/x-rtp")),
+        PadTemplate("video_%u", PadDirection.SRC,
+                    PadPresence.SOMETIMES, Caps.any()),
+        PadTemplate("audio_%u", PadDirection.SRC,
+                    PadPresence.SOMETIMES, Caps.any()),
     ]
 
     enable_data_transport = Property(
@@ -1249,6 +1270,9 @@ class WebRtcSrc(Element):
         self._nack_next: dict[int, int] = {}     # ssrc -> expected seq
         self._nacked: set[int] = set()
         self._sig_client = None
+        self._pt_map: dict[int, tuple[str, int]] = {}  # pt->(enc,rate)
+        self._depays: dict[int, tuple | None] = {}
+        self._typed_counts: dict[str, int] = {}
 
     def start(self) -> bool:
         if self.signaller_uri:
@@ -1307,6 +1331,11 @@ class WebRtcSrc(Element):
             self._rtx_apt = {
                 int(m.group(1)): int(m.group(2)) for m in
                 _re.finditer(r"a=fmtp:(\d+) apt=(\d+)",
+                             self.remote_sdp)}
+            self._pt_map = {
+                int(m.group(1)): (m.group(2).upper(),
+                                  int(m.group(3))) for m in
+                _re.finditer(r"a=rtpmap:(\d+) ([A-Za-z0-9_-]+)/(\d+)",
                              self.remote_sdp)}
             self.post_element_message("offer-received",
                                       session=msg.get("sessionId"))
@@ -1637,4 +1666,52 @@ class WebRtcSrc(Element):
                 CapsEvent(Caps.new("application/x-rtp")))
             self.srcpad.push_event(SegmentEvent(Segment()))
             self._started = True
+        if len(data) >= 12:
+            pt = data[1] & 0x7F
+            chain = self._depays.get(pt, -1)
+            if chain == -1:
+                chain = self._make_depay(pt)
+            if chain is not None:
+                chain[0].push(Buffer(data, pts=pts))
         return self.srcpad.push(Buffer(data, pts=pts))
+
+    def _make_depay(self, pt: int):
+        """Build the typed-pad depayload chain for a negotiated pt:
+        feed -> rtpXdepay2 -> public video_%u/audio_%u pad (the
+        reference exposes negotiated streams the same way,
+        webrtcsrc/imp.rs:1945-1953)."""
+        ent = self._pt_map.get(pt)
+        dep = _DEPAYLOADERS.get(ent[0]) if ent else None
+        if dep is None:
+            self._depays[pt] = None     # unknown/rtx pt: raw only
+            return None
+        factory, kind = dep
+        enc, rate = ent
+        from gstpu.net.rtp.basepay import rtp_caps
+        depay = make(factory)
+        n = self._typed_counts.get(kind, 0)
+        self._typed_counts[kind] = n + 1
+        tmpl = next(t for t in self.PAD_TEMPLATES
+                    if t.name_template == f"{kind}_%u")
+        pub = Pad(f"{kind}_{n}", PadDirection.SRC, tmpl, self)
+        self.add_pad(pub)
+        feed = Pad("f", PadDirection.SRC,
+                   PadTemplate("src", PadDirection.SRC,
+                               PadPresence.ALWAYS, Caps.any()))
+        feed.link(depay.static_pad("sink"))
+        cap = Pad("c", PadDirection.SINK,
+                  PadTemplate("sink", PadDirection.SINK,
+                              PadPresence.ALWAYS, Caps.any()))
+        cap.chain_function = lambda p, b: pub.push(b)
+        cap.event_function = lambda p, e: pub.push_event(e)
+        depay.static_pad("src").link(cap)
+        depay.set_state(State.PLAYING)
+        caps = rtp_caps(enc, clock_rate=rate, payload=pt,
+                        media=kind)
+        feed.push_event(StreamStartEvent(f"{self.name}/{kind}_{n}"))
+        feed.push_event(CapsEvent(caps))
+        feed.push_event(SegmentEvent(Segment()))
+        self._depays[pt] = (feed, depay, pub)
+        self.post_element_message("stream-added", pad=pub.name,
+                                  encoding=enc, payload=pt)
+        return self._depays[pt]

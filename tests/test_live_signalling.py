@@ -88,6 +88,28 @@ def test_standalone_session_over_live_signalling():
     assert len(out) >= 5
     assert out[0].to_bytes()[12:] == bytes([0x55]) * 160
 
+    # the negotiated stream also surfaces DEPAYLOADED on a typed pad
+    # (reference webrtcsrc audio_%u/video_%u, imp.rs:1945-1953)
+    apad = src.pads.get("audio_0")
+    assert apad is not None
+    media = []
+    acap = Pad("acap", PadDirection.SINK,
+               PadTemplate("sink", PadDirection.SINK,
+                           PadPresence.ALWAYS, Caps.any()))
+    acap.chain_function = lambda p, b: (media.append(b)
+                                        or gstpu.FlowReturn.OK)
+    acap.event_function = lambda p, e: True
+    apad.link(acap)
+    feeder.push(Buffer(bytes([0x23]) * 160, pts=6 * 20_000_000,
+                       duration=20_000_000))
+    deadline = time.monotonic() + 10
+    while not media and time.monotonic() < deadline:
+        sink.pump()
+        src.pump()
+        time.sleep(0.001)
+    assert media and media[0].to_bytes() == bytes([0x23]) * 160
+    assert apad.current_caps[0].name == "audio/x-alaw"
+
     src.set_state(State.NULL)
     sink.set_state(State.NULL)
     # teardown stopped the client and the embedded server
