@@ -234,6 +234,30 @@ class _EncoderChain:
                  if m and m != "none"}
         s = self._raw_caps[0]
         w, h = int(s.get("width", 0)), int(s.get("height", 0))
+        # app override of the whole ladder (reference
+        # configure-mitigation-caps, imp.rs:1409-1430: handler
+        # returns caps; a height field means DOWNSCALED, a framerate
+        # field means DOWNSAMPLED)
+        custom = self.sink.emit("configure-mitigation-caps",
+                                self.stream_name,
+                                self._raw_caps.copy(), bps)
+        if isinstance(custom, Caps) and len(custom):
+            cs = custom[0]
+            applied = []
+            fw, fh = w, h
+            if cs.get("height") is not None:
+                fh = int(cs.get("height"))
+                fw = int(cs.get("width", max(2,
+                                             round(w * fh / h) & ~1)
+                                 if h else w))
+                if (fw, fh) != (w, h):
+                    applied.append("downscaled")
+            down = cs.get("framerate") is not None
+            if down:
+                applied.append("downsampled")
+            self._apply_mitigation("+".join(applied) or "none",
+                                   down, w, h, fw, fh)
+            return
         fw, fh = w, h
         applied = []
         if "downscale" in modes and w and h:
@@ -246,7 +270,11 @@ class _EncoderChain:
         down = "downsample" in modes and bps < _MITIGATION_THRESHOLD
         if down:
             applied.append("downsampled")
-        mode = "+".join(applied) or "none"
+        self._apply_mitigation("+".join(applied) or "none", down,
+                               w, h, fw, fh)
+
+    def _apply_mitigation(self, mode: str, down: bool, w: int,
+                          h: int, fw: int, fh: int) -> None:
         if mode == self.mitigation_mode:
             return
         self.mitigation_mode = mode
@@ -285,7 +313,8 @@ class WebRtcSink(Element):
     # (element, stream_name, enc_or_pay) and return True to own the
     # configuration)
     SIGNALS = ("consumer-added", "consumer-removed",
-               "encoder-setup", "payloader-setup")
+               "encoder-setup", "payloader-setup",
+               "define-encoder-bitrates", "configure-mitigation-caps")
 
     display_name = Property(str, default="gstpu-webrtcsink",
                             mutable=Mutability.READY)
@@ -587,8 +616,17 @@ class WebRtcSink(Element):
         fec_pct = fec_ratio * 50.0
         total = bitrate / (1.0 + fec_pct / 100.0)
         per_encoder = int(total / len(encoders))
+        # app override of the even split (reference
+        # define-encoder-bitrates, imp.rs:4246-4267: handler gets the
+        # defaults per stream and returns adjusted values)
+        defaults = {e.stream_name: per_encoder for e in encoders}
+        updated = self.emit("define-encoder-bitrates", int(total),
+                            dict(defaults))
+        if not isinstance(updated, dict):
+            updated = defaults
         for enc in encoders:
-            enc.set_bitrate(per_encoder)
+            enc.set_bitrate(int(updated.get(enc.stream_name,
+                                            per_encoder)))
         self.post_element_message(
             "webrtcsink-encoder-bitrates",
             bitrate=bitrate, per_encoder=per_encoder,

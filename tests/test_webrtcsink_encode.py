@@ -191,6 +191,39 @@ def test_payloader_setup_signal():
     assert seen == ["sink_0"]
 
 
+def test_define_encoder_bitrates_override():
+    """A define-encoder-bitrates handler reshapes the even split
+    (reference imp.rs:4246-4267)."""
+    def realloc(el, total, defaults):
+        return {k: 123_000 for k in defaults}
+
+    rig = Rig(caps=BIG_CAPS,
+              hooks={"define-encoder-bitrates": realloc})
+    rig.push_frames(1)
+    rig.sink.apply_bitrate(2_000_000)
+    assert rig.sink._encoders["sink_0"].bitrate == 123_000
+
+
+def test_configure_mitigation_caps_override():
+    """A configure-mitigation-caps handler owns the ladder: a height
+    field means DOWNSCALED, a framerate field means DOWNSAMPLED
+    (reference imp.rs:1409-1430)."""
+    from gstpu import Caps as _Caps
+
+    def custom(el, stream, raw_caps, bitrate):
+        return _Caps.new("video/x-raw", height=240, width=320,
+                         framerate="15/1")
+
+    rig = Rig(caps=BIG_CAPS,
+              hooks={"configure-mitigation-caps": custom})
+    rig.push_frames(1)
+    enc = rig.sink._encoders["sink_0"]
+    rig.sink.apply_bitrate(2_000_000)     # high bitrate: still applied
+    assert enc.mitigation_mode == "downscaled+downsampled"
+    assert int(enc.filter.caps[0].get("height")) == 240
+    assert enc._downsample
+
+
 def test_consumer_signals_and_sessions():
     rig = Rig()
     added, removed = [], []
