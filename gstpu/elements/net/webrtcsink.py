@@ -344,6 +344,12 @@ class WebRtcSink(Element):
         blurb="STUN server ('stun://host:port' or 'host:port'): each "
               "session transport gathers a server-reflexive "
               "candidate from it alongside the host candidate")
+    rtx_percentage = Property(
+        int, default=-1, minimum=-1, maximum=100,
+        mutable=Mutability.READY,
+        blurb="Bitrate headroom reserved for retransmissions: the "
+              "encoder allocation is scaled by 1/(1+pct/100); -1 = "
+              "no explicit reservation (reference rtx-percentage)")
     signaller_uri = Property(
         str, default="", mutable=Mutability.READY,
         blurb="ws:// signalling server to connect to at READY "
@@ -615,6 +621,8 @@ class WebRtcSink(Element):
             fec_ratio = 0.0
         fec_pct = fec_ratio * 50.0
         total = bitrate / (1.0 + fec_pct / 100.0)
+        if self.do_retransmission and self.rtx_percentage >= 0:
+            total /= 1.0 + self.rtx_percentage / 100.0
         per_encoder = int(total / len(encoders))
         # app override of the even split (reference
         # define-encoder-bitrates, imp.rs:4246-4267: handler gets the

@@ -204,6 +204,14 @@ def test_define_encoder_bitrates_override():
     assert rig.sink._encoders["sink_0"].bitrate == 123_000
 
 
+def test_rtx_percentage_scales_allocation():
+    rig = Rig(caps=BIG_CAPS, rtx_percentage=100, do_fec=False)
+    rig.push_frames(1)
+    rig.sink.apply_bitrate(2_000_000)
+    # 100% reservation halves the encoder share
+    assert rig.sink._encoders["sink_0"].bitrate == 1_000_000
+
+
 def test_configure_mitigation_caps_override():
     """A configure-mitigation-caps handler owns the ladder: a height
     field means DOWNSCALED, a framerate field means DOWNSAMPLED
