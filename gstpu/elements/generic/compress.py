@@ -155,20 +155,32 @@ class FlateDecompress(_DecompressBase):
         return [Buffer(tail)] if tail else []
 
 
-def _brotli_available() -> bool:
+def _brotli_backend():
+    """Best available full-entropy brotli backend, or None.
+
+    Order: python `brotli` module, then the in-image C libraries
+    (libbrotlienc/libbrotlidec via gstpu/codecs/brotli_ctypes.py —
+    same wrap-the-system-lib architecture as the sodium elements).
+    """
     try:
-        import brotli  # noqa: F401
-        return True
+        import brotli
+        return brotli
     except ImportError:
-        return False
+        pass
+    from gstpu.codecs import brotli_ctypes
+    if brotli_ctypes.available():
+        return brotli_ctypes
+    return None
 
 
 @register_element("brotlicompress", Rank.NONE)
 class BrotliCompress(_CompressBase):
-    """Brotli compressor. With a brotli module present it entropy-
-    codes at the configured quality; otherwise it emits RFC 7932
-    stored-mode streams (gstpu/codecs/brotli_rfc7932.py) — fully
-    conformant output any brotli decoder accepts."""
+    """Brotli compressor. Entropy-codes at the configured quality via
+    the python brotli module or the in-image libbrotlienc (RFC 7932
+    conformant, static dictionary included); with neither backend it
+    emits RFC 7932 stored-mode streams
+    (gstpu/codecs/brotli_rfc7932.py) — still conformant output any
+    brotli decoder accepts."""
 
     MEDIA_TYPES = (BROTLI_CAPS,)
     PAD_TEMPLATES = [
@@ -182,10 +194,10 @@ class BrotliCompress(_CompressBase):
                        mutable=Mutability.READY)
 
     def transform(self, buf: Buffer) -> Buffer:
-        if _brotli_available():
-            import brotli
-            data = brotli.compress(buf.to_bytes(),
-                                   quality=self.quality)
+        backend = _brotli_backend()
+        if backend is not None:
+            data = backend.compress(buf.to_bytes(),
+                                    quality=self.quality)
         else:
             from gstpu.codecs.brotli_rfc7932 import compress_stored
             data = compress_stored(buf.to_bytes())
@@ -194,11 +206,11 @@ class BrotliCompress(_CompressBase):
 
 @register_element("brotlidecompress", Rank.NONE)
 class BrotliDecompress(_DecompressBase):
-    """Brotli decompressor. With a brotli module present it decodes
-    any stream; otherwise the from-spec RFC 7932 decoder handles
-    stored-mode/metadata metablocks and errors clearly on prefix-
-    coded ones (their decode needs the Appendix A static dictionary,
-    literal data unavailable here)."""
+    """Brotli decompressor. Decodes any RFC 7932 stream via the
+    python brotli module or the in-image libbrotlidec; with neither
+    backend the from-spec RFC 7932 decoder handles stored-mode /
+    metadata metablocks and errors clearly on prefix-coded ones
+    (their decode needs the Appendix A static dictionary)."""
 
     MEDIA_TYPES = (BROTLI_CAPS,)
     PAD_TEMPLATES = [
@@ -209,9 +221,13 @@ class BrotliDecompress(_DecompressBase):
     ]
 
     def transform(self, buf: Buffer) -> Buffer:
-        if _brotli_available():
-            import brotli
-            data = brotli.decompress(buf.to_bytes())
+        backend = _brotli_backend()
+        if backend is not None:
+            try:
+                data = backend.decompress(buf.to_bytes())
+            except Exception as e:
+                self.post_error(f"brotlidecompress: {e}")
+                raise FlowError(FlowReturn.ERROR)
         else:
             from gstpu.codecs.brotli_rfc7932 import (BrotliError,
                                                      decompress)

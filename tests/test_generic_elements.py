@@ -280,3 +280,60 @@ def test_brotli_elements_pipeline_roundtrip():
     p.run()
     assert [b.to_bytes() for b in out.samples] == payloads
     p.set_state(State.NULL)
+
+
+def test_brotli_ctypes_backend_roundtrip():
+    """The in-image libbrotlienc/libbrotlidec backend (the one the
+    elements pick when the python module is absent) round-trips and
+    actually entropy-codes (compressible input shrinks)."""
+    import os
+    import pytest
+    from gstpu.codecs import brotli_ctypes
+    if not brotli_ctypes.available():
+        pytest.skip("libbrotli not in image")
+    for payload in (b"", b"x", b"hello brotli " * 400,
+                    os.urandom(70_000)):
+        enc = brotli_ctypes.compress(payload, quality=9)
+        assert brotli_ctypes.decompress(enc) == payload
+    big = b"the quick brown fox " * 2000
+    assert len(brotli_ctypes.compress(big)) < len(big) // 10
+
+
+def test_brotli_stored_mode_accepted_by_libbrotli():
+    """Independent-oracle check: the from-spec RFC 7932 stored-mode
+    writer's streams decode under the real brotli C library."""
+    import os
+    import pytest
+    from gstpu.codecs import brotli_ctypes
+    from gstpu.codecs.brotli_rfc7932 import compress_stored
+    if not brotli_ctypes.available():
+        pytest.skip("libbrotli not in image")
+    for payload in (b"", b"y", b"stored" * 333, os.urandom(66_000)):
+        assert brotli_ctypes.decompress(
+            compress_stored(payload)) == payload
+
+
+def test_brotli_elements_use_entropy_backend():
+    """With libbrotli present the element pair entropy-codes: the
+    wire buffers are far smaller than the payload, and the pipeline
+    still round-trips bit-exactly."""
+    import pytest
+    from gstpu import Buffer, State, parse_launch
+    from gstpu.codecs import brotli_ctypes
+    if not brotli_ctypes.available():
+        pytest.skip("libbrotli not in image")
+    p = parse_launch("appsrc name=in caps=application/x-test ! "
+                     "brotlicompress quality=9 ! appsink name=mid")
+    src, mid = p.get_by_name("in"), p.get_by_name("mid")
+    p.set_state(State.PLAYING)
+    payload = b"abcdefgh" * 8192
+    src.push_buffer(Buffer(payload))
+    src.end_of_stream()
+    p.run()
+    wire = [b.to_bytes() for b in mid.samples]
+    assert sum(len(w) for w in wire) < len(payload) // 20
+    p.set_state(State.NULL)
+    # each wire buffer is a complete RFC 7932 stream the C library
+    # decodes independently (element-level roundtrip is covered by
+    # test_brotli_elements_pipeline_roundtrip on the same backend)
+    assert b"".join(brotli_ctypes.decompress(w) for w in wire) == payload
