@@ -508,8 +508,10 @@ class Ffv1Enc(BaseTransform):
         return [np.asarray(d, np.int8) for d in dev_diffs]
 
     def _code(self, frame) -> Buffer:
-        fut, key, pts, duration, planes = frame
-        if planes is None:
+        fut, key, pts, duration, planes, mode = frame
+        if mode == "dev":
+            data = self._coder.encode_from_diff(key, fut.result())
+        elif mode == "packed":
             data = self._coder.encode_packed(key, fut.result())
         else:
             data = self._coder.encode_from_plane(key, planes,
@@ -519,24 +521,55 @@ class Ffv1Enc(BaseTransform):
             out.set_flag(BufferFlags.DELTA_UNIT)
         return out
 
+    def _device_planes(self, data):
+        """If the payload is DEVICE-RESIDENT (a jax array or a
+        DeviceRow from an upstream device chain), return its I420
+        planes as device views WITHOUT a host transfer; else None.
+        Device input takes the zero-upload path: only the 1 B/px
+        residual field ever crosses the link — the native coder
+        reconstructs the source from it (fe_encode_from_diff)."""
+        import jax
+        from gstpu.runtime.device_batch import DeviceRow
+        if isinstance(data, DeviceRow):
+            data = data.jax()
+        if not isinstance(data, jax.Array):
+            return None
+        info = self._info
+        flat = data.reshape(-1)
+        if flat.dtype != np.uint8:
+            raise ValueError("device ffv1enc input must be uint8 I420")
+        w, h = info.width, info.height
+        cw, ch = -(-w // 2), -(-h // 2)
+        y = flat[:w * h].reshape(h, w)
+        u = flat[w * h:w * h + cw * ch].reshape(ch, cw)
+        v = flat[w * h + cw * ch:w * h + 2 * cw * ch].reshape(ch, cw)
+        return [y, u, v]
+
     def transform(self, buf: Buffer) -> list[Buffer] | None:
-        planes = self._info.planes(buf)
         if self._coder is not None:
             key = (self._frame_n % self.gop) == 0
             self._frame_n += 1
-            if self.hop == "diff":
-                host = [np.ascontiguousarray(p, np.uint8)
-                        for p in planes]
+            dev_planes = self._device_planes(buf.data)
+            if dev_planes is not None:
+                host, mode = None, "dev"
+                dev = [self._pred.dispatch_diff(p) for p in dev_planes]
+                fut = self._dl.submit(self._materialize_diff, dev)
+            elif self.hop == "diff":
+                planes = self._info.planes(buf)
+                host, mode = [np.ascontiguousarray(p, np.uint8)
+                              for p in planes], "plane"
                 dev = [self._pred.dispatch_diff(p) for p in host]
                 fut = self._dl.submit(self._materialize_diff, dev)
             else:
-                host = None
+                planes = self._info.planes(buf)
+                host, mode = None, "packed"
                 dev = [self._pred.dispatch_packed(p) for p in planes]
                 fut = self._dl.submit(self._materialize, dev)
             prev = self._pending
-            self._pending = (fut, key, buf.pts, buf.duration, host)
+            self._pending = (fut, key, buf.pts, buf.duration, host,
+                             mode)
             return [self._code(prev)] if prev is not None else []
-        data, key = self._model.encode(list(planes))
+        data, key = self._model.encode(list(self._info.planes(buf)))
         self._frame_n += 1
         out = Buffer(data, pts=buf.pts, duration=buf.duration)
         if not key:

@@ -65,6 +65,12 @@ def load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int8),
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    L.fe_encode_from_diff.restype = ctypes.c_long
+    L.fe_encode_from_diff.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
     _LIB = L
     return L
 
@@ -188,6 +194,37 @@ class NativeFrameCoder:
             n = self._L.fe_encode_from_plane(
                 self._h, 1 if key else 0, len(planes),
                 pl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                diff.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                pw.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                ph.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+            if n >= 0:
+                return out[:n].tobytes()
+            if -n <= cap:
+                break
+            cap = -n
+        raise ValueError("ffv1 native encode failed")
+
+    def encode_from_diff(self, key: bool, diffs) -> bytes:
+        """The zero-upload hop for DEVICE-RESIDENT sources: `diffs`
+        are the device-computed folded residuals (int8 (h, w) per
+        plane) — the ONLY data that crosses the device->host link;
+        the native scan reconstructs the source plane inline from
+        them (FFV1 is lossless, RFC 9043 §3.8) and derives contexts
+        from the reconstruction.  Byte-identical output to
+        encode_from_plane on the true source."""
+        diff = np.ascontiguousarray(np.concatenate(
+            [np.asarray(d, np.int8).ravel() for d in diffs]))
+        clong = np.dtype(ctypes.c_long)
+        pw = np.ascontiguousarray(np.asarray(
+            [np.asarray(d).shape[1] for d in diffs], clong))
+        ph = np.ascontiguousarray(np.asarray(
+            [np.asarray(d).shape[0] for d in diffs], clong))
+        cap = diff.size * 2 + 4096
+        for _ in range(2):
+            out = np.empty(cap, np.uint8)
+            n = self._L.fe_encode_from_diff(
+                self._h, 1 if key else 0, len(diffs),
                 diff.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
                 pw.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
                 ph.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),

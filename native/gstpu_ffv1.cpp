@@ -432,5 +432,86 @@ long fe_encode_from_plane(void *h, int key, int nplanes,
     return len;
 }
 
+// Diff-only variant for DEVICE-RESIDENT sources: the host never sees
+// the source plane at all — the device ships ONLY the folded residual
+// field (1 byte/px, the minimal possible hop) and the coder
+// RECONSTRUCTS the plane inline as it scans, exactly as a decoder
+// would (FFV1 is lossless: residual + median prediction over
+// already-reconstructed neighbors recovers every sample bit-exactly,
+// RFC 9043 §3.8).  This removes the host->device source upload from
+// the loop entirely, which matters when frames originate on the
+// device (upstream device-resident chains) or ride a slow
+// host<->device link.  Per-pixel extra cost vs fe_encode_from_plane:
+// one median (3 cmp) + add + mask + store.  Bitstream is
+// byte-identical to the other entry points.
+long fe_encode_from_diff(void *h, int key, int nplanes,
+                         const int8_t *diff,
+                         const long *plane_w, const long *plane_h,
+                         uint8_t *out, long cap) {
+    Ffv1Enc *e = (Ffv1Enc *)h;
+    RangeEncoder c;
+    long total = 0, maxpx = 0;
+    for (int i = 0; i < nplanes; i++) {
+        total += plane_w[i] * plane_h[i];
+        if (plane_w[i] * plane_h[i] > maxpx)
+            maxpx = plane_w[i] * plane_h[i];
+    }
+    c.reserve((size_t)total / 2 + 4096);
+    uint8_t keystate[kCS];
+    std::memset(keystate, 128, kCS);
+    c.put_rac(keystate, key ? 1 : 0);
+    if (key) {
+        e->write_header(c);
+        e->reset_states();
+    } else if (e->states[0].empty()) {
+        return -1;  // first frame must be a keyframe
+    }
+    const std::vector<uint8_t> snap0 = e->states[0];
+    const std::vector<uint8_t> snap1 = e->states[1];
+    const int32_t *q0 = e->quant[0];
+    const int32_t *q1 = e->quant[1];
+    const int32_t *q2 = e->quant[2];
+    const int8_t *dp = diff;
+    std::vector<uint8_t> recon((size_t)maxpx);
+    std::vector<uint8_t> zrow;
+    for (int i = 0; i < nplanes; i++) {
+        uint8_t *bank = e->states[i == 0 ? 0 : 1].data();
+        const long w = plane_w[i], hgt = plane_h[i];
+        uint8_t *pp = recon.data();
+        if ((long)zrow.size() < w) zrow.assign((size_t)w, 0);
+        for (long y = 0; y < hgt; y++) {
+            uint8_t *row = pp + y * w;
+            const uint8_t *up = y > 0 ? pp + (y - 1) * w : zrow.data();
+            for (long x = 0; x < w; x++) {
+                const int T = up[x];
+                const int RT = x < w - 1 ? up[x + 1] : T;
+                const int L = x > 0 ? row[x - 1] : T;
+                const int LT = x > 0 ? up[x - 1]
+                    : (y > 1 ? pp[(y - 2) * w] : 0);
+                const int s = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF]
+                              + q2[(T - RT) & 0xFF];
+                const unsigned cx = (unsigned)(s < 0 ? -s : s);
+                const int d = dp[x];
+                c.put_symbol(bank + (size_t)cx * kCS, d, true);
+                // reconstruct: median(l, t, l+t-tl) + (sign ? -d : d)
+                const int grad = L + T - LT;
+                const int mn = L < T ? L : T, mx = L < T ? T : L;
+                const int pred = grad < mn ? mn : (grad > mx ? mx : grad);
+                row[x] = (uint8_t)((pred + (s < 0 ? -d : d)) & 0xFF);
+            }
+            dp += w;
+        }
+    }
+    c.terminate();
+    long len = (long)c.size();
+    if (len > cap) {
+        e->states[0] = snap0;
+        e->states[1] = snap1;
+        return -len;
+    }
+    std::memcpy(out, c.buf, (size_t)len);
+    return len;
+}
+
 }  // extern "C"
 

@@ -18,6 +18,7 @@ import numpy as np
 import pytest
 
 from gstpu.codecs import ffv1
+from gstpu.core.buffer import Buffer
 
 W, H = 89, 51          # odd sizes exercise the ceil-chroma borders
 
@@ -194,6 +195,67 @@ def test_plane_ctx_byte_identical():
             assert got == want, (w, h, i)
         a.close()
         b.close()
+
+
+@pytest.mark.skipif(not _have_native_coder(),
+                    reason="native ffv1 coder unavailable")
+def test_diff_only_byte_identical():
+    """The zero-upload device hop (fe_encode_from_diff: the host sees
+    ONLY the residual field and reconstructs the source inline, as a
+    decoder would) must be byte-identical to every other entry point —
+    inter frames (persistent context states), border rules and odd
+    widths included."""
+    from gstpu.native_ffv1 import NativeFrameCoder
+    from gstpu.ops.ffv1_pred import Predictor
+    for w, h in [(W, H), (64, 48), (1, 7), (7, 1)]:
+        p = ffv1.Params(w, h)
+        pred = Predictor(p.quant)
+        a, b = NativeFrameCoder(p), NativeFrameCoder(p)
+        for i, planes in enumerate(_frames(3, w, h, seed=13)):
+            fields = [ffv1.predict_plane(pl, p.quant) for pl in planes]
+            want = a.encode(i == 0, [c for c, _ in fields],
+                            [d for _, d in fields])
+            diffs = [np.asarray(pred.dispatch_diff(pl))
+                     for pl in planes]
+            got = b.encode_from_diff(i == 0, diffs)
+            assert got == want, (w, h, i)
+        a.close()
+        b.close()
+
+
+@pytest.mark.skipif(not _have_native_coder(),
+                    reason="native ffv1 coder unavailable")
+def test_ffv1enc_device_resident_input_byte_identical():
+    """Pushing DEVICE-RESIDENT frames (jax arrays) through the ffv1enc
+    element must produce the same bitstream as host frames: the
+    element routes them through the zero-upload fe_encode_from_diff
+    path, where only 1 B/px ever crosses the device->host link."""
+    import jax.numpy as jnp
+    from gstpu.core.caps import Caps
+    from gstpu.core.registry import make
+    from gstpu.core.video import VideoInfo
+    w, h = 112, 80
+    vi = VideoInfo("I420", w, h)
+    incaps = Caps.from_string(
+        f"video/x-raw, format=I420, width={w}, height={h}, "
+        f"framerate=25/1")
+    frames = [np.concatenate([pl.ravel() for pl in planes])
+              for planes in _frames(3, w, h, seed=17)]
+
+    def run(payloads):
+        enc = make("ffv1enc")
+        enc.set_caps(incaps, Caps.new("video/x-ffv1"))
+        assert enc._coder is not None
+        out = []
+        for i, f in enumerate(payloads):
+            out += enc.transform(Buffer(f, pts=i))
+        out += enc.drain()
+        enc.stop()
+        return [b.to_bytes() for b in out]
+
+    host = run(frames)
+    dev = run([jnp.asarray(f) for f in frames])
+    assert dev == host
 
 
 @pytest.mark.skipif(not _have_native_coder(),
