@@ -214,9 +214,16 @@ class Rav1Enc(BaseTransform):
             opts["svtav1-params"] = ":".join(params)
             return "libsvtav1", opts
         if self._engine_active == "aom":
-            opts = {"cpu-used": min(8, speed),
-                    "usage": "realtime" if speed >= 7 else "good",
-                    "lag-in-frames": 0 if self.low_latency else 8,
+            realtime = speed >= 7
+            # realtime usage unlocks cpu-used 9-11 (libaom >= 3.6);
+            # rav1e speed 7..10 maps onto the top of that range —
+            # the single-host-core regime BASELINE config #5 lives in
+            opts = {"cpu-used": (min(11, speed + 1) if realtime
+                                 else min(8, speed)),
+                    "usage": "realtime" if realtime else "good",
+                    # realtime usage requires zero lookahead
+                    "lag-in-frames": (0 if realtime or self.low_latency
+                                      else 8),
                     "g": self.max_key_frame_interval,
                     "threads": 1}
             if bitrate > 0:
@@ -507,10 +514,19 @@ class Ffv1Enc(BaseTransform):
         import numpy as np
         return [np.asarray(d, np.int8) for d in dev_diffs]
 
+    def _split_i420(self, flat: np.ndarray):
+        info = self._info
+        w, h = info.width, info.height
+        cw, ch = -(-w // 2), -(-h // 2)
+        return [flat[:w * h].reshape(h, w),
+                flat[w * h:w * h + cw * ch].reshape(ch, cw),
+                flat[w * h + cw * ch:].reshape(ch, cw)]
+
     def _code(self, frame) -> Buffer:
         fut, key, pts, duration, planes, mode = frame
         if mode == "dev":
-            data = self._coder.encode_from_diff(key, fut.result())
+            data = self._coder.encode_from_diff(
+                key, self._split_i420(fut.result()[0]))
         elif mode == "packed":
             data = self._coder.encode_packed(key, fut.result())
         else:
@@ -521,38 +537,34 @@ class Ffv1Enc(BaseTransform):
             out.set_flag(BufferFlags.DELTA_UNIT)
         return out
 
-    def _device_planes(self, data):
+    def _device_flat(self, data):
         """If the payload is DEVICE-RESIDENT (a jax array or a
-        DeviceRow from an upstream device chain), return its I420
-        planes as device views WITHOUT a host transfer; else None.
-        Device input takes the zero-upload path: only the 1 B/px
-        residual field ever crosses the link — the native coder
-        reconstructs the source from it (fe_encode_from_diff)."""
+        DeviceRow from an upstream device chain), return it as a flat
+        device view WITHOUT a host transfer; else None.  Device input
+        takes the zero-upload path: only the 1 B/px residual field
+        ever crosses the link — one fused dispatch and one download
+        per frame — and the native coder reconstructs the source from
+        it (fe_encode_from_diff)."""
         import jax
         from gstpu.runtime.device_batch import DeviceRow
         if isinstance(data, DeviceRow):
             data = data.jax()
         if not isinstance(data, jax.Array):
             return None
-        info = self._info
         flat = data.reshape(-1)
         if flat.dtype != np.uint8:
             raise ValueError("device ffv1enc input must be uint8 I420")
-        w, h = info.width, info.height
-        cw, ch = -(-w // 2), -(-h // 2)
-        y = flat[:w * h].reshape(h, w)
-        u = flat[w * h:w * h + cw * ch].reshape(ch, cw)
-        v = flat[w * h + cw * ch:w * h + 2 * cw * ch].reshape(ch, cw)
-        return [y, u, v]
+        return flat
 
     def transform(self, buf: Buffer) -> list[Buffer] | None:
         if self._coder is not None:
             key = (self._frame_n % self.gop) == 0
             self._frame_n += 1
-            dev_planes = self._device_planes(buf.data)
-            if dev_planes is not None:
+            dev_flat = self._device_flat(buf.data)
+            if dev_flat is not None:
                 host, mode = None, "dev"
-                dev = [self._pred.dispatch_diff(p) for p in dev_planes]
+                dev = [self._pred.dispatch_diff_i420(
+                    dev_flat, self._info.width, self._info.height)]
                 fut = self._dl.submit(self._materialize_diff, dev)
             elif self.hop == "diff":
                 planes = self._info.planes(buf)

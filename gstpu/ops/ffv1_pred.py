@@ -85,6 +85,24 @@ def predict_fields_packed(plane: jax.Array, q0: jax.Array, q1: jax.Array,
     return diff, lo, hip
 
 
+@partial(jax.jit, static_argnames=("w", "h", "bits"))
+def predict_fields_i420(flat: jax.Array, q0: jax.Array, q1: jax.Array,
+                        q2: jax.Array, w: int, h: int, bits: int = 8):
+    """Whole-frame fused pass for a flat I420 buffer: all three
+    planes' folded residuals as ONE (n,) int8 array.  One device
+    dispatch + one download per frame instead of three — per-call
+    link/RPC overhead is the dominant cost of the split on a
+    host-mediated device link, so the hop count matters as much as
+    the byte count."""
+    cw, ch = -(-w // 2), -(-h // 2)
+    y = flat[:w * h].reshape(h, w)
+    u = flat[w * h:w * h + cw * ch].reshape(ch, cw)
+    v = flat[w * h + cw * ch:w * h + 2 * cw * ch].reshape(ch, cw)
+    parts = [predict_fields(p, q0, q1, q2, bits=bits)[1].reshape(-1)
+             for p in (y, u, v)]
+    return jnp.concatenate(parts)
+
+
 class Predictor:
     """Per-resolution cached device pass for the ffv1enc element."""
 
@@ -113,6 +131,12 @@ class Predictor:
         residual only; fe_encode_from_plane re-derives contexts from
         the host-resident source plane."""
         return predict_fields(jnp.asarray(plane), *self.q)[1]
+
+    def dispatch_diff_i420(self, flat, w: int, h: int):
+        """Async dispatch of a whole flat I420 frame (device-resident
+        or host) to one fused residual pass: one dispatch, one (n,)
+        int8 download for all three planes."""
+        return predict_fields_i420(jnp.asarray(flat), *self.q, w=w, h=h)
 
     def batched(self, planes: np.ndarray):
         ctx, diff = predict_fields_batched(jnp.asarray(planes), *self.q)
