@@ -61,13 +61,56 @@ def _enable_compile_cache() -> None:
         pass                      # older jax: defaults are fine
 
 
-def _device_watchdog(timeout_s: float = 240.0):
-    """Fail fast if the TPU runtime never materializes.
+def _wait_for_device(window_s: float | None = None,
+                     probe_timeout_s: float = 90.0) -> None:
+    """Bounded wait-and-retry for the TPU tunnel (VERDICT r4 #2).
 
     The axon tunnel's client retries device discovery forever when
-    the remote side is down, which would hang the driver's
-    end-of-round bench run indefinitely; a hard exit with a clear
-    note is recoverable, a silent multi-hour hang is not.  Returns a
+    the remote side is down; round 4's single 240 s fail-fast meant
+    one transient flap voided the whole round's driver capture.
+    Instead: probe for a device in a SUBPROCESS (so a hung tunnel
+    client can't wedge this process) every ~probe_timeout_s, for up
+    to window_s total.  First successful probe → return; window
+    exhausted → exit 2 with a clear note (recoverable by the driver,
+    unlike a silent multi-hour hang).  Measurement-discipline
+    analogue: /root/reference/ci/run-cargo-test.sh:19-28."""
+    import os
+    import subprocess
+    import time as _time
+
+    if window_s is None:
+        window_s = float(os.environ.get("GSTPU_BENCH_WAIT_S", 900))
+    deadline = _time.monotonic() + window_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d=jax.devices(); print(len(d), d[0].platform)"],
+                capture_output=True, text=True, timeout=probe_timeout_s)
+            if r.returncode == 0 and r.stdout.strip():
+                print(f"bench: device probe ok (attempt {attempt}): "
+                      f"{r.stdout.strip()}", file=sys.stderr, flush=True)
+                return
+            note = (r.stderr or r.stdout).strip().splitlines()[-1:]
+            print(f"bench: device probe failed (attempt {attempt}): "
+                  f"{note}", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"bench: device probe hung >{probe_timeout_s:.0f}s "
+                  f"(attempt {attempt}) — tunnel likely down, retrying",
+                  file=sys.stderr, flush=True)
+        if _time.monotonic() >= deadline:
+            print(f"bench: no usable jax device within {window_s:.0f}s "
+                  f"({attempt} probes) — aborting instead of hanging",
+                  file=sys.stderr, flush=True)
+            raise SystemExit(2)
+        _time.sleep(min(15.0, max(1.0, deadline - _time.monotonic())))
+
+
+def _device_watchdog(timeout_s: float = 240.0):
+    """Backstop: hard-exit if the in-process jax init still hangs
+    AFTER a probe subprocess already saw a live device.  Returns a
     cancel() to call once devices are live."""
     import os
     import threading
@@ -86,12 +129,15 @@ def _device_watchdog(timeout_s: float = 240.0):
 
 
 def main() -> None:
+    quick = "--quick" in sys.argv[1:] or bool(
+        __import__("os").environ.get("GSTPU_BENCH_QUICK"))
+    _wait_for_device()
     cancel_watchdog = _device_watchdog()
     import jax
     _enable_compile_cache()
     jax.config.update("jax_enable_x64", True)
-    print(f"bench: devices {jax.devices()}", file=sys.stderr,
-          flush=True)
+    print(f"bench: devices {jax.devices()}"
+          + (" [quick]" if quick else ""), file=sys.stderr, flush=True)
     cancel_watchdog()
     import jax.numpy as jnp
     from gstpu.parallel.chains import make_audiofx_exact_chain
@@ -139,19 +185,20 @@ def main() -> None:
     # input bank: 12 distinct realistic frames pre-uploaded to HBM and
     # cycled (production feeds via double-buffered H2D; the dev tunnel
     # is 45 MB/s, so uploading per-step would measure the tunnel).
-    keys = jax.random.split(key, 13)
+    n_bank = 4 if quick else 12
+    keys = jax.random.split(key, n_bank + 1)
     bank = [_make_signal(n_step, jnp.float64(300.0 + 40 * k),
-                         keys[k + 1]) for k in range(12)]
+                         keys[k + 1]) for k in range(n_bank)]
     for fr in bank:
         fr.block_until_ready()
-    for k in range(6):                            # settle the gain
-        state, out, meters = step(state, bank[k % 12], inten, fb)
+    for k in range(3 if quick else 6):            # settle the gain
+        state, out, meters = step(state, bank[k % n_bank], inten, fb)
     float(checksum(out))
 
-    iters = 20
+    iters = 8 if quick else 20
     t0 = time.perf_counter()
     for i in range(iters):
-        state, out, meters = step(state, bank[i % 12], inten, fb)
+        state, out, meters = step(state, bank[i % n_bank], inten, fb)
     float(checksum(out))
     wall = time.perf_counter() - t0
 
@@ -165,6 +212,8 @@ def main() -> None:
     # Lane-0 inputs are identical in both runs; per-stream math must
     # not depend on batch size (element == chain identity).
     try:
+        if quick:
+            raise RuntimeError("--quick: self-check elided")
         state1 = init(1)
         stateB = init(B)
         state1, f1 = prime(state1, x0[:1], inten, fb)

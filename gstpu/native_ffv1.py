@@ -141,8 +141,9 @@ class NativeFrameCoder:
     def encode_packed(self, key: bool, fields) -> bytes:
         """fields: per-plane (diff int8 (h,w), lo uint8 (h,w),
         hi4 uint8 (h, ceil(w/4))) triples from
-        ops.ffv1_pred.predict_fields_packed — 2.25 bytes/px off the
-        device.  Byte-identical output to encode() on the unpacked
+        ops.ffv1_pred.predict_fields_packed_stair (or
+        Predictor.dispatch_packed) — 2.25 bytes/px off the device.
+        Byte-identical output to encode() on the unpacked
         equivalents."""
         diff = np.ascontiguousarray(np.concatenate(
             [np.asarray(d, np.int8).ravel() for d, _, _ in fields]))

@@ -27,7 +27,7 @@ bit-exactly by libavcodec's ffv1 decoder (tests/test_ffv1enc.py).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -40,8 +40,15 @@ def staircase(table):
     (base, thresholds, steps) over the signed difference d8 in
     [-128, 127] (the byte index is d & 0xFF, i.e. two's complement),
     so that  table[d & 0xFF] == base + sum_i steps[i] * (d8 >= ts[i]).
-    Returns None if the table is not a monotone staircase."""
-    tab = np.asarray(table, np.int64)[np.arange(-128, 128) & 0xFF]
+    Returns None if the table is not a monotone staircase.
+    Memoized per table contents (a per-frame host cost otherwise if
+    callers loop over the back-compat `predict_fields` entry)."""
+    return _staircase_cached(np.asarray(table, np.int64).tobytes())
+
+
+@lru_cache(maxsize=64)
+def _staircase_cached(tab_bytes: bytes):
+    tab = np.frombuffer(tab_bytes, np.int64)[np.arange(-128, 128) & 0xFF]
     d = np.diff(tab)
     if (d < 0).any():
         return None
@@ -49,6 +56,22 @@ def staircase(table):
     ts = tuple(int(v) for v in np.arange(-128, 128)[idx + 1])
     steps = tuple(int(v) for v in d[idx])
     return (int(tab[0]), ts, steps)
+
+
+def pack_ctx_hi4(ctx):
+    """Split a uint16 context field into the 2.25-bytes/px hop layout
+    used by fe_encode_packed: (ctx & 0xFF uint8 (H,W), high 2 bits
+    packed 4-per-byte uint8 (H, ceil(W/4))).  Contexts are <= 10 bits
+    (666 for the default 8-bit quant tables), so 2 high bits
+    suffice."""
+    lo = (ctx & 0xFF).astype(jnp.uint8)
+    hi = (ctx >> 8).astype(jnp.uint8)
+    pad = (-ctx.shape[1]) % 4
+    hi = jnp.pad(hi, ((0, 0), (0, pad)))
+    h4 = hi.reshape(hi.shape[0], -1, 4)
+    hip = (h4[..., 0] | (h4[..., 1] << 2)
+           | (h4[..., 2] << 4) | (h4[..., 3] << 6)).astype(jnp.uint8)
+    return lo, hip
 
 
 def _neighbors(p):
@@ -145,13 +168,7 @@ def predict_fields_packed_stair(plane, stair, bits: int = 8):
     (666 for the default 8-bit quant tables), so 2 high bits suffice;
     the native coder (fe_encode_packed) reassembles them inline."""
     ctx, diff = predict_fields_stair(plane, stair, bits=bits)
-    lo = (ctx & 0xFF).astype(jnp.uint8)
-    hi = (ctx >> 8).astype(jnp.uint8)
-    pad = (-plane.shape[1]) % 4
-    hi = jnp.pad(hi, ((0, 0), (0, pad)))
-    h4 = hi.reshape(hi.shape[0], -1, 4)
-    hip = (h4[..., 0] | (h4[..., 1] << 2)
-           | (h4[..., 2] << 4) | (h4[..., 3] << 6)).astype(jnp.uint8)
+    lo, hip = pack_ctx_hi4(ctx)
     return diff, lo, hip
 
 
@@ -204,13 +221,7 @@ class Predictor:
             return predict_fields_packed_stair(jnp.asarray(plane),
                                                self.stair)
         ctx, diff = predict_fields_gather(jnp.asarray(plane), *self.q)
-        lo = (ctx & 0xFF).astype(jnp.uint8)
-        hi = (ctx >> 8).astype(jnp.uint8)
-        pad = (-plane.shape[1]) % 4
-        hi = jnp.pad(hi, ((0, 0), (0, pad)))
-        h4 = hi.reshape(hi.shape[0], -1, 4)
-        hip = (h4[..., 0] | (h4[..., 1] << 2)
-               | (h4[..., 2] << 4) | (h4[..., 3] << 6)).astype(jnp.uint8)
+        lo, hip = pack_ctx_hi4(ctx)
         return diff, lo, hip
 
     def dispatch_diff(self, plane: np.ndarray):

@@ -124,6 +124,52 @@ def test_device_pass_matches_spec_model():
         assert np.array_equal(d_np.astype(np.int8), db[i])
 
 
+def test_gather_fallback_matches_spec_model():
+    """A deliberately NON-monotone quant table must route every
+    Predictor entry point through the gather fallback (staircase()
+    returns None) and still match the numpy spec model exactly
+    (ADVICE r4: this path previously shipped without CI coverage)."""
+    from gstpu.ops.ffv1_pred import Predictor, staircase
+    p = ffv1.Params(W, H)
+    quant = [np.array(t, np.int64).copy() for t in p.quant]
+    # swap two adjacent distinct values in the d8 ordering of table 0
+    order = np.arange(-128, 128) & 0xFF
+    quant[0][order[10]], quant[0][order[11]] = \
+        int(quant[0][order[11]]) + 1, int(quant[0][order[10]])
+    assert staircase(quant[0]) is None
+    pred = Predictor(quant)
+    assert pred.stair is None
+    rng = np.random.default_rng(7)
+    pl = rng.integers(0, 256, (H, W), np.uint8)
+    c_np, d_np = ffv1.predict_plane(pl, quant)
+    c_dv, d_dv = pred(pl)                                # __call__
+    assert np.array_equal(c_np, c_dv)
+    assert np.array_equal(d_np.astype(np.int8), d_dv)
+    diff, lo, hip = (np.asarray(a) for a in pred.dispatch_packed(pl))
+    assert np.array_equal(diff, d_np.astype(np.int8))
+    hi = np.zeros((H, W), np.uint16)
+    for k in range(4):
+        col = np.arange(hip.shape[1]) * 4 + k
+        keep = col < W
+        hi[:, col[keep]] = ((hip[:, keep] >> (2 * k)) & 3).astype(
+            np.uint16)
+    assert np.array_equal(lo.astype(np.uint16) | (hi << 8), c_np)
+    assert np.array_equal(np.asarray(pred.dispatch_diff(pl)),
+                          d_np.astype(np.int8))
+    planes = _frames(1, W, H, seed=3)[0]
+    flat = np.concatenate([q.ravel() for q in planes])
+    want = np.concatenate([ffv1.predict_plane(q, quant)[1]
+                           .astype(np.int8).ravel() for q in planes])
+    got = np.asarray(pred.dispatch_diff_i420(flat, W, H))
+    assert np.array_equal(got, want)                     # _i420_gather
+    stack = rng.integers(0, 256, (2, 17, 23), np.uint8)
+    cb, db = pred.batched(stack)
+    for i in range(2):
+        c1, d1 = ffv1.predict_plane(stack[i], quant)
+        assert np.array_equal(c1, cb[i])
+        assert np.array_equal(d1.astype(np.int8), db[i])
+
+
 def _have_native_coder():
     try:
         from gstpu.native_ffv1 import available
