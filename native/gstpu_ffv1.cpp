@@ -59,6 +59,81 @@ struct StateTables {
 
 const StateTables kTab;
 
+// one[]/zero[] fused into a bit-indexed bank so the hot path's state
+// transition is a single unpredicated load: kTab2.t[bit][s]
+struct StateTables2 {
+    uint8_t t[2][256];
+    StateTables2() {
+        std::memcpy(t[1], kTab.one, 256);
+        std::memcpy(t[0], kTab.zero, 256);
+    }
+};
+const StateTables2 kTab2;
+
+// ---- register-resident coder core -----------------------------------
+// The per-sample hot path writes through uint8_t pointers (adaptive
+// states, output bytes); char-typed stores may alias ANY object, so a
+// member-field coder (`this->low`, `this->range`, `this->p`) is forced
+// to reload its state from memory after every such store.  Keeping the
+// coder state in a local struct whose address never escapes lets the
+// compiler promote low/range/p to registers across the whole plane
+// scan — the single biggest lever on the one-core entropy throughput
+// this encoder's TPU split leaves on the host (VERDICT r4 #1).
+struct Bits {
+    uint32_t low;
+    uint32_t range;
+    uint8_t *p;
+    int ob;           // outstanding_byte (-1 = none)
+    uint64_t oc;      // outstanding_count
+};
+
+static inline void bits_renorm(Bits &b) {
+    while (b.range < 0x100) {
+        if (b.ob < 0) {
+            b.ob = (int)(b.low >> 8);
+        } else if (b.low <= 0xFF00) {
+            *b.p++ = (uint8_t)b.ob;
+            while (b.oc) { *b.p++ = 0xFF; b.oc--; }
+            b.ob = (int)(b.low >> 8);
+        } else if (b.low >= 0x10000) {
+            *b.p++ = (uint8_t)(b.ob + 1);
+            while (b.oc) { *b.p++ = 0x00; b.oc--; }
+            b.ob = (int)((b.low >> 8) & 0xFF);
+        } else {
+            b.oc++;
+        }
+        b.low = (b.low & 0xFF) << 8;
+        b.range <<= 8;
+    }
+}
+
+static inline void bits_put(Bits &b, uint8_t *state, unsigned bit) {
+    const uint32_t s = *state;
+    const uint32_t r1 = (b.range * s) >> 8;
+    // branchless select: low += bit ? range - r1 : 0; range = bit ? r1
+    // : range - r1 — the bit stream is near-max-entropy, so a branch
+    // here mispredicts constantly
+    const uint32_t d = b.range - r1;
+    b.low += d & (0u - bit);
+    b.range = bit ? r1 : d;
+    *state = kTab2.t[bit][s];
+    if (__builtin_expect(b.range < 0x100, 0)) bits_renorm(b);
+}
+
+// signed 8-bit symbol (folded residual in [-128, 127]): e <= 7, so the
+// spec's i<9 exponent clamps are statically dead
+static inline void bits_put_symbol8(Bits &b, uint8_t *st, int v) {
+    if (v == 0) { bits_put(b, st + 0, 1); return; }
+    bits_put(b, st + 0, 0);
+    const int a = v < 0 ? -v : v;
+    const int e = 31 - __builtin_clz((unsigned)a);
+    for (int i = 0; i < e; i++) bits_put(b, st + 1 + i, 1);
+    bits_put(b, st + 1 + e, 0);
+    for (int i = e - 1; i >= 0; i--)
+        bits_put(b, st + 22 + i, (unsigned)((a >> i) & 1));
+    bits_put(b, st + 11 + e, v < 0 ? 1u : 0u);
+}
+
 struct RangeEncoder {
     // raw-pointer output: `put` writes are the per-sample hot path and
     // must not pay vector capacity checks.  Caller guarantees cap via
@@ -156,7 +231,33 @@ struct RangeEncoder {
     }
 
     size_t size() const { return (size_t)(p - buf); }
+
+    // ---- register-core bridging (hot plane loops run on `Bits`) ----
+    Bits bits() const {
+        return Bits{low, range, p, outstanding_byte, outstanding_count};
+    }
+    void sync(const Bits &b) {
+        low = b.low;
+        range = b.range;
+        p = b.p;
+        outstanding_byte = b.ob;
+        outstanding_count = b.oc;
+    }
+    void grow_big(uint64_t extra) {
+        size_t used = (size_t)(p - buf);
+        owned.resize(owned.size() * 2 + (size_t)extra + 4096);
+        buf = owned.data();
+        p = buf + used;
+        end = buf + owned.size();
+    }
 };
+
+// per-pixel headroom check for the register core: covers the worst
+// case one 8-bit symbol can emit (~34 B) plus any deferred
+// outstanding-byte run that the next flush would write at once
+static inline bool bits_need_grow(const Bits &b, const uint8_t *bend) {
+    return __builtin_expect((uint64_t)(bend - b.p) < 64 + b.oc, 0);
+}
 
 constexpr int kCS = 32;  // CONTEXT_SIZE
 
@@ -251,22 +352,29 @@ long fe_encode(void *h, int key, int nplanes,
     const std::vector<uint8_t> snap1 = e->states[1];
     const unsigned ccount = (unsigned)e->context_count;
     long off = 0;
+    Bits b = c.bits();
     for (int i = 0; i < nplanes; i++) {
         uint8_t *bank = e->states[i == 0 ? 0 : 1].data();
         const uint16_t *cp = ctx + off;
         const int8_t *dp = diff + off;
         const long n = plane_px[i];
         for (long k = 0; k < n; k++) {
+            if (bits_need_grow(b, c.end)) {
+                c.sync(b);
+                c.grow_big(b.oc);
+                b = c.bits();
+            }
             unsigned cx = cp[k];
             if (__builtin_expect(cx >= ccount, 0)) {
                 e->states[0] = snap0;
                 e->states[1] = snap1;
                 return -1;
             }
-            c.put_symbol(bank + (size_t)cx * kCS, dp[k], true);
+            bits_put_symbol8(b, bank + (size_t)cx * kCS, dp[k]);
         }
         off += n;
     }
+    c.sync(b);
     c.terminate();
     long len = (long)c.size();
     if (len > cap) {
@@ -308,6 +416,7 @@ long fe_encode_packed(void *h, int key, int nplanes,
     const int8_t *dp = diff;
     const uint8_t *lp = lo;
     const uint8_t *hp = hi4;
+    Bits b = c.bits();
     for (int i = 0; i < nplanes; i++) {
         uint8_t *bank = e->states[i == 0 ? 0 : 1].data();
         const long w = plane_w[i], hgt = plane_h[i];
@@ -315,6 +424,11 @@ long fe_encode_packed(void *h, int key, int nplanes,
         for (long y = 0; y < hgt; y++) {
             const uint8_t *hrow = hp + y * hs;
             for (long x = 0; x < w; x++) {
+                if (bits_need_grow(b, c.end)) {
+                    c.sync(b);
+                    c.grow_big(b.oc);
+                    b = c.bits();
+                }
                 unsigned cx = (unsigned)lp[x]
                     | ((unsigned)((hrow[x >> 2] >> ((x & 3) * 2)) & 3)
                        << 8);
@@ -323,13 +437,14 @@ long fe_encode_packed(void *h, int key, int nplanes,
                     e->states[1] = snap1;
                     return -1;
                 }
-                c.put_symbol(bank + (size_t)cx * kCS, dp[x], true);
+                bits_put_symbol8(b, bank + (size_t)cx * kCS, dp[x]);
             }
             dp += w;
             lp += w;
         }
         hp += hs * hgt;
     }
+    c.sync(b);
     c.terminate();
     long len = (long)c.size();
     if (len > cap) {
@@ -378,6 +493,7 @@ long fe_encode_from_plane(void *h, int key, int nplanes,
     const int8_t *dp = diff;
     const uint8_t *pp = planes;
     std::vector<uint8_t> zrow;
+    Bits b = c.bits();
     for (int i = 0; i < nplanes; i++) {
         uint8_t *bank = e->states[i == 0 ? 0 : 1].data();
         const long w = plane_w[i], hgt = plane_h[i];
@@ -387,6 +503,11 @@ long fe_encode_from_plane(void *h, int key, int nplanes,
             const uint8_t *up = y > 0 ? pp + (y - 1) * w : zrow.data();
             // x = 0: l = t, tl = two rows up
             {
+                if (bits_need_grow(b, c.end)) {
+                    c.sync(b);
+                    c.grow_big(b.oc);
+                    b = c.bits();
+                }
                 const int T = up[0];
                 const int RT = w > 1 ? up[1] : up[0];
                 const int L = T;
@@ -394,9 +515,14 @@ long fe_encode_from_plane(void *h, int key, int nplanes,
                 int s = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF]
                         + q2[(T - RT) & 0xFF];
                 unsigned cx = (unsigned)(s < 0 ? -s : s);
-                c.put_symbol(bank + (size_t)cx * kCS, dp[0], true);
+                bits_put_symbol8(b, bank + (size_t)cx * kCS, dp[0]);
             }
             for (long x = 1; x < w - 1; x++) {
+                if (bits_need_grow(b, c.end)) {
+                    c.sync(b);
+                    c.grow_big(b.oc);
+                    b = c.bits();
+                }
                 const int T = up[x];
                 const int RT = up[x + 1];
                 const int L = row[x - 1];
@@ -404,9 +530,14 @@ long fe_encode_from_plane(void *h, int key, int nplanes,
                 int s = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF]
                         + q2[(T - RT) & 0xFF];
                 unsigned cx = (unsigned)(s < 0 ? -s : s);
-                c.put_symbol(bank + (size_t)cx * kCS, dp[x], true);
+                bits_put_symbol8(b, bank + (size_t)cx * kCS, dp[x]);
             }
             if (w > 1) {  // x = w-1: tr = t
+                if (bits_need_grow(b, c.end)) {
+                    c.sync(b);
+                    c.grow_big(b.oc);
+                    b = c.bits();
+                }
                 const long x = w - 1;
                 const int T = up[x];
                 const int RT = T;
@@ -415,12 +546,13 @@ long fe_encode_from_plane(void *h, int key, int nplanes,
                 int s = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF]
                         + q2[(T - RT) & 0xFF];
                 unsigned cx = (unsigned)(s < 0 ? -s : s);
-                c.put_symbol(bank + (size_t)cx * kCS, dp[x], true);
+                bits_put_symbol8(b, bank + (size_t)cx * kCS, dp[x]);
             }
             dp += w;
         }
         pp += w * hgt;
     }
+    c.sync(b);
     c.terminate();
     long len = (long)c.size();
     if (len > cap) {
@@ -474,6 +606,7 @@ long fe_encode_from_diff(void *h, int key, int nplanes,
     const int8_t *dp = diff;
     std::vector<uint8_t> recon((size_t)maxpx);
     std::vector<uint8_t> zrow;
+    Bits b = c.bits();
     for (int i = 0; i < nplanes; i++) {
         uint8_t *bank = e->states[i == 0 ? 0 : 1].data();
         const long w = plane_w[i], hgt = plane_h[i];
@@ -482,18 +615,63 @@ long fe_encode_from_diff(void *h, int key, int nplanes,
         for (long y = 0; y < hgt; y++) {
             uint8_t *row = pp + y * w;
             const uint8_t *up = y > 0 ? pp + (y - 1) * w : zrow.data();
-            for (long x = 0; x < w; x++) {
+            {   // x = 0: l = t, tl = two rows up
+                if (bits_need_grow(b, c.end)) {
+                    c.sync(b);
+                    c.grow_big(b.oc);
+                    b = c.bits();
+                }
+                const int T = up[0];
+                const int RT = w > 1 ? up[1] : T;
+                const int L = T;
+                const int LT = y > 1 ? pp[(y - 2) * w] : 0;
+                const int s = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF]
+                              + q2[(T - RT) & 0xFF];
+                const unsigned cx = (unsigned)(s < 0 ? -s : s);
+                const int d = dp[0];
+                bits_put_symbol8(b, bank + (size_t)cx * kCS, d);
+                const int grad = L + T - LT;
+                const int mn = L < T ? L : T, mx = L < T ? T : L;
+                const int pred = grad < mn ? mn : (grad > mx ? mx : grad);
+                row[0] = (uint8_t)((pred + (s < 0 ? -d : d)) & 0xFF);
+            }
+            for (long x = 1; x < w - 1; x++) {
+                if (bits_need_grow(b, c.end)) {
+                    c.sync(b);
+                    c.grow_big(b.oc);
+                    b = c.bits();
+                }
                 const int T = up[x];
-                const int RT = x < w - 1 ? up[x + 1] : T;
-                const int L = x > 0 ? row[x - 1] : T;
-                const int LT = x > 0 ? up[x - 1]
-                    : (y > 1 ? pp[(y - 2) * w] : 0);
+                const int RT = up[x + 1];
+                const int L = row[x - 1];
+                const int LT = up[x - 1];
                 const int s = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF]
                               + q2[(T - RT) & 0xFF];
                 const unsigned cx = (unsigned)(s < 0 ? -s : s);
                 const int d = dp[x];
-                c.put_symbol(bank + (size_t)cx * kCS, d, true);
+                bits_put_symbol8(b, bank + (size_t)cx * kCS, d);
                 // reconstruct: median(l, t, l+t-tl) + (sign ? -d : d)
+                const int grad = L + T - LT;
+                const int mn = L < T ? L : T, mx = L < T ? T : L;
+                const int pred = grad < mn ? mn : (grad > mx ? mx : grad);
+                row[x] = (uint8_t)((pred + (s < 0 ? -d : d)) & 0xFF);
+            }
+            if (w > 1) {  // x = w-1: tr = t
+                if (bits_need_grow(b, c.end)) {
+                    c.sync(b);
+                    c.grow_big(b.oc);
+                    b = c.bits();
+                }
+                const long x = w - 1;
+                const int T = up[x];
+                const int RT = T;
+                const int L = row[x - 1];
+                const int LT = up[x - 1];
+                const int s = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF]
+                              + q2[(T - RT) & 0xFF];
+                const unsigned cx = (unsigned)(s < 0 ? -s : s);
+                const int d = dp[x];
+                bits_put_symbol8(b, bank + (size_t)cx * kCS, d);
                 const int grad = L + T - LT;
                 const int mn = L < T ? L : T, mx = L < T ? T : L;
                 const int pred = grad < mn ? mn : (grad > mx ? mx : grad);
@@ -502,6 +680,7 @@ long fe_encode_from_diff(void *h, int key, int nplanes,
             dp += w;
         }
     }
+    c.sync(b);
     c.terminate();
     long len = (long)c.size();
     if (len > cap) {
