@@ -333,7 +333,19 @@ class WebRtcSink(Element):
                            mutable=Mutability.READY)
     start_bitrate = Property(int, default=2_048_000, minimum=0,
                              mutable=Mutability.READY)
-    do_fec = Property(bool, default=True, mutable=Mutability.READY)
+    do_fec = Property(bool, default=True, mutable=Mutability.READY,
+                      blurb="Offer ULPFEC (RFC 5109) on video streams "
+                            "and generate the FEC packets in the "
+                            "owned media plane (reference do-fec; "
+                            "there webrtcbin's rtpulpfecenc produces "
+                            "them)")
+    fec_percentage = Property(
+        int, default=0, minimum=0, maximum=100,
+        mutable=Mutability.READY,
+        blurb="Fixed ULPFEC overhead: FEC packets per 100 media "
+              "packets. 0 = driven by congestion control (the "
+              "reference's dynamic fec-percentage on the "
+              "transceiver, webrtcsink/imp.rs:1677-1695)")
     do_retransmission = Property(
         bool, default=True, mutable=Mutability.READY,
         blurb="Answer consumer Generic NACKs (RFC 4585) with RFC "
@@ -383,6 +395,10 @@ class WebRtcSink(Element):
         self._gcc = None
         self._rtx_history: dict[int, dict[int, bytes]] = {}
         self._rtx_seq: dict[int, int] = {}          # rtx ssrc -> seq
+        self._fec_pts: dict[int, int] = {}          # media pt -> fec pt
+        self._fec_window: dict[int, list[bytes]] = {}  # ssrc -> pkts
+        self._fec_seq: dict[int, int] = {}          # fec ssrc -> seq
+        self._fec_pct_auto = 0                      # from apply_bitrate
         self._sig_client = None
         self._sig_server = None
 
@@ -635,6 +651,7 @@ class WebRtcSink(Element):
         for enc in encoders:
             enc.set_bitrate(int(updated.get(enc.stream_name,
                                             per_encoder)))
+        self._fec_pct_auto = min(100, int(fec_pct))
         self.post_element_message(
             "webrtcsink-encoder-bitrates",
             bitrate=bitrate, per_encoder=per_encoder,
@@ -726,7 +743,12 @@ class WebRtcSink(Element):
             pt = pay.pt
             rate = pay.clock_rate or 90000
             rtx = self.do_retransmission and kind == "video"
-            pts = f"{pt} {self.rtx_pt(pt)}" if rtx else f"{pt}"
+            fec = self.do_fec and kind == "video"
+            pts = str(pt)
+            if rtx:
+                pts += f" {self.rtx_pt(pt)}"
+            if fec:
+                pts += f" {self.fec_pt(pt)}"
             lines.append(f"m={kind} 9 UDP/TLS/RTP/SAVPF {pts}")
             lines.append(f"a=rtpmap:{pt} {enc}/{rate}")
             if rtx:
@@ -736,6 +758,14 @@ class WebRtcSink(Element):
                     f"a=rtpmap:{self.rtx_pt(pt)} rtx/{rate}")
                 lines.append(f"a=fmtp:{self.rtx_pt(pt)} apt={pt}")
                 lines.append(f"a=rtcp-fb:{pt} nack")
+            if fec:
+                # RFC 5109 ULPFEC as a separate stream (§10.1); apt
+                # pairs it with the protected pt (rtx-style — both
+                # ends are ours, see gstpu.net.rtp.ulpfec)
+                fpt = self.fec_pt(pt)
+                self._fec_pts[pt] = fpt
+                lines.append(f"a=rtpmap:{fpt} ulpfec/{rate}")
+                lines.append(f"a=fmtp:{fpt} apt={pt}")
             lines.append("a=sendonly")
             lines.extend(transport_lines)
         return "\r\n".join(lines) + "\r\n"
@@ -822,6 +852,7 @@ class WebRtcSink(Element):
                 hist[int.from_bytes(data[2:4], "big")] = data
                 if len(hist) > 512:
                     hist.pop(next(iter(hist)))
+        fec_out = self._maybe_fec(data)
         for sid, spad in self._sessions.items():
             if spad.is_linked():
                 ret = spad.push(buf.copy())
@@ -837,9 +868,44 @@ class WebRtcSink(Element):
                     if len(tx._sent) > 4096:
                         tx._sent.pop(min(tx._sent))
                 tr[0].send_rtp(data)
+                for fp in fec_out:
+                    tr[0].send_rtp(fp)
         if self._transports:
             self.pump()
         return ret
+
+    def _maybe_fec(self, data: bytes) -> list[bytes]:
+        """RFC 5109 ULPFEC generation in the owned media plane (the
+        reference's webrtcbin runs rtpulpfecenc for this; webrtcsink
+        itself only budgets fec-percentage, imp.rs:1677-1695): video
+        media packets accumulate per SSRC, and at each frame end
+        (marker bit) or a full 16-packet mask window the parity
+        packets for the window are produced on the paired FEC stream
+        (media ssrc + 2, own sequence space)."""
+        pct = self.fec_percentage or self._fec_pct_auto
+        if not self.do_fec or pct <= 0 or len(data) < 12 \
+                or (data[1] & 0x7F) not in self._fec_pts:
+            return []
+        ssrc = int.from_bytes(data[8:12], "big")
+        win = self._fec_window.setdefault(ssrc, [])
+        win.append(data)
+        if not (data[1] & 0x80) and len(win) < 16:
+            return []
+        from gstpu.net.rtp.ulpfec import fec_encode_window
+        self._fec_window[ssrc] = []
+        n_fec = -(-len(win) * pct // 100)           # ceil
+        if n_fec <= 0:
+            return []
+        fec_ssrc = (ssrc + 2) & 0xFFFFFFFF
+        seq = self._fec_seq.get(fec_ssrc, 0)
+        pkts = fec_encode_window(
+            win, fec_pt=self._fec_pts[data[1] & 0x7F],
+            fec_ssrc=fec_ssrc, seq_start=seq, n_fec=n_fec)
+        self._fec_seq[fec_ssrc] = (seq + len(pkts)) & 0xFFFF
+        self.post_element_message(
+            "webrtcsink-fec-encoded", ssrc=ssrc,
+            protected=len(win), fec_packets=len(pkts))
+        return pkts
 
     def _maybe_send_sr(self, tr) -> None:
         """Emit an RTCP Sender Report per media SSRC every ~1 s over
@@ -884,6 +950,12 @@ class WebRtcSink(Element):
         """The rtx payload type paired with a media payload type in
         our offers (announced via a=rtpmap rtx + a=fmtp apt)."""
         return (pt + 8) & 0x7F
+
+    @staticmethod
+    def fec_pt(pt: int) -> int:
+        """The ULPFEC payload type paired with a media payload type
+        (+16 keeps clear of the +8 rtx block for the 96.. range)."""
+        return (pt + 16) & 0x7F
 
     def _retransmit(self, sid: str, ssrc: int, seqs: list[int]) -> None:
         """RFC 4588: answer a NACK with RTX packets — dedicated ssrc
@@ -1312,6 +1384,8 @@ class WebRtcSrc(Element):
         self._input_channel: int | None = None   # producer's channel
         # RFC 4588 rtx reception + RFC 4585 NACK emission
         self._rtx_apt: dict[int, int] = {}       # rtx pt -> media pt
+        self._fec_apt: dict[int, int] = {}       # ulpfec pt -> media pt
+        self._fec_dec = None                     # lazy FecDecoder
         self._pt_ssrc: dict[int, int] = {}       # media pt -> ssrc
         self._nack_next: dict[int, int] = {}     # ssrc -> expected seq
         self._nacked: set[int] = set()
@@ -1374,15 +1448,21 @@ class WebRtcSrc(Element):
         if t == "peer" and "sdp" in msg:
             self.remote_sdp = msg["sdp"]["sdp"]
             import re as _re
-            self._rtx_apt = {
-                int(m.group(1)): int(m.group(2)) for m in
-                _re.finditer(r"a=fmtp:(\d+) apt=(\d+)",
-                             self.remote_sdp)}
             self._pt_map = {
                 int(m.group(1)): (m.group(2).upper(),
                                   int(m.group(3))) for m in
                 _re.finditer(r"a=rtpmap:(\d+) ([A-Za-z0-9_-]+)/(\d+)",
                              self.remote_sdp)}
+            # apt pairings split by the paired pt's encoding name:
+            # rtx (RFC 4588) vs ulpfec (RFC 5109 separate stream)
+            for m in _re.finditer(r"a=fmtp:(\d+) apt=(\d+)",
+                                  self.remote_sdp):
+                pt, apt = int(m.group(1)), int(m.group(2))
+                enc = self._pt_map.get(pt, ("",))[0]
+                if enc == "ULPFEC":
+                    self._fec_apt[pt] = apt
+                else:
+                    self._rtx_apt[pt] = apt
             self.post_element_message("offer-received",
                                       session=msg.get("sessionId"))
             answer = self.remote_sdp.replace("sendonly", "recvonly")
@@ -1464,23 +1544,14 @@ class WebRtcSrc(Element):
                     # RFC 4588: rebuild the original packet from the
                     # rtx stream (apt mapping from the offer)
                     plain = self._unwrap_rtx(plain)
-                if plain is not None and len(plain) >= 12:
-                    seq = int.from_bytes(plain[2:4], "big")
-                    self._twcc_receiver().record(seq, now)
-                    ssrc = int.from_bytes(plain[8:12], "big")
-                    self._pt_ssrc[plain[1] & 0x7F] = ssrc
-                    st = getattr(self, "_rx_stats", None)
-                    if st is None:
-                        st = self._rx_stats = {}
-                    rec, hi, first = st.get(ssrc,
-                                            (0, 0, seq))
-                    st[ssrc] = (rec + 1, max(hi, seq), first)
-                    self._nack_check(ssrc, seq)
-                if plain is not None:
-                    if self.latency > 0 and len(plain) >= 4:
-                        self._jb_queue(plain, now)
-                    else:
-                        self.push_rtp(plain)
+                if plain is not None and len(plain) >= 12 \
+                        and (plain[1] & 0x7F) in self._fec_apt:
+                    # RFC 5109 FEC stream: each parity packet may
+                    # yield recovered media (rtpulpfecdec behavior)
+                    for rec in self._handle_fec(plain):
+                        self._ingest_media(rec, now, from_wire=False)
+                elif plain is not None:
+                    self._ingest_media(plain, now)
                 self._maybe_send_twcc()
             moved = True
         if self.latency > 0:
@@ -1501,6 +1572,56 @@ class WebRtcSrc(Element):
                         label=ev[2])
             tr.sctp.events.clear()
         return moved
+
+    def _ingest_media(self, plain: bytes, now: int,
+                      from_wire: bool = True) -> None:
+        """One media RTP packet (off the wire, rtx-unwrapped, or
+        FEC-recovered) through stats, loss detection, the FEC store
+        and jitterbuffer/delivery."""
+        if len(plain) >= 12:
+            seq = int.from_bytes(plain[2:4], "big")
+            ssrc = int.from_bytes(plain[8:12], "big")
+            if from_wire:
+                # transport-wide CC counts only real arrivals
+                self._twcc_receiver().record(seq, now)
+            self._pt_ssrc[plain[1] & 0x7F] = ssrc
+            st = getattr(self, "_rx_stats", None)
+            if st is None:
+                st = self._rx_stats = {}
+            rec, hi, first = st.get(ssrc, (0, 0, seq))
+            st[ssrc] = (rec + 1, max(hi, seq), first)
+            self._nack_check(ssrc, seq)
+            if from_wire and self._fec_apt \
+                    and (plain[1] & 0x7F) in self._fec_apt.values():
+                dec = self._fec_decoder()
+                dec.add_media(plain)
+                for r in dec.retry(ssrc):
+                    self._ingest_media(r, now, from_wire=False)
+        if self.latency > 0 and len(plain) >= 4:
+            self._jb_queue(plain, now)
+        else:
+            self.push_rtp(plain)
+
+    def _fec_decoder(self):
+        if self._fec_dec is None:
+            from gstpu.net.rtp.ulpfec import FecDecoder
+            self._fec_dec = FecDecoder()
+        return self._fec_dec
+
+    def _handle_fec(self, fec_pkt: bytes) -> list[bytes]:
+        """Feed one ULPFEC packet; the protected stream is found via
+        the offer's apt pairing and its already-seen ssrc."""
+        apt = self._fec_apt.get(fec_pkt[1] & 0x7F)
+        ssrc = self._pt_ssrc.get(apt)
+        if ssrc is None:
+            return []
+        recovered = self._fec_decoder().add_fec(fec_pkt, ssrc)
+        if recovered:
+            self.post_element_message(
+                "webrtcsrc-fec-recovered", ssrc=ssrc,
+                seqs=[int.from_bytes(r[2:4], "big")
+                      for r in recovered])
+        return recovered
 
     def _unwrap_rtx(self, plain: bytes) -> bytes | None:
         """RFC 4588 §4: original seq rides the first two payload
