@@ -18,18 +18,19 @@
 import ConsumerSession from "./consumer-session.js";
 import ProducerSession from "./producer-session.js";
 
-function normalizePeer(peer, excludedId) {
-  if (!peer || typeof peer !== "object") {
+/* The server names remote peers inconsistently across message types
+ * ("id" in list entries, "peerId" in status changes); collapse either
+ * form into {id, meta}, dropping our own id and anything malformed. */
+function asPeer(raw, ownId) {
+  const id = raw?.id ?? raw?.peerId;
+  if (typeof id !== "string" || !id || id === ownId) {
     return null;
   }
-  const id = typeof peer.id === "string" ? peer.id
-    : typeof peer.peerId === "string" ? peer.peerId : "";
-  if (!id || id === excludedId) {
-    return null;
-  }
-  const meta = (peer.meta && typeof peer.meta === "object")
-    ? peer.meta : {};
-  return Object.freeze({ id, meta: Object.freeze(meta) });
+  return {
+    id,
+    meta: typeof raw.meta === "object" && raw.meta !== null
+      ? raw.meta : {}
+  };
 }
 
 export default class ComChannel extends EventTarget {
@@ -43,13 +44,14 @@ export default class ComChannel extends EventTarget {
     this._channelId = "";
     this._producerSession = null;
     this._consumerSessions = {};
+    this._peerRoles = {};          // remote peer id -> last seen roles
 
     this._ws.onerror = (ev) => {
       this.dispatchEvent(new ErrorEvent("error", {
         message: ev.message || "WebSocket error",
         error: ev.error || new Error(
-          this._ready ? "transportation error"
-            : "cannot connect to signaling server")
+          this._ready ? "signalling socket failed mid-session"
+            : "signalling server unreachable")
       }));
       this.close();
     };
@@ -103,19 +105,32 @@ export default class ComChannel extends EventTarget {
             this._producerSession?.onProducerRegistered();
           }
         } else {
-          const peer = normalizePeer(msg, this._channelId);
+          const peer = asPeer(msg, this._channelId);
           if (peer) {
-            this.dispatchEvent(new CustomEvent(
-              msg.roles?.includes("producer") ? "producerAdded"
-                : "producerRemoved", { detail: peer }));
+            // emit one event per role transition, both directions
+            const before = this._peerRoles[peer.id] || [];
+            const after = msg.roles || [];
+            this._peerRoles[peer.id] = after;
+            for (const role of ["producer", "consumer"]) {
+              const was = before.includes(role);
+              const is = after.includes(role);
+              if (is !== was) {
+                this.dispatchEvent(new CustomEvent(
+                  role + (is ? "Added" : "Removed"),
+                  { detail: peer }));
+              }
+            }
           }
         }
         break;
 
       case "list": {
         const producers = (msg.producers || [])
-          .map((p) => normalizePeer(p, this._channelId))
+          .map((p) => asPeer(p, this._channelId))
           .filter((p) => p);
+        for (const p of producers) {
+          this._peerRoles[p.id] = ["producer"];
+        }
         this.dispatchEvent(new CustomEvent("producersListed",
                                            { detail: producers }));
         break;
@@ -176,14 +191,15 @@ export default class ComChannel extends EventTarget {
     this.send({ type: "list" });
   }
 
-  createConsumerSession(producerId) {
+  createConsumerSession(producerId, offerOptions) {
     if (!this._ready || typeof producerId !== "string") {
       return null;
     }
     if (producerId in this._consumerSessions) {
       return this._consumerSessions[producerId];
     }
-    const session = new ConsumerSession(producerId, this);
+    const session = new ConsumerSession(producerId, this,
+                                        offerOptions);
     this._consumerSessions[producerId] = session;
     session.addEventListener("closed", () => {
       if (this._consumerSessions[producerId] === session) {
@@ -193,12 +209,12 @@ export default class ComChannel extends EventTarget {
     return session;
   }
 
-  createProducerSession(stream) {
+  createProducerSession(stream, consumerId) {
     if (!this._ready || this._producerSession
         || !stream?.getTracks) {
       return null;
     }
-    const session = new ProducerSession(this, stream);
+    const session = new ProducerSession(this, stream, consumerId);
     this._producerSession = session;
     session.addEventListener("closed", () => {
       if (this._producerSession === session) {

@@ -35,12 +35,16 @@ export function mungeStereo(offerSdp, answerSdp) {
 }
 
 export default class ConsumerSession extends WebRTCSession {
-  constructor(peerId, comChannel) {
+  constructor(peerId, comChannel, offerOptions) {
     super(peerId, "", comChannel);
     this._streams = [];
     this._remoteController = null;
     this._pendingCandidates = [];
     this._mungeStereoHack = comChannel.mungeStereoHack;
+    // consumer-initiated offer mode: connect() creates the offer
+    // locally (RTCOfferOptions) and sends it inside startSession;
+    // the producer then answers instead of offering
+    this._offerOptions = offerOptions || null;
     this.addEventListener("closed", () => {
       this._streams = [];
       if (this._remoteController) {
@@ -63,8 +67,10 @@ export default class ConsumerSession extends WebRTCSession {
     if (this._state !== SessionState.idle) {
       return true;
     }
-    if (!this._comChannel.send({ type: "startSession",
-                                 peerId: this._peerId })) {
+    if (this._offerOptions) {
+      this._connectWithLocalOffer();
+    } else if (!this._comChannel.send({ type: "startSession",
+                                        peerId: this._peerId })) {
       this._dispatchError("cannot connect consumer session");
       this.close();
       return false;
@@ -72,6 +78,29 @@ export default class ConsumerSession extends WebRTCSession {
     this._state = SessionState.connecting;
     this.dispatchEvent(new Event("stateChanged"));
     return true;
+  }
+
+  async _connectWithLocalOffer() {
+    this._ensurePeerConnection();
+    const pc = this._rtcPeerConnection;
+    try {
+      pc.createDataChannel("control");
+      const offer = await pc.createOffer(this._offerOptions);
+      await pc.setLocalDescription(offer);
+      if (!this._comChannel?.send({
+        type: "startSession",
+        peerId: this._peerId,
+        offer: pc.localDescription.toJSON().sdp
+      })) {
+        throw new Error("cannot send the local offer");
+      }
+    } catch (error) {
+      if (this._state !== SessionState.closed) {
+        this._dispatchError("cannot create the consumer offer",
+                            error);
+        this.close();
+      }
+    }
   }
 
   onSessionStarted(peerId, sessionId) {
@@ -173,7 +202,10 @@ export default class ConsumerSession extends WebRTCSession {
     }
     this._ensurePeerConnection();
     try {
-      if (msg.sdp) {
+      if (msg.sdp && this._offerOptions) {
+        // we offered; the producer's sdp is the answer
+        await this._rtcPeerConnection.setRemoteDescription(msg.sdp);
+      } else if (msg.sdp) {
         await this._rtcPeerConnection.setRemoteDescription(msg.sdp);
         const answer = await this._rtcPeerConnection.createAnswer();
         if (this._mungeStereoHack) {

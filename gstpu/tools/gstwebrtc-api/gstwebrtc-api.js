@@ -17,15 +17,7 @@
 
 import ComChannel from "./com-channel.js";
 import SessionState from "./session-state.js";
-
-const defaultConfig = Object.freeze({
-  meta: null,
-  signalingServerUrl: `ws${window.location.protocol.startsWith("https")
-    ? "s" : ""}://${window.location.host}/webrtc`,
-  reconnectionTimeout: 2500,
-  webrtcConfig: { iceServers: [] },
-  mungeStereoHack: false
-});
+import defaultConfig from "./config.js";
 
 export { SessionState };
 
@@ -35,9 +27,11 @@ export default class GstWebRTCAPI {
       Object.assign({}, defaultConfig, userConfig || {}));
     this._channel = null;
     this._producers = {};
+    this._consumers = {};
     this._connectionListeners = [];
     this._producersListeners = [];
-    this._connectChannel();
+    this._peerListeners = [];
+    this.connectChannel();
   }
 
   registerConnectionListener(listener) {
@@ -51,6 +45,10 @@ export default class GstWebRTCAPI {
     }
   }
 
+  unregisterAllConnectionListeners() {
+    this._connectionListeners = [];
+  }
+
   registerProducersListener(listener) {
     this._producersListeners.push(listener);
   }
@@ -62,16 +60,53 @@ export default class GstWebRTCAPI {
     }
   }
 
+  /* Peer listeners get per-role add/remove callbacks for BOTH roles
+   * ({producer,consumer}{Added,Removed}), unlike producers listeners
+   * which only see the producer list as a whole. */
+  registerPeerListener(listener) {
+    this._peerListeners.push(listener);
+  }
+
+  unregisterPeerListener(listener) {
+    const i = this._peerListeners.indexOf(listener);
+    if (i >= 0) {
+      this._peerListeners.splice(i, 1);
+    }
+  }
+
+  unregisterAllPeerListeners() {
+    this._peerListeners = [];
+  }
+
   getAvailableProducers() {
     return Object.values(this._producers);
+  }
+
+  getAvailableConsumers() {
+    return Object.values(this._consumers);
   }
 
   createConsumerSession(producerId) {
     return this._channel?.createConsumerSession(producerId) || null;
   }
 
+  /* Consumer-initiated offer (RTCOfferOptions): the consumer builds
+   * the offer and ships it inside startSession; the producer
+   * answers. */
+  createConsumerSessionWithOfferOptions(producerId, offerOptions) {
+    return this._channel?.createConsumerSession(
+      producerId, offerOptions) || null;
+  }
+
   createProducerSession(stream) {
     return this._channel?.createProducerSession(stream) || null;
+  }
+
+  /* Push mode: produce toward one specific consumer peer instead of
+   * waiting for consumers to connect. */
+  createProducerSessionForConsumer(stream, consumerId) {
+    return this._channel?.createProducerSession(stream, consumerId)
+      || null;
   }
 
   _emitProducers() {
@@ -83,7 +118,15 @@ export default class GstWebRTCAPI {
     }
   }
 
-  _connectChannel() {
+  _emitPeerEvent(name, peer) {
+    for (const listener of this._peerListeners) {
+      try {
+        listener[name]?.(peer);
+      } catch { /* listener errors must not break routing */ }
+    }
+  }
+
+  connectChannel() {
     if (this._channel) {
       const old = this._channel;
       this._channel = null;
@@ -117,12 +160,26 @@ export default class GstWebRTCAPI {
       if (this._channel === channel) {
         this._producers[ev.detail.id] = ev.detail;
         this._emitProducers();
+        this._emitPeerEvent("producerAdded", ev.detail);
       }
     });
     channel.addEventListener("producerRemoved", (ev) => {
       if (this._channel === channel) {
         delete this._producers[ev.detail.id];
         this._emitProducers();
+        this._emitPeerEvent("producerRemoved", ev.detail);
+      }
+    });
+    channel.addEventListener("consumerAdded", (ev) => {
+      if (this._channel === channel) {
+        this._consumers[ev.detail.id] = ev.detail;
+        this._emitPeerEvent("consumerAdded", ev.detail);
+      }
+    });
+    channel.addEventListener("consumerRemoved", (ev) => {
+      if (this._channel === channel) {
+        delete this._consumers[ev.detail.id];
+        this._emitPeerEvent("consumerRemoved", ev.detail);
       }
     });
     channel.addEventListener("error", (ev) => {
@@ -136,6 +193,7 @@ export default class GstWebRTCAPI {
       }
       this._channel = null;
       this._producers = {};
+      this._consumers = {};
       this._emitProducers();
       for (const l of this._connectionListeners) {
         try { l.disconnected?.(); } catch { /* */ }
@@ -143,7 +201,7 @@ export default class GstWebRTCAPI {
       if (this._config.reconnectionTimeout > 0) {
         window.setTimeout(() => {
           if (!this._channel) {
-            this._connectChannel();
+            this.connectChannel();
           }
         }, this._config.reconnectionTimeout);
       }

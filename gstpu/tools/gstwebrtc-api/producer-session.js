@@ -82,12 +82,15 @@ export class ClientSession extends WebRTCSession {
 }
 
 export default class ProducerSession extends EventTarget {
-  constructor(comChannel, stream) {
+  constructor(comChannel, stream, consumerId) {
     super();
     this._comChannel = comChannel;
     this._stream = stream;
     this._state = SessionState.idle;
     this._clientSessions = {};
+    // push mode: target one specific consumer instead of waiting
+    // for consumers to start sessions themselves
+    this._consumerId = consumerId || null;
   }
 
   get stream() { return this._stream; }
@@ -122,6 +125,12 @@ export default class ProducerSession extends EventTarget {
     if (this._state === SessionState.idle) {
       this._state = SessionState.streaming;
       this.dispatchEvent(new Event("stateChanged"));
+      if (this._consumerId && !this._comChannel.send(
+        { type: "startSession", peerId: this._consumerId })) {
+        this._dispatchError(
+          "cannot request a session with the target consumer");
+        this.close();
+      }
     }
   }
 

@@ -141,7 +141,7 @@ export default class RemoteController extends EventTarget {
     const onKey = (ev) => {
       this._sendNavigation({
         event: ev.type === "keydown" ? "KeyPress" : "KeyRelease",
-        key: getKeysymString(ev.key),
+        key: getKeysymString(ev.key, ev.code),
         "modifier_state": 0
       });
       ev.preventDefault();
