@@ -3,16 +3,19 @@
 — partitioned FIR, dynamic filter re-selection with crossfade on
 listener rotation, imp.rs:129-167).
 
-Shape follows bench_hrtf.py: the element's hot path — block FFT
-convolution of C virtual speakers against the SOFA-selected (L, R)
-HRIR pair, channel sum — runs device-resident over B streams.  gstpu
-renders the block in ONE overlap-save FFT partition (nfft 1024 covers
-block 256 + IR 512; the reference's 64-sample uniform partitioning is
-a host-CPU memory optimization that the TPU's FFT throughput makes
-unnecessary — output is the same linear convolution).  The listener
-ROTATES during the steady state: every 16th block re-selects HRIRs
-and renders the reference's both-filter crossfade blend, so the
-measured number includes the rotation path, not just the static one.
+Shape follows bench_hrtf.py: the element's hot path — uniformly
+partitioned convolution (64-tap partitions, the reference's
+partition-length default, sofa/imp.rs:37) of C virtual speakers
+against the SOFA-selected (L, R) HRIR pair, channel sum — runs
+device-resident over B streams.  The whole block's sub-frames are one
+batched rfft, the frequency-domain delay line a gather, the partition
+sum one reduce, the inverse one batched irfft: a single fused dispatch
+per block with the reference's 64-sample algorithmic granularity
+(gstpu.ops.fftconv.upc_block — the same kernel the element runs).
+The listener ROTATES during the steady state: every 16th block
+re-selects HRIRs and renders the reference's both-filter crossfade
+blend, so the measured number includes the rotation path, not just
+the static one.
 
 A parity leg runs the REAL `sofalizer` element (Harness) through the
 same yaw schedule, crossfade block included, and reports max|diff|
@@ -32,6 +35,7 @@ import numpy as np
 
 RATE = 44_100
 BLOCK = 256          # reference block length (sofa/imp.rs:38)
+PART = 64            # reference partition length (sofa/imp.rs:37)
 IR_LEN = 512         # HRIR taps
 C = 6                # 5.1 virtual speakers
 M = 24               # SOFA measurement ring (15 deg spacing)
@@ -69,38 +73,37 @@ def make_sofa_file(rng) -> str:
 
 
 def make_steps(irs):
-    """Jitted steady + crossfade block steps, B streams x C channels.
-    IRs are passed REAL and rfft'd in-graph (complex device_put wedges
-    the dev tunnel)."""
+    """Jitted steady + crossfade block steps, B streams x C channels:
+    the element's own 64-tap UPC kernel (upc_block) batched over
+    streams.  IRs are passed REAL and rfft'd in-graph (complex
+    device_put wedges the dev tunnel)."""
     import jax
     import jax.numpy as jnp
 
-    from gstpu.ops.fftconv import next_pow2, ols_block
+    from gstpu.ops.fftconv import upc_block, upc_init, upc_ir_rfft
 
-    nfft = next_pow2(BLOCK + IR_LEN - 1)
-
-    def render(hist, x, irs_cur):
+    def render(state, x, irs_cur):
         B = x.shape[0]
-        ir_f = jnp.fft.rfft(irs_cur, n=nfft, axis=-1)
-        h, y = ols_block(hist, x.reshape(B * C, 1, -1),
-                         jnp.tile(ir_f, (B, 1, 1)), ir_len=IR_LEN)
-        return h, jnp.sum(y.reshape(B, C, 2, -1), axis=1)
+        h_f = upc_ir_rfft(irs_cur, part_len=PART)   # (C, 2, K, F)
+        st, y = upc_block(state, x.reshape(B * C, 1, -1),
+                          jnp.tile(h_f, (B, 1, 1, 1)), part_len=PART)
+        return st, jnp.sum(y.reshape(B, C, 2, -1), axis=1)
 
     @jax.jit
-    def step(hist, x, irs_cur):
-        return render(hist, x, irs_cur)
+    def step(state, x, irs_cur):
+        return render(state, x, irs_cur)
 
     @jax.jit
-    def step_fade(hist, x, irs_old, irs_new):
+    def step_fade(state, x, irs_old, irs_new):
         # reference crossfade: render both filter sets from the SAME
-        # history, blend linearly over the block (sofa/imp.rs:129-167)
-        _, y_old = render(hist, x, irs_old)
-        h, y_new = render(hist, x, irs_new)
+        # state, blend linearly over the block (sofa/imp.rs:129-167)
+        _, y_old = render(state, x, irs_old)
+        st, y_new = render(state, x, irs_new)
         ramp = jnp.linspace(0.0, 1.0, y_new.shape[-1])
-        return h, y_old * (1 - ramp) + y_new * ramp
+        return st, y_old * (1 - ramp) + y_new * ramp
 
     def init(B):
-        return jnp.zeros((B * C, 1, IR_LEN - 1), jnp.float32)
+        return upc_init((B * C, 1), IR_LEN, PART)
 
     return step, step_fade, init
 
@@ -112,7 +115,7 @@ def element_output(sofa_path, x, yaw_schedule):
     from gstpu.core.registry import make
 
     el = make("sofalizer", sofa_location=sofa_path,
-              block_length=BLOCK)
+              block_length=BLOCK, partition_length=PART)
     h = Harness(el)
     h.set_caps(f"audio/x-raw, format=F32LE, rate={RATE}, "
                f"channels={C}, layout=interleaved")
@@ -222,8 +225,8 @@ def main() -> None:
                   f"render ({B} streams x {C}ch 5.1 -> stereo, block "
                   f"{BLOCK}, IR {IR_LEN}, {RATE} Hz, listener "
                   f"rotation + crossfade every {ROT_EVERY} blocks; "
-                  f"single-partition OLS renders the same linear "
-                  f"conv as the reference's 64-tap partitioning; "
+                  f"true 64-tap uniformly partitioned convolution, "
+                  f"same kernel as the element; "
                   f"kernel vs element max|diff|={dmax:.1e})",
         "value": round(rt, 1), "unit": "x",
         "vs_baseline": round(rt / 100.0, 3)}))

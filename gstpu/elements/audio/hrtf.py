@@ -31,7 +31,8 @@ from gstpu.core.element import PadDirection, PadPresence, PadTemplate
 from gstpu.core.props import Mutability, Property
 from gstpu.core.query import LatencyQuery
 from gstpu.core.registry import Rank, register_element
-from gstpu.ops.fftconv import ir_rfft, next_pow2, ols_block
+from gstpu.ops.fftconv import (ir_rfft, next_pow2, ols_block, upc_block,
+                               upc_init, upc_ir_rfft)
 
 SECOND = 1_000_000_000
 
@@ -387,8 +388,12 @@ def _sph_to_vec(azi_deg: float, ele_deg: float) -> np.ndarray:
 @register_element("sofalizer", Rank.NONE)
 class Sofalizer(BaseTransform):
     """SOFA-file binaural renderer with listener rotation
-    (reference audio/hrtf/src/sofa/imp.rs: partitioned FIR, dynamic
-    filter re-selection with crossfade on rotation)."""
+    (reference audio/hrtf/src/sofa/imp.rs: uniformly partitioned FIR
+    at partition-length taps — imp.rs:37-44, 776-797 — dynamic filter
+    re-selection with crossfade on rotation). The convolution is true
+    UPC (gstpu.ops.fftconv.upc_block): each partition-length output
+    sub-block depends only on input up to its own end, matching the
+    reference's 64-sample algorithmic granularity."""
 
     PAD_TEMPLATES = [
         PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
@@ -400,6 +405,10 @@ class Sofalizer(BaseTransform):
     sofa_location = Property(str, default=None, mutable=Mutability.READY)
     block_length = Property(int, default=256, minimum=16,
                             mutable=Mutability.READY)
+    partition_length = Property(
+        int, default=64, minimum=1, mutable=Mutability.READY,
+        blurb="partition size for uniformly partitioned convolution "
+              "algorithm")
     rotation_yaw = Property(float, default=0.0, mutable=Mutability.PLAYING,
                             blurb="Listener yaw in degrees")
     rotation_pitch = Property(float, default=0.0,
@@ -415,10 +424,10 @@ class Sofalizer(BaseTransform):
         self._rate = None
         self._adapter: SampleAdapter | None = None
         self._in_info: AudioInfo | None = None
-        self._hist = None
-        self._ir_f = None
+        self._state = None       # (fdl, prev) UPC carried state
+        self._h_f = None         # (C, 2, K, F) partitioned IR spectra
         self._cur_sel = None
-        self._fade_from = None   # previous ir_f during crossfade
+        self._fade_from = None   # previous h_f during crossfade
 
     def transform_caps(self, direction, caps, filter):
         def repl(s: Structure):
@@ -463,12 +472,18 @@ class Sofalizer(BaseTransform):
         self._in_info = AudioInfo.from_caps(incaps)
         C = self._in_info.channels
         L = self._irs.shape[-1]
+        P = self.partition_length
+        if self.block_length % P != 0:
+            # reference imp.rs:779-783
+            self.post_error("sofalizer: Block Length is not multiple "
+                            "of Partition Length")
+            return False
         self._adapter = SampleAdapter(self._in_info.rate)
-        self._hist = jnp.zeros((C, 1, L - 1), jnp.float32)
+        self._state = upc_init((C, 1), L, P)
         self._cur_sel = self._select_irs(C)
-        self._ir_f = _dev_rfft(
-            jnp.asarray(self._irs[self._cur_sel]),
-            next_pow2(self.block_length + self._irs.shape[-1] - 1))
+        self._h_f = upc_ir_rfft(jnp.asarray(self._irs[self._cur_sel],
+                                            dtype=jnp.float32),
+                                part_len=P)
         self._fade_from = None
         return True
 
@@ -483,27 +498,28 @@ class Sofalizer(BaseTransform):
 
     def _process_block(self, frames: np.ndarray, pts) -> Buffer:
         C = frames.shape[1]
-        L = self._irs.shape[-1]
+        P = self.partition_length
         sel = self._select_irs(C)
         if not np.array_equal(sel, self._cur_sel):
-            self._fade_from = self._ir_f
+            self._fade_from = self._h_f
             self._cur_sel = sel
-            self._ir_f = _dev_rfft(
-                jnp.asarray(self._irs[sel]),
-                next_pow2(self.block_length
-                          + self._irs.shape[-1] - 1))
+            self._h_f = upc_ir_rfft(jnp.asarray(self._irs[sel],
+                                                dtype=jnp.float32),
+                                    part_len=P)
         x = jnp.asarray(frames.T[:, None, :])
         if self._fade_from is not None:
             # crossfade: render with both filter sets, blend linearly
             # over the block (reference update_filters crossfade)
-            hist0 = self._hist
-            _, y_old = ols_block(hist0, x, self._fade_from, ir_len=L)
-            self._hist, y_new = ols_block(hist0, x, self._ir_f, ir_len=L)
+            state0 = self._state
+            _, y_old = upc_block(state0, x, self._fade_from, part_len=P)
+            self._state, y_new = upc_block(state0, x, self._h_f,
+                                           part_len=P)
             ramp = jnp.linspace(0.0, 1.0, y_new.shape[-1])
             y = y_old * (1 - ramp) + y_new * ramp
             self._fade_from = None
         else:
-            self._hist, y = ols_block(self._hist, x, self._ir_f, ir_len=L)
+            self._state, y = upc_block(self._state, x, self._h_f,
+                                       part_len=P)
         stereo = jnp.sum(y, axis=0).T * jnp.float32(self.gain)
         out_info = AudioInfo("F32LE", self._in_info.rate, 2)
         return out_info.make_buffer(np.asarray(stereo, np.float32),

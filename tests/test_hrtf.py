@@ -173,6 +173,104 @@ def test_sofalizer_stereo(sofa_file):
     h.teardown()
 
 
+def test_upc_kernel_matches_direct_conv():
+    """upc_block renders the exact linear convolution, streamed at
+    either block or partition granularity (reference sofa/imp.rs
+    uniformly partitioned convolution, partition-length 64)."""
+    import jax.numpy as jnp
+    from gstpu.ops.fftconv import upc_block, upc_init, upc_ir_rfft
+    rng = np.random.default_rng(7)
+    C, L, P, S, NB = 3, 200, 64, 256, 4
+    ir = rng.standard_normal((C, 2, L)).astype(np.float32)
+    x = rng.standard_normal((C, 1, S * NB)).astype(np.float32)
+    h_f = upc_ir_rfft(jnp.asarray(ir), part_len=P)
+    state = upc_init((C, 1), L, P)
+    outs = []
+    for b in range(NB):
+        state, y = upc_block(state, jnp.asarray(x[..., b * S:(b + 1) * S]),
+                             h_f, part_len=P)
+        outs.append(np.asarray(y))
+    y_blk = np.concatenate(outs, -1)
+    gold = np.stack([[np.convolve(x[c, 0], ir[c, e])[:S * NB]
+                      for e in range(2)] for c in range(C)])
+    assert np.abs(y_blk - gold).max() < 1e-4
+    # partition-granularity streaming is bit-identical: each P-sample
+    # output depends only on input up to its own end
+    state = upc_init((C, 1), L, P)
+    outs = []
+    for b in range(S * NB // P):
+        state, y = upc_block(state, jnp.asarray(x[..., b * P:(b + 1) * P]),
+                             h_f, part_len=P)
+        outs.append(np.asarray(y))
+    assert np.array_equal(np.concatenate(outs, -1), y_blk)
+
+
+@pytest.fixture
+def dense_sofa_file(tmp_path):
+    """4 positions with dense random IRs spanning 3 partitions."""
+    rng = np.random.default_rng(11)
+    positions = np.array([[0, 0, 1], [90, 0, 1], [180, 0, 1],
+                          [270, 0, 1]], np.float64)
+    irs = rng.standard_normal((4, 2, 150)) * 0.1
+    path = str(tmp_path / "dense.sofa")
+    write_sofa(path, positions, irs, RATE)
+    return path
+
+
+def test_sofalizer_upc_golden(dense_sofa_file):
+    """Element output == scipy/np golden convolution with the
+    selected IRs, summed over virtual speakers."""
+    el = make("sofalizer", sofa_location=dense_sofa_file,
+              block_length=256, partition_length=64)
+    h = Harness(el)
+    h.set_caps(f"audio/x-raw, format=F32LE, rate={RATE}, channels=2, "
+               "layout=interleaved")
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((512, 2)).astype(np.float32)
+    h.push(Buffer(x))
+    out = np.concatenate([h.pull().array.reshape(-1, 2)
+                          for _ in range(2)])
+    _, irs, _ = load_sofa(dense_sofa_file)
+    sel = el._select_irs(2)
+    gold = np.zeros((512, 2))
+    for c in range(2):
+        for e in range(2):
+            gold[:, e] += np.convolve(x[:, c], irs[sel[c], e])[:512]
+    assert np.abs(out - gold).max() < 1e-4
+    h.teardown()
+
+
+def test_sofalizer_partition_granularity(dense_sofa_file):
+    """block-length 256 and 64 (== partition) give identical output:
+    the convolution's algorithmic granularity is the partition, not
+    the block (reference imp.rs:37-44)."""
+    outs = {}
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((512, 2)).astype(np.float32)
+    for blk in (256, 64):
+        el = make("sofalizer", sofa_location=dense_sofa_file,
+                  block_length=blk, partition_length=64)
+        h = Harness(el)
+        h.set_caps(f"audio/x-raw, format=F32LE, rate={RATE}, "
+                   "channels=2, layout=interleaved")
+        h.push(Buffer(x))
+        outs[blk] = np.concatenate(
+            [h.pull().array.reshape(-1, 2) for _ in range(512 // blk)])
+        h.teardown()
+    assert np.array_equal(outs[256], outs[64])
+
+
+def test_sofalizer_partition_validation(sofa_file):
+    """block % partition != 0 is rejected (reference imp.rs:779-783)."""
+    from gstpu.core.caps import parse_caps
+    el = make("sofalizer", sofa_location=sofa_file, block_length=100,
+              partition_length=64)
+    assert el.start()
+    caps = parse_caps(f"audio/x-raw, format=F32LE, rate={RATE}, "
+                      "channels=2, layout=interleaved")
+    assert el.set_caps(caps, None) is False
+
+
 def test_sofalizer_rotation_switches_filter(sofa_file):
     el = make("sofalizer", sofa_location=sofa_file, block_length=64)
     h = Harness(el)
