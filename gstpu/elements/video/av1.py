@@ -85,6 +85,17 @@ class Rav1Enc(BaseTransform):
                            blurb="Frames between device rate-control "
                                  "analyses (amortizes the frame "
                                  "upload)")
+    device_transform = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Restricted device-intra profile: the TPU performs mode "
+              "decision, 8x8 DCT, quantization and reconstruction for "
+              "every block (ops/av1_intra.py make_intra_transform); "
+              "the engine encodes the device reconstruction LOSSLESSLY "
+              "(libaom lossless=1) as the entropy/bitstream layer, so "
+              "the emitted AV1 bits decode under libdav1d to exactly "
+              "the device transform+quant output. With bitrate > 0 the "
+              "device qstep is steered closed-loop from observed bits; "
+              "else `quantizer` fixes it.")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -97,6 +108,9 @@ class Rav1Enc(BaseTransform):
         self._rc_bits = 0           # bits since last rc decision
         self._rc_crf = None
         self._rc_pending = None     # in-flight device curve
+        self._xform = None          # device-transform encode pass
+        self._qrc = None            # qstep closed loop
+        self._qstep = 4.0
 
     def transform_caps(self, direction, caps, filter):
         if direction is PadDirection.SINK:
@@ -124,6 +138,25 @@ class Rav1Enc(BaseTransform):
         # stick once the caps recover
         self._engine_active = self.engine
         self._analyze = self._rc = self._rc_pending = None
+        self._xform = self._qrc = None
+        if self.device_transform:
+            from gstpu.ops.av1_intra import (QstepRateControl,
+                                             make_intra_transform)
+            self._xform = make_intra_transform(self._info.height,
+                                               self._info.width)
+            if self.bitrate > 0:
+                self._qrc = QstepRateControl(self.bitrate,
+                                             fps[0] / fps[1])
+                self._qstep = self._qrc.qstep
+            else:
+                # quantizer (0-255) -> crf (0-63) -> qstep, the same
+                # exponential family DeviceRateControl uses
+                crf = min(63, self.quantizer // 4)
+                self._qstep = 0.125 * 2.0 ** (crf / 6.0)
+            if not self._open_engine():
+                return False
+            self._frame_n = 0
+            return True
         if self.rc_mode == "device":
             if self.bitrate <= 0:
                 self.post_error("rav1enc: rc-mode=device needs "
@@ -177,7 +210,16 @@ class Rav1Enc(BaseTransform):
         host core caps rav1e ~2 fps at 1080p all-intra; SVT-AV1's
         high presets and libaom's realtime usage are the in-image
         engines built for that regime (both produce conformant AV1 —
-        verified under libdav1d in tests/test_codec_native.py)."""
+        verified under libdav1d in tests/test_av1_codecs.py)."""
+        if self._xform is not None:
+            # device-transform mode: every lossy decision was already
+            # made on the TPU; libaom in lossless mode is purely the
+            # entropy/bitstream layer (recipe verified bit-exact under
+            # libdav1d in tests/test_av1_device_transform.py)
+            return "libaom-av1", {
+                "crf": 0, "b": 0, "cpu-used": 8, "usage": "good",
+                "lag-in-frames": 0, "g": self.max_key_frame_interval,
+                "threads": 1, "aom-params": "lossless=1"}
         speed = self.speed_preset
         if self._rc is not None:
             # device rate control owns the rate: engine runs in
@@ -327,7 +369,31 @@ class Rav1Enc(BaseTransform):
         self._rc_pending = (self._analyze(y)[0], self.rc_interval)
         return drained
 
+    def _device_transform_frame(self, buf: Buffer) -> list[Buffer] | None:
+        """device-transform=true path: ONE jitted dispatch performs
+        mode decision + 8x8 DCT + quantization + reconstruction of all
+        three planes; the lossless engine entropy-codes the result.
+        With bitrate > 0 the observed output bits steer the device
+        qstep closed-loop (QstepRateControl)."""
+        y, u, v = (np.ascontiguousarray(p, np.uint8)
+                   for p in self._info.planes(buf))
+        ry, ru, rv, _bits = self._xform(y, u, v,
+                                        np.float32(self._qstep))
+        rec = np.concatenate([np.asarray(ry).ravel(),
+                              np.asarray(ru).ravel(),
+                              np.asarray(rv).ravel()]).tobytes()
+        pkts = self._enc.send(rec, self._frame_n)
+        self._frame_n += 1
+        if self._qrc is not None and pkts:
+            nbits = sum(len(d) * 8 for d, _, _ in pkts)
+            self._qstep = self._qrc.observe(nbits / len(pkts))
+        return self._emit(pkts) or None
+
     def transform(self, buf: Buffer) -> list[Buffer] | None:
+        if self._xform is not None:
+            if self._enc is None:
+                return None
+            return self._device_transform_frame(buf)
         out: list[Buffer] = []
         if self._rc is not None and \
                 self._frame_n % self.rc_interval == 0:

@@ -109,6 +109,112 @@ def make_intra_analyzer(height: int, width: int):
     return analyze
 
 
+def make_intra_transform(height: int, width: int):
+    """Full device transform pass for `rav1enc device-transform=true`
+    (the restricted device-intra profile, SURVEY.md §2.8 P4 applied to
+    AV1 the same way ffv1enc applies it): for every 8x8 block of all
+    three I420 planes, the TPU performs
+
+      * intra mode decision (DC/H/V from the row above / column left,
+        source-pixel neighbors — the profile's defined semantics; the
+        bitstream layer below carries conformance),
+      * the forward 8x8 DCT-II of the chosen-mode residual,
+      * uniform quantization at the traced scalar `qstep`,
+      * dequantization + inverse DCT + clipped reconstruction,
+
+    in ONE jitted dispatch, returning the reconstructed planes and a
+    bits proxy.  The host engine then encodes the reconstruction
+    LOSSLESSLY (libaom lossless=1, conformant AV1, decodes under
+    libdav1d) — i.e. it serves as the entropy/bitstream layer for the
+    device's transform+quant decisions, which is the closest
+    conformant split available in this image: a from-scratch AV1
+    coefficient coder needs the spec §9.4 default CDF tables, literal
+    data that exists here only inside stripped binaries (the same
+    env-gate class as raptorq's RFC 6330 generator tables).  The
+    decoded output of the emitted bits is EXACTLY the device
+    reconstruction — every lossy decision in the stream was made by
+    the TPU transform+quant (tested in
+    tests/test_av1_device_transform.py).  Reference anchor:
+    video/rav1e/src/rav1enc/imp.rs:757-788.
+
+    Returns encode(y, u, v, qstep) -> (ry, ru, rv, bits) with planes
+    uint8 of the I420 geometry for (height, width); non-/8 plane dims
+    are edge-padded in-graph and cropped back.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    D = jnp.asarray(_dct_matrix())
+
+    def plane_pass(x_u8, qstep):
+        H, W = x_u8.shape
+        ph, pw = (-H) % BLOCK, (-W) % BLOCK
+        x = jnp.pad(x_u8.astype(jnp.float32), ((0, ph), (0, pw)),
+                    mode="edge")
+        Hp, Wp = H + ph, W + pw
+        by, bx = Hp // BLOCK, Wp // BLOCK
+        blk = x.reshape(by, BLOCK, bx, BLOCK).transpose(0, 2, 1, 3)
+        above = jnp.concatenate(
+            [jnp.full((1, Wp), 128.0, jnp.float32),
+             x[BLOCK - 1::BLOCK][:-1]], axis=0).reshape(by, bx, BLOCK)
+        left = jnp.concatenate(
+            [jnp.full((Hp, 1), 129.0, jnp.float32),
+             x[:, BLOCK - 1::BLOCK][:, :-1]], axis=1)
+        left = left.reshape(by, BLOCK, bx).transpose(0, 2, 1)
+        dc = (jnp.mean(above, -1) + jnp.mean(left, -1))[..., None,
+                                                        None] * 0.5
+        preds = jnp.stack([jnp.broadcast_to(dc, blk.shape),
+                           jnp.broadcast_to(above[:, :, None, :],
+                                            blk.shape),
+                           jnp.broadcast_to(left[:, :, :, None],
+                                            blk.shape)])
+        sad = jnp.sum(jnp.abs(blk[None] - preds), axis=(-1, -2))
+        mode = jnp.argmin(sad, axis=0)
+        pred = jnp.take_along_axis(
+            preds, mode[None, :, :, None, None], 0)[0]
+        res = blk - pred
+        coef = jnp.einsum("ij,bcjk,lk->bcil", D, res, D)
+        lvl = jnp.round(coef / qstep)
+        bits = jnp.sum(jnp.where(
+            lvl != 0, 2.0 + jnp.log2(1.0 + jnp.abs(lvl)), 0.0))
+        rec = pred + jnp.einsum("ji,bcjk,kl->bcil", D, lvl * qstep, D)
+        rec = jnp.clip(jnp.round(rec), 0, 255).astype(jnp.uint8)
+        rec = rec.transpose(0, 2, 1, 3).reshape(Hp, Wp)
+        return rec[:H, :W], bits
+
+    @jax.jit
+    def encode(y, u, v, qstep):
+        q = jnp.maximum(qstep.astype(jnp.float32), 1e-3)
+        ry, b0 = plane_pass(y, q)
+        ru, b1 = plane_pass(u, q)
+        rv, b2 = plane_pass(v, q)
+        return ry, ru, rv, b0 + b1 + b2
+
+    return encode
+
+
+class QstepRateControl:
+    """Closed-loop quantizer-step control for device-transform mode:
+    the device qstep decides the reconstruction's information content,
+    the lossless entropy layer's observed output bits feed back
+    multiplicatively (bits ~ qstep^-gamma locally)."""
+
+    def __init__(self, target_bps: float, fps: float,
+                 qmin: float = 0.5, qmax: float = 256.0):
+        self.target = max(1.0, target_bps / max(fps, 1e-6))
+        self.qmin, self.qmax = qmin, qmax
+        self.qstep = 16.0
+
+    def observe(self, actual_bits: float) -> float:
+        if actual_bits > 0:
+            ratio = actual_bits / self.target
+            # damped exponential correction; gamma ~ 1 in the
+            # operating range of transform coding rate curves
+            self.qstep *= ratio ** 0.5
+            self.qstep = min(self.qmax, max(self.qmin, self.qstep))
+        return self.qstep
+
+
 class DeviceRateControl:
     """Closed-loop per-frame quantizer from the device rate curve.
 
