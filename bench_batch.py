@@ -198,6 +198,16 @@ def main():
     chain_rt = run_chain(n_chain)
     print(f"element-runtime chain ({n_chain} pipelines): "
           f"{chain_rt:.1f}x realtime", file=sys.stderr)
+    # optional second size: bench.py's ops ceiling runs B=96 while
+    # this bench's history is at 64 — docs/profile_chain_r5.md showed
+    # ~21 of the headline-gap "x" were batch size, so an
+    # apples-to-apples leg can be recorded without breaking the
+    # 64-stream trend line
+    n2 = int(os.environ.get("GSTPU_BENCH_STREAMS2", 0))
+    chain_rt2 = run_chain(n2) if n2 else None
+    if chain_rt2 is not None:
+        print(f"element-runtime chain ({n2} pipelines): "
+              f"{chain_rt2:.1f}x realtime", file=sys.stderr)
 
     n_streams, blocks, block = 64, 12, 4_800
     rng = np.random.default_rng(0)
@@ -221,6 +231,8 @@ def main():
         "echo_per_stream_dispatch": round(per_stream, 1),
         "echo_batched": round(batched, 1),
         "echo_batched_overlapped": round(batched2, 1),
+        **({f"chain_b{n2}": round(chain_rt2, 1)}
+           if chain_rt2 is not None else {}),
     }))
 
 

@@ -645,6 +645,34 @@ class AudioLoudNorm(Element):
                    for k, v in st2.items()}
             return st2, out, out_valid * C     # back to flat
 
+        def fuse_next(next_spec: dict) -> dict | None:
+            """Chain fusion (the L2' promise): a directly-downstream
+            ebur128level that only needs momentary/short-term is THIS
+            element's own output-measurement pass — the gain machine
+            already K-weights the output (loudnorm_dev.meas_out), so
+            the meter rides the same biquad chain instead of running
+            the reference's second full one
+            (audio/audiofx/src/ebur128level/imp.rs:296-455).  State
+            layout is unchanged (with_meter reuses ring_out), so
+            checkpoints are fusion-agnostic."""
+            nkey = next_spec.get("key")
+            if not (isinstance(nkey, tuple)
+                    and nkey[0] == "ebur128level"
+                    and next_spec.get("meter_fusable")):
+                return None
+            if nkey[1].channels != params.channels:
+                return None
+            f_first, f_inner = make_steps(params, with_meter=True)
+            return dict(
+                key=("audioloudnorm+ebur128level", params, nkey),
+                step=_rebatch(f_inner),
+                prime=_rebatch(f_first),
+                prime_blocks=30,
+                final=final,
+                init_state=init_nobatch,
+                uniforms=lambda: (),
+                compute_dtype=np.float64)
+
         return dict(
             key=("audioloudnorm", params),
             step=_rebatch(inner_step),
@@ -653,6 +681,7 @@ class AudioLoudNorm(Element):
             final=final,
             init_state=init_nobatch,
             uniforms=lambda: (),
+            fuse_next=fuse_next,
             compute_dtype=np.float64)
 
     def make_batch_buffer(self, flat, pts, dur) -> Buffer:
@@ -921,9 +950,16 @@ class EbuR128Level(BaseTransform):
                    for k, v in st2.items()}
             return st2, out, aux
 
+        # fusable into an upstream audioloudnorm stage iff the modes
+        # it must post are covered by the gain machine's own
+        # output-measurement ring (momentary/short-term); global /
+        # sample-peak need the standalone meter's gating-block and
+        # peak state
+        fusable = set(self._modes()) <= {"momentary", "short-term"}
         return dict(key=("ebur128level", params), step=step,
                     init_state=init_nobatch, uniforms=lambda: (),
-                    wide_ok=True, compute_dtype=np.float64)
+                    wide_ok=True, meter_fusable=fusable,
+                    compute_dtype=np.float64)
 
     def make_batch_buffer(self, flat, pts, dur) -> Buffer:
         from gstpu.runtime.device_batch import DeviceRow

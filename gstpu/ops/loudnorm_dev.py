@@ -685,7 +685,7 @@ def make_steps(params: LoudnormParams, with_meter: bool = False):
     with_meter=True fuses a downstream `ebur128level` into the step:
     the output measurement chain runs unconditionally (it IS the
     meter — one shared K-weighting pass, the fusion the L2' runtime
-    promises) and inner_step returns (state, out, meters) with
+    promises) and BOTH steps return (state, out, meters) with
     meters = dict(momentary, shortterm (B,) LUFS of the output).
     """
     C = params.channels
@@ -769,6 +769,11 @@ def make_steps(params: LoudnormParams, with_meter: bool = False):
         st_out = _loudness(window_energy(st["ring_out"], 30))
         return _update_gain(params, st, window_energy, st_out)
 
+    def _out_meters(st):
+        return dict(
+            momentary=_loudness(window_energy(st["ring_out"], 4)),
+            shortterm=_loudness(window_energy(st["ring_out"], 30)))
+
     @jax.jit
     def first_step(st, src):
         """process_first_frame (imp.rs:368-442)."""
@@ -795,6 +800,10 @@ def make_steps(params: LoudnormParams, with_meter: bool = False):
         # dbuf stays the full 3 s: the linear-model invariant is
         # "read at offset LIM, shift by FRAME per inner fill", which
         # reproduces numpy's buf_index = LIM*C ring pointer exactly.
+        if with_meter:
+            # fused ebur128level must meter the priming frame too —
+            # its message-interval counter covers every output block
+            return st, out, _out_meters(st)
         return st, out
 
     @jax.jit
@@ -806,9 +815,7 @@ def make_steps(params: LoudnormParams, with_meter: bool = False):
         if with_meter:
             # fused ebur128level: the output chain is the meter
             st2 = meas_out(st, out)
-            meters = dict(
-                momentary=_loudness(window_energy(st2["ring_out"], 4)),
-                shortterm=_loudness(window_energy(st2["ring_out"], 30)))
+            meters = _out_meters(st2)
         else:
             need_out = jnp.any(~st["above"])
             st2 = jax.lax.cond(need_out, lambda s: meas_out(s, out),

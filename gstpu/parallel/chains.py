@@ -85,7 +85,7 @@ def make_audiofx_exact_chain(channels: int = 2,
     def prime(state, x, intensity, feedback):
         tail, y = echo_block(state["tail"], x, intensity, feedback,
                              delay=echo_delay)
-        ln, out = first_step(state["ln"], y)
+        ln, out, _meters = first_step(state["ln"], y)
         return dict(tail=tail, ln=ln), out
 
     @_jax.jit

@@ -118,18 +118,33 @@ class DeviceRow:
 
 class AuxView:
     """Per-fire metering pytree shared by every lane's element:
-    materializes each (B, ...) leaf ONCE on first access (N elements
-    reading the same leaf must not issue N device transfers)."""
+    materializes ALL (B, ...) leaves ONCE on first access, in a
+    single concurrent device_get (N elements reading the leaves must
+    not issue N transfers, and sequential per-leaf np.asarray pays
+    one full device round-trip EACH — over a high-latency link the
+    difference between one RTT and len(leaves) RTTs per metering
+    interval)."""
 
     def __init__(self, leaves: dict):
         self._leaves = leaves
-        self._host: dict = {}
+        self._host: dict | None = None
+        # start the D2H copies NOW (bytes are tiny — (B,) meter rows);
+        # by the time a metering-interval boundary reads them the
+        # transfer has ridden along behind the compute instead of
+        # paying a fresh round-trip that drains the fire pipeline
+        for v in leaves.values():
+            fn = getattr(v, "copy_to_host_async", None)
+            if fn is not None:
+                try:
+                    fn()
+                except Exception:
+                    pass            # backend without async copies
 
     def __getitem__(self, k):
-        v = self._host.get(k)
-        if v is None:
-            v = self._host[k] = np.asarray(self._leaves[k])
-        return v
+        if self._host is None:
+            import jax
+            self._host = jax.device_get(self._leaves)
+        return self._host[k]
 
     def keys(self):
         return self._leaves.keys()
@@ -162,8 +177,25 @@ class _Member:
 
 
 @dataclass
+class _Stage:
+    """One kernel stage of a composed chain.  Usually 1:1 with a
+    member; a spec that declares `fuse_next` can fold its downstream
+    neighbour(s) into ONE stage (e.g. audioloudnorm absorbs a
+    compatible ebur128level: the output-measurement pass the gain
+    machine already runs IS the meter — reference
+    audio/audiofx/src/ebur128level/imp.rs runs a second full
+    K-weighting chain instead; on device one pass feeds both).  The
+    fused spec must preserve `owner`'s state pytree structure
+    (checkpoint/resume stays layout-compatible either way)."""
+    spec: dict
+    owner: object            # _Member whose .state carries this stage
+    members: list            # every _Member folded into this stage
+
+
+@dataclass
 class _Chain:
     members: list            # [_Member] head..tail
+    stages: list = None      # [_Stage] set by _build_chains
 
     @property
     def head(self):
@@ -314,7 +346,8 @@ class DeviceContext:
         for c in chains:
             for m in c.members:
                 m.chain = c
-        key = tuple(tuple(s.spec["key"] for s in c.members)
+            c.stages = self._fuse_stages(c.members)
+        key = tuple(tuple(s.spec["key"] for s in c.stages)
                     for c in chains)
         if len(set(key)) != 1:
             raise ValueError(
@@ -323,10 +356,41 @@ class DeviceContext:
                 f"run the same kernel sequence)")
         self.key = key[0]
         self.chains = chains
-        self._fused = self._compose([s.spec for s in chains[0].members])
+        self._fused = self._compose([s.spec for s in chains[0].stages])
         self._prime_n = max((s.spec.get("prime_blocks", 1)
-                             for s in chains[0].members), default=1)
+                             for s in chains[0].stages), default=1)
         return True
+
+    @staticmethod
+    def _fuse_stages(members: list) -> list:
+        """Peephole pass over a chain's member specs: a spec with
+        `fuse_next(next_spec) -> fused_spec | None` absorbs its
+        downstream neighbour into one stage (repeatable — a fused
+        spec may itself declare fuse_next).  Disable with
+        GSTPU_NO_CHAIN_FUSION=1 (A/B identity tests)."""
+        import os
+        if os.environ.get("GSTPU_NO_CHAIN_FUSION"):
+            return [_Stage(spec=m.spec, owner=m, members=[m])
+                    for m in members]
+        stages = []
+        i = 0
+        while i < len(members):
+            m = members[i]
+            spec = m.spec
+            folded = [m]
+            while i + 1 < len(members):
+                fuse = spec.get("fuse_next")
+                if fuse is None:
+                    break
+                fspec = fuse(members[i + 1].spec)
+                if fspec is None:
+                    break
+                spec = fspec
+                folded.append(members[i + 1])
+                i += 1
+            stages.append(_Stage(spec=spec, owner=m, members=folded))
+            i += 1
+        return stages
 
     def _compose(self, specs: list[dict]):
         """Fuse the stage kernels of one chain shape into single
@@ -512,7 +576,7 @@ class DeviceContext:
         import jax
         return jax.tree_util.tree_map(
             lambda *leaves: jax.numpy.stack(leaves),
-            *[c.members[stage_j].state for c in chains])
+            *[c.stages[stage_j].owner.state for c in chains])
 
     def _writeback(self) -> None:
         """Scatter the cached batched states back onto their member
@@ -527,7 +591,7 @@ class DeviceContext:
         for j in range(len(states)):
             for i, c in enumerate(chains):
                 if c is not None:
-                    c.members[j].state = jax.tree_util.tree_map(
+                    c.stages[j].owner.state = jax.tree_util.tree_map(
                         lambda leaf: leaf[i], states[j])
 
     def _fire(self, ready: list[_Chain]) -> None:
@@ -537,7 +601,7 @@ class DeviceContext:
         priming = not ready[0].primed
         n = self.block * (self._prime_blocks() if priming else 1)
         step, prime, n_stages, _final = self._fused
-        specs = [s.spec for s in ready[0].members]
+        specs = [s.spec for s in ready[0].stages]
 
         rows, metas, dev_in = [], [], False
         for c in ready:
@@ -593,7 +657,7 @@ class DeviceContext:
             self._writeback()
             states = tuple(self._stack_states(ready, j)
                            for j in range(n_stages))
-        uni_vals = tuple(tuple(c.members[j].spec["uniforms"]()
+        uni_vals = tuple(tuple(c.stages[j].spec["uniforms"]()
                                for c in ready)
                          for j in range(n_stages))
         if self._uni_cache is not None \
@@ -645,12 +709,16 @@ class DeviceContext:
         for i, (c, _pts) in enumerate(metas):
             if not c.head.active:
                 continue
-            # per-stage aux (metering) to the owning elements
-            for j, m in enumerate(c.members):
-                if aux[j] is not None and hasattr(m.element,
-                                                  "consume_batch_aux"):
-                    m.element.consume_batch_aux(aux[j], i, c.out_pts,
-                                                out_n)
+            # per-stage aux (metering) to the owning elements — every
+            # member folded into the stage gets an offer (a fused
+            # loudnorm+ebur stage's meters belong to the ebur element)
+            for j, stg in enumerate(c.stages):
+                if aux[j] is None:
+                    continue
+                for m in stg.members:
+                    if hasattr(m.element, "consume_batch_aux"):
+                        m.element.consume_batch_aux(aux[j], i,
+                                                    c.out_pts, out_n)
             tail = c.tail
             dur = out_n * SECOND // max(c.head.rate, 1)
             pts = c.out_pts
@@ -693,18 +761,18 @@ class DeviceContext:
         def _b1_states():
             return tuple(
                 jax.tree_util.tree_map(lambda leaf: leaf[None],
-                                       chain.members[j].state)
+                                       chain.stages[j].owner.state)
                 for j in range(n_stages))
 
         def _b1_unis():
             return tuple(
                 tuple(jnp.asarray(np.asarray([u], np.float64)[:, None])
-                      for u in chain.members[j].spec["uniforms"]())
+                      for u in chain.stages[j].spec["uniforms"]())
                 for j in range(n_stages))
 
         def _store(states):
             for j in range(n_stages):
-                chain.members[j].state = jax.tree_util.tree_map(
+                chain.stages[j].owner.state = jax.tree_util.tree_map(
                     lambda leaf: leaf[0], states[j])
 
         def _emit(host_row, emit):
@@ -722,7 +790,8 @@ class DeviceContext:
             if _final is not None and chain.primed and avail < need:
                 break                # partial tail: the FINAL drain
             n = min(avail, need)
-            sshape = tuple(m.spec.get("sample_shape") or ())
+            hspec = chain.stages[0].spec
+            sshape = tuple(hspec.get("sample_shape") or ())
             row, is_dev = self._take_input(m, n)
             if is_dev:
                 xr = row.jax() if isinstance(row, DeviceRow) else row
@@ -733,19 +802,13 @@ class DeviceContext:
                 x = xr[None]
             else:
                 hx = np.pad(row.astype(
-                    m.spec.get("compute_dtype", np.float64),
+                    hspec.get("compute_dtype", np.float64),
                     copy=False), (0, need - n))
                 if sshape:
                     hx = hx.reshape(sshape)
                 x = jnp.asarray(hx[None])
-            states = tuple(
-                jax.tree_util.tree_map(lambda leaf: leaf[None],
-                                       chain.members[j].state)
-                for j in range(n_stages))
-            unis = tuple(
-                tuple(jnp.asarray(np.asarray([u], np.float64)[:, None])
-                      for u in chain.members[j].spec["uniforms"]())
-                for j in range(n_stages))
+            states = _b1_states()
+            unis = _b1_unis()
             fn = prime if not chain.primed else step
             states, out, aux = fn(states, x, unis)
             chain.primed = True

@@ -222,3 +222,69 @@ def _run_context_chain_keep(sigs):
         p.set_state(State.NULL)
     DeviceContext.release("tchain")
     return outs, msgs
+
+
+# -- chain fusion (VERDICT r4 ask 6: the L2' fusion promise) -----------------
+
+def _stage_probe(mode):
+    """Build one chain, return (n_stages, stage_keys) then tear down."""
+    DeviceContext.release("tfuse")
+    caps = ("audio/x-raw, format=F64LE, rate=192000, channels=1, "
+            "layout=interleaved")
+    p = parse_launch(
+        f'appsrc name=src caps="{caps}" ! '
+        f'rsaudioecho delay=250000000 max-delay=250000000 '
+        f'intensity=0.4 feedback=0.3 context=tfuse '
+        f'context-block={FRAME} ! '
+        f'audioloudnorm context=tfuse device-gating-blocks={GATING} ! '
+        f'ebur128level context=tfuse mode={mode} '
+        f'device-gating-blocks={GATING} ! appsink name=sink')
+    p.set_state(State.PLAYING)
+    # one frame negotiates caps -> members finalize (no fire yet: the
+    # loudnorm stage needs the 3 s priming window)
+    p.get_by_name("src").push_buffer(
+        Buffer(np.zeros((FRAME, 1)), pts=0))
+    while p.iterate():
+        pass
+    ctx = DeviceContext.acquire("tfuse")
+    assert ctx._build_chains()
+    stages = ctx.chains[0].stages
+    keys = [s.spec["key"][0] for s in stages]
+    n_members = [len(s.members) for s in stages]
+    p.set_state(State.NULL)
+    DeviceContext.release("tfuse")
+    return keys, n_members
+
+
+def test_fusion_engages_for_momentary_shortterm():
+    """loudnorm absorbs a momentary/short-term ebur128level into ONE
+    stage: the gain machine's output-measurement pass IS the meter."""
+    keys, n_members = _stage_probe("momentary,short-term")
+    assert keys == ["rsaudioecho", "audioloudnorm+ebur128level"]
+    assert n_members == [1, 2]
+
+
+def test_fusion_declines_global_mode():
+    """global gating needs the standalone meter state — no fusion."""
+    keys, n_members = _stage_probe("momentary,global")
+    assert keys == ["rsaudioecho", "audioloudnorm", "ebur128level"]
+    assert n_members == [1, 1, 1]
+
+
+def test_fusion_identity_vs_unfused(chain_signals, monkeypatch):
+    """Fused == unfused: outputs BITWISE, meter messages equal (the
+    fused meter reads loudnorm's ring_out; the standalone stage runs
+    its own K-weighting chain over the same output — same math)."""
+    fused_outs, fused_msgs = _run_context_chain(chain_signals)
+    monkeypatch.setenv("GSTPU_NO_CHAIN_FUSION", "1")
+    plain_outs, plain_msgs = _run_context_chain(chain_signals)
+    for a, b in zip(fused_outs, plain_outs):
+        assert a.shape == b.shape
+        assert np.array_equal(a, b)
+    assert len(fused_msgs[0]) == len(plain_msgs[0]) > 0
+    for mf, mp in zip(fused_msgs[0], plain_msgs[0]):
+        assert mf.fields["timestamp"] == mp.fields["timestamp"]
+        for k in ("momentary-loudness", "shortterm-loudness"):
+            df = mf.fields[k]
+            dp = mp.fields[k]
+            assert abs(df - dp) <= 1e-9, (k, df, dp)
