@@ -350,10 +350,26 @@ class Rav1Enc(BaseTransform):
         drained: list[Buffer] = []
         if self._rc_pending is not None:
             curve, frames = self._rc_pending
-            self._rc.observe(self._rc_bits / max(frames, 1))
-            crf = self._rc.pick(np.asarray(curve))
+            curve = np.asarray(curve)
+            actual_pf = self._rc_bits / max(frames, 1)
+            # the bits just measured were produced at the crf IN
+            # FORCE; scale the proxy model against that crf's own
+            # curve point (ops/av1_intra.DeviceRateControl.proxy_at)
+            self._rc.observe(actual_pf,
+                             self._rc.proxy_at(curve, self._rc_crf))
+            crf = self._rc.pick(curve)
             self._rc_bits = 0
-            if abs(crf - self._rc_crf) >= 2:
+            # restart hygiene vs steady-state accuracy: the >=2
+            # deadband avoids engine-restart churn near target (each
+            # restart opens on a keyframe); a ±1 move is still taken
+            # when the MEASURED rate is parked more than a full
+            # quantizer step off target — with the unbiased proxy
+            # bookkeeping above that is a rare recovery path, not the
+            # steady state
+            off_band = not (0.70 * self._rc.target <= actual_pf
+                            <= 1.43 * self._rc.target)
+            if crf != self._rc_crf and (abs(crf - self._rc_crf) >= 2
+                                        or off_band):
                 self._rc_crf = crf
                 pkts = self._enc.finish()
                 # drained bits belong to the window that just opened —

@@ -228,11 +228,29 @@ class DeviceRateControl:
         self.target = max(1.0, target_bps / max(fps, 1e-6))
         self.min_crf, self.max_crf = min_crf, max_crf
         self.scale = 1.0            # actual_bits / proxy_bits
-        self._last_proxy = None
 
-    def observe(self, actual_bits: float) -> None:
-        if self._last_proxy and self._last_proxy > 0 and actual_bits:
-            r = actual_bits / self._last_proxy
+    @staticmethod
+    def proxy_at(bits_curve: np.ndarray, crf: int) -> float:
+        """UNSCALED proxy bits the curve predicts at a given crf —
+        log-log interpolation over the Q_GRID.  observe() must compare
+        the engine's actual bits against the proxy at the crf that was
+        IN FORCE for those bits: comparing against the unrounded pick
+        instead biases the EWMA by exactly the rounding/deadband gap
+        and parks the loop at a stable off-target equilibrium
+        (measured -41% at 1080p before this fix)."""
+        est = np.maximum(np.asarray(bits_curve, np.float64), 1e-3)
+        q = 0.125 * 2.0 ** (crf / 6.0)
+        lq = np.log(np.asarray(Q_GRID, np.float64))
+        x = math.log(max(q, 1e-6))
+        i = int(np.clip(np.searchsorted(lq, x), 1, N_Q - 1))
+        t = (x - lq[i - 1]) / (lq[i] - lq[i - 1])
+        t = min(1.0, max(0.0, t))
+        b0, b1 = math.log(est[i - 1]), math.log(est[i])
+        return float(math.exp(b0 * (1 - t) + b1 * t))
+
+    def observe(self, actual_bits: float, proxy_bits: float) -> None:
+        if proxy_bits > 0 and actual_bits:
+            r = actual_bits / proxy_bits
             self.scale = 0.7 * self.scale + 0.3 * r
 
     def pick(self, bits_curve: np.ndarray) -> int:
@@ -243,18 +261,13 @@ class DeviceRateControl:
         i = int(np.searchsorted(-est, -want))
         if i <= 0:
             # target above the finest step's cost: floor quantizer
-            self._last_proxy = float(est[0] / self.scale)
             return self.min_crf
         elif i >= N_Q:
             # target below even the coarsest step: ceiling quantizer
-            self._last_proxy = float(est[-1] / self.scale)
             return self.max_crf
-        else:
-            b0, b1 = math.log(est[i - 1]), math.log(est[i])
-            t = 0.0 if b1 == b0 else (math.log(want) - b0) / (b1 - b0)
-            q = float(Q_GRID[i - 1] ** (1 - t) * Q_GRID[i] ** t)
-            self._last_proxy = float(
-                math.exp(b0 * (1 - t) + b1 * t) / self.scale)
+        b0, b1 = math.log(est[i - 1]), math.log(est[i])
+        t = 0.0 if b1 == b0 else (math.log(want) - b0) / (b1 - b0)
+        q = float(Q_GRID[i - 1] ** (1 - t) * Q_GRID[i] ** t)
         # qstep -> crf: crf = 6*log2(qstep/0.125), the same
         # exponential family as the grid (closed loop absorbs offset)
         crf = int(round(6.0 * math.log2(max(q, 1e-3) / 0.125)))

