@@ -288,3 +288,62 @@ def test_fusion_identity_vs_unfused(chain_signals, monkeypatch):
             df = mf.fields[k]
             dp = mp.fields[k]
             assert abs(df - dp) <= 1e-9, (k, df, dp)
+
+
+def test_fused_chain_checkpoint_resume_bit_exact(chain_signals,
+                                                 tmp_path):
+    """SURVEY 5.4 x fusion: snapshot a live FUSED chain context
+    mid-stream (the fused stage's state lives on the loudnorm
+    member — layout is fusion-agnostic), wipe, restore, continue —
+    outputs equal the uninterrupted run bit-for-bit."""
+    from gstpu.runtime.device_batch import (restore_context,
+                                            snapshot_context)
+
+    def run(interrupt):
+        DeviceContext.release("tchain")
+        caps = ("audio/x-raw, format=F64LE, rate=192000, channels=1, "
+                "layout=interleaved")
+        pipes = [parse_launch(
+            f'appsrc name=src caps="{caps}" ! '
+            f'rsaudioecho delay=250000000 max-delay=250000000 '
+            f'intensity=0.4 feedback=0.3 context=tchain '
+            f'context-block={FRAME} ! '
+            f'audioloudnorm context=tchain '
+            f'device-gating-blocks={GATING} ! '
+            f'ebur128level context=tchain mode=momentary,short-term '
+            f'interval=200000000 device-gating-blocks={GATING} ! '
+            f'appsink name=sink') for _ in chain_signals]
+        for p in pipes:
+            p.set_state(State.PLAYING)
+        n_frames = chain_signals[0].shape[0]
+        for k in range(n_frames):
+            for s, p in enumerate(pipes):
+                p.get_by_name("src").push_buffer(
+                    Buffer(chain_signals[s][k], pts=k * 100_000_000))
+                while p.iterate():
+                    pass
+            if interrupt and k == 31:
+                ctx = DeviceContext.acquire("tchain")
+                assert len(ctx.chains[0].stages) == 2  # fused
+                path = str(tmp_path / "fused.ckpt.npz")
+                snapshot_context(ctx, path)
+                for m in ctx.members:
+                    if m.spec is not None:
+                        m.state = m.spec["init_state"]()
+                restore_context(ctx, path)
+        outs = []
+        for p in pipes:
+            p.get_by_name("src").end_of_stream()
+            p.run()
+            outs.append(np.concatenate(
+                [np.asarray(b.array).reshape(-1)
+                 for b in p.get_by_name("sink").pull_all()]))
+            p.set_state(State.NULL)
+        DeviceContext.release("tchain")
+        return outs
+
+    a = run(False)
+    b = run(True)
+    for x, y in zip(a, b):
+        assert x.shape == y.shape
+        assert np.array_equal(x, y)
