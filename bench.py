@@ -212,28 +212,32 @@ def main() -> None:
     # docs/profile_chain_r5.md).  Production streaming cannot scan —
     # blocks arrive one round at a time — so `value` stays the
     # per-dispatch number.
-    banks_arr = jnp.stack(bank)
+    scan_rt = None
+    try:                        # fail-soft: never void the capture
+        banks_arr = jnp.stack(bank)
 
-    @jax.jit
-    def scan_rounds(st, xs):
-        def body(s, x):
-            s2, out2, _m = step(s, x, inten, fb)
-            return s2, jnp.sum(out2)
-        return jax.lax.scan(body, st, xs)
+        @jax.jit
+        def scan_rounds(st, xs):
+            def body(s, x):
+                s2, out2, _m = step(s, x, inten, fb)
+                return s2, jnp.sum(out2)
+            return jax.lax.scan(body, st, xs)
 
-    state, sums = scan_rounds(state, banks_arr)   # compile + warm
-    sums.block_until_ready()
-    reps = 1 if quick else 2
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        state, sums = scan_rounds(state, banks_arr)
-    sums.block_until_ready()
-    scan_wall = time.perf_counter() - t0
-    scan_rt = B * reps * n_bank * 0.1 / scan_wall
-    print(f"single-dispatch scan ceiling: {scan_rt:.1f}x realtime "
-          f"({1e3 * scan_wall / (reps * n_bank):.2f} ms/round vs "
-          f"{1e3 * wall / iters:.2f} ms/round dispatched)",
-          file=sys.stderr)
+        state, sums = scan_rounds(state, banks_arr)  # compile + warm
+        sums.block_until_ready()
+        reps = 1 if quick else 2
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, sums = scan_rounds(state, banks_arr)
+        sums.block_until_ready()
+        scan_wall = time.perf_counter() - t0
+        scan_rt = B * reps * n_bank * 0.1 / scan_wall
+        print(f"single-dispatch scan ceiling: {scan_rt:.1f}x realtime"
+              f" ({1e3 * scan_wall / (reps * n_bank):.2f} ms/round vs"
+              f" {1e3 * wall / iters:.2f} ms/round dispatched)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"scan-ceiling leg skipped: {e}", file=sys.stderr)
     st = float(jnp.mean(meters["shortterm"]))
     print(f"fused ebur128level shortterm(out): {st:.2f} LUFS "
           f"(target -24)", file=sys.stderr)
@@ -273,7 +277,8 @@ def main() -> None:
         "value": round(rt, 1),
         "unit": "x",
         "vs_baseline": round(rt / 100.0, 3),
-        "scan_ceiling_rt": round(scan_rt, 1),
+        **({"scan_ceiling_rt": round(scan_rt, 1)}
+           if scan_rt is not None else {}),
     }))
 
 
