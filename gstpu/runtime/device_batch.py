@@ -580,7 +580,12 @@ class DeviceContext:
 
     def _writeback(self) -> None:
         """Scatter the cached batched states back onto their member
-        pytrees (before membership changes, flush, or checkpoint)."""
+        pytrees (before membership changes, flush, or checkpoint).
+        Eager per-chain-per-leaf slicing is deliberate: the slices
+        dispatch asynchronously and their kernels cache after first
+        use, while a jitted all-rows splitter (tried round 5) has
+        chains*leaves OUTPUTS and compiles for minutes at B=64 —
+        far worse than the one-time eager-kernel warmup it saves."""
         if self._batched is None:
             return
         import jax
