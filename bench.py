@@ -214,7 +214,12 @@ def main() -> None:
     # per-dispatch number.
     scan_rt = None
     try:                        # fail-soft: never void the capture
-        banks_arr = jnp.stack(bank)
+        # always a 4-bank scan so --quick and full mode share ONE
+        # compiled executable (the quick pass pre-warms the cache the
+        # driver's full pass reuses; a 12-bank shape would compile
+        # again for minutes over the tunnel)
+        n_scan = min(4, n_bank)
+        banks_arr = jnp.stack(bank[:n_scan])
 
         @jax.jit
         def scan_rounds(st, xs):
@@ -225,15 +230,15 @@ def main() -> None:
 
         state, sums = scan_rounds(state, banks_arr)  # compile + warm
         sums.block_until_ready()
-        reps = 1 if quick else 2
+        reps = 1 if quick else 5
         t0 = time.perf_counter()
         for _ in range(reps):
             state, sums = scan_rounds(state, banks_arr)
         sums.block_until_ready()
         scan_wall = time.perf_counter() - t0
-        scan_rt = B * reps * n_bank * 0.1 / scan_wall
+        scan_rt = B * reps * n_scan * 0.1 / scan_wall
         print(f"single-dispatch scan ceiling: {scan_rt:.1f}x realtime"
-              f" ({1e3 * scan_wall / (reps * n_bank):.2f} ms/round vs"
+              f" ({1e3 * scan_wall / (reps * n_scan):.2f} ms/round vs"
               f" {1e3 * wall / iters:.2f} ms/round dispatched)",
               file=sys.stderr)
     except Exception as e:
