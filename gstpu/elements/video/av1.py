@@ -79,7 +79,14 @@ class Rav1Enc(BaseTransform):
                        blurb="'engine' = the engine's own rate "
                              "control; 'device' = TPU intra analysis "
                              "(ops/av1_intra.py) picks the quantizer "
-                             "closed-loop against `bitrate`")
+                             "closed-loop against `bitrate`. The "
+                             "proxy model is INTRA rate: all-intra "
+                             "and short-GOP streams converge tightly "
+                             "(tests/test_av1_device_rc.py); for "
+                             "long-GOP highly-predictable content "
+                             "the bits live almost entirely in "
+                             "keyframes and the achievable rate is "
+                             "content-limited below some targets")
     rc_interval = Property(int, default=8, minimum=1, maximum=600,
                            mutable=Mutability.READY,
                            blurb="Frames between device rate-control "
@@ -105,7 +112,11 @@ class Rav1Enc(BaseTransform):
         self._frame_n = 0
         self._analyze = None
         self._rc = None
-        self._rc_bits = 0           # bits since last rc decision
+        self._rc_bits = 0           # bits since last OBSERVED decision
+        self._rc_pkts = 0           # packets emitted in that span
+        self._rc_frames = 0         # frames sent in that span
+        self._rc_forced_err = None  # |log err| when a ±1 was forced
+        self._rc_limited = False    # content-limited latch
         self._rc_crf = None
         self._rc_pending = None     # in-flight device curve
         self._xform = None          # device-transform encode pass
@@ -174,6 +185,10 @@ class Rav1Enc(BaseTransform):
                                          fps[0] / fps[1])
             self._rc_crf = 32
             self._rc_bits = 0
+            self._rc_pkts = 0
+            self._rc_frames = 0
+            self._rc_forced_err = None
+            self._rc_limited = False
         if not self._open_engine():
             return False
         self._frame_n = 0
@@ -351,36 +366,67 @@ class Rav1Enc(BaseTransform):
         if self._rc_pending is not None:
             curve, frames = self._rc_pending
             curve = np.asarray(curve)
-            actual_pf = self._rc_bits / max(frames, 1)
-            # the bits just measured were produced at the crf IN
-            # FORCE; scale the proxy model against that crf's own
-            # curve point (ops/av1_intra.DeviceRateControl.proxy_at)
-            self._rc.observe(actual_pf,
-                             self._rc.proxy_at(curve, self._rc_crf))
-            crf = self._rc.pick(curve)
-            self._rc_bits = 0
-            # restart hygiene vs steady-state accuracy: the >=2
-            # deadband avoids engine-restart churn near target (each
-            # restart opens on a keyframe); a ±1 move is still taken
-            # when the MEASURED rate is parked more than a full
-            # quantizer step off target — with the unbiased proxy
-            # bookkeeping above that is a rare recovery path, not the
-            # steady state
-            off_band = not (0.70 * self._rc.target <= actual_pf
-                            <= 1.43 * self._rc.target)
-            if crf != self._rc_crf and (abs(crf - self._rc_crf) >= 2
-                                        or off_band):
-                self._rc_crf = crf
-                pkts = self._enc.finish()
-                # drained bits belong to the window that just opened —
-                # they leave the element now (unaccounted bits would
-                # make observe() under-report and the loop overshoot)
-                self._rc_bits += sum(len(d) * 8 for d, _, _ in pkts)
-                drained = self._emit(pkts)
-                self._enc.close()
-                self._enc = None
-                if not self._open_engine():
-                    return drained
+            self._rc_frames += frames
+            # engines with internal frame lag (libaom alt-ref groups,
+            # post-restart buffering) emit packets in BURSTS: a
+            # 30-frame window can see ~0 packets and the next one a
+            # double helping.  Deciding on a starved window crashes
+            # the EWMA scale (observed 0.71 -> 0.17 and a parked 0.59x
+            # rate) — accumulate bits/frames until the span has
+            # emitted a representative packet count, then observe.
+            if self._rc_pkts >= max(1, self._rc_frames // 2):
+                actual_pf = self._rc_bits / max(self._rc_frames, 1)
+                # the bits just measured were produced at the crf IN
+                # FORCE; scale the proxy model against that crf's own
+                # curve point (av1_intra.DeviceRateControl.proxy_at)
+                self._rc.observe(actual_pf,
+                                 self._rc.proxy_at(curve,
+                                                   self._rc_crf))
+                crf = self._rc.pick(curve)
+                self._rc_bits = 0
+                self._rc_pkts = 0
+                self._rc_frames = 0
+                # restart hygiene vs steady-state accuracy: the >=2
+                # deadband avoids engine-restart churn near target
+                # (each restart opens on a keyframe); a ±1 move is
+                # still taken when the MEASURED rate is parked more
+                # than a full quantizer step off target — with the
+                # unbiased proxy bookkeeping above that is a rare
+                # recovery path, not the steady state.  If a forced
+                # move did NOT move the rate toward target, the rate
+                # is CONTENT-limited (e.g. long-GOP inter frames cost
+                # ~nothing and only keyframes carry bits — the intra
+                # proxy cannot buy bits the content won't spend):
+                # latch the forcing off until the ratio shifts, or
+                # every decision would churn an engine restart.
+                import math
+                err = abs(math.log(max(actual_pf, 1.0)
+                                   / self._rc.target))
+                if self._rc_forced_err is not None:
+                    if err > self._rc_forced_err - 0.05:
+                        self._rc_limited = True
+                    self._rc_forced_err = None
+                if self._rc_limited and err <= 0.20:
+                    self._rc_limited = False    # back in reach
+                off_band = err > 0.20 and not self._rc_limited
+                if crf != self._rc_crf \
+                        and (abs(crf - self._rc_crf) >= 2 or off_band):
+                    if abs(crf - self._rc_crf) == 1:
+                        self._rc_forced_err = err
+                    self._rc_crf = crf
+                    pkts = self._enc.finish()
+                    # drained bits belong to the span that just
+                    # opened — they leave the element now
+                    # (unaccounted bits would make observe()
+                    # under-report and the loop overshoot)
+                    self._rc_bits += sum(len(d) * 8
+                                         for d, _, _ in pkts)
+                    self._rc_pkts += len(pkts)
+                    drained = self._emit(pkts)
+                    self._enc.close()
+                    self._enc = None
+                    if not self._open_engine():
+                        return drained
         y = np.asarray(self._info.planes(buf)[0])
         self._rc_pending = (self._analyze(y)[0], self.rc_interval)
         return drained
@@ -421,6 +467,7 @@ class Rav1Enc(BaseTransform):
         self._frame_n += 1
         if self._rc is not None:
             self._rc_bits += sum(len(d) * 8 for d, _, _ in pkts)
+            self._rc_pkts += len(pkts)
         return (out + self._emit(pkts)) or None
 
     def drain(self) -> list[Buffer]:

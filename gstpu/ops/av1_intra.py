@@ -251,7 +251,14 @@ class DeviceRateControl:
     def observe(self, actual_bits: float, proxy_bits: float) -> None:
         if proxy_bits > 0 and actual_bits:
             r = actual_bits / proxy_bits
-            self.scale = 0.7 * self.scale + 0.3 * r
+            # gain 0.5: starved windows are filtered upstream
+            # (rav1enc accumulates until the packet count is
+            # representative), so the remaining observations are
+            # trustworthy and a slow EWMA only delays convergence.
+            # The clamp stops runaway collapse when windows are
+            # bimodal (keyframe-bearing vs keyframe-free GOP spans).
+            self.scale = min(50.0, max(
+                0.02, 0.5 * self.scale + 0.5 * r))
 
     def pick(self, bits_curve: np.ndarray) -> int:
         est = np.maximum(np.asarray(bits_curve, np.float64)

@@ -146,9 +146,19 @@ def test_device_rc_converges_at_1080p():
 
 @pytest.mark.skipif(not _have("libsvtav1"), reason="no SVT-AV1")
 def test_device_rc_tracks_different_targets():
+    """Steady-state (second half) rates separate by target.  Whole-
+    stream totals would be dominated by the pre-convergence head
+    (identical for both runs until the first rate observations), so
+    the assertion uses the same steady-half discipline as the
+    convergence tests above."""
     lo = _run_rc("svt", 150_000, n_frames=48)
     hi = _run_rc("svt", 900_000, n_frames=48)
-    assert sum(map(len, hi)) > 2 * sum(map(len, lo))
+
+    def steady(pkts):
+        half = pkts[len(pkts) // 2:]
+        return sum(map(len, half))
+
+    assert steady(hi) > 3 * steady(lo), (steady(hi), steady(lo))
 
 
 @pytest.mark.skipif(not _have("libaom-av1"), reason="no libaom")
