@@ -60,6 +60,29 @@ class NetAddressMeta(Meta):
 
 
 @dataclass
+class VideoTimeCodeMeta(Meta):
+    """SMPTE timecode attached to a video frame (reference
+    GstVideoTimeCodeMeta; webrtcsink forward-metas serializes it over
+    the control data channel, net/webrtc/src/utils.rs:1419-1430)."""
+    hours: int = 0
+    minutes: int = 0
+    seconds: int = 0
+    frames: int = 0
+    fps: tuple = (30, 1)
+    drop_frame: bool = False
+    field_count: int = 0
+    latest_daily_jam: str | None = None    # ISO 8601 or None
+
+    def time_since_daily_jam(self) -> int:
+        """ns since the daily jam (dedup key, like the reference's
+        VideoTimeCode::time_since_daily_jam)."""
+        n, d = self.fps
+        frames = ((self.hours * 60 + self.minutes) * 60
+                  + self.seconds) * n // d + self.frames
+        return frames * 1_000_000_000 * d // max(n, 1)
+
+
+@dataclass
 class OriginalBufferMeta(Meta):
     """Stashes the pre-transform buffer so it can be restored later
     (reference generic/originalbuffer/src/originalbuffermeta.rs)."""

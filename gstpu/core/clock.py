@@ -34,6 +34,14 @@ class Clock:
     def time(self) -> ClockTime:
         raise NotImplementedError
 
+    def ts_refclk(self) -> str | None:
+        """RFC 7273 reference-clock description ("ntp=...",
+        "ptp=IEEE1588-2008:...") for clocks with network provenance;
+        None means no traceable reference (SDP signals
+        ts-refclk:local / mediaclk:sender).  Used by webrtcsink's
+        do-clock-signalling (reference webrtcsink/imp.rs:2405)."""
+        return None
+
     def wait_until(self, t: ClockTime) -> None:
         """Block until clock reaches t (best effort)."""
         while True:

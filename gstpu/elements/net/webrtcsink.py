@@ -383,6 +383,26 @@ class WebRtcSink(Element):
               "'none', 'downscale', 'downsample', or "
               "'downscale+downsample' (reference "
               "WebRTCSinkMitigationMode flags, default all)")
+    do_clock_signalling = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Signal the pipeline clock per RFC 7273: a clock with "
+              "network provenance (Clock.ts_refclk, e.g. "
+              "gstpu.core.netclock.NtpClock) is announced as "
+              "a=ts-refclk + a=mediaclk:direct with payloader RTP "
+              "timestamps aligned to it; other clocks announce "
+              "ts-refclk:local / mediaclk:sender (reference "
+              "do-clock-signalling, webrtcsink/imp.rs:2405-2460)")
+    enable_control_data_channel = Property(
+        bool, default=True, mutable=Mutability.READY,
+        blurb="Open the per-consumer 'control' data channel "
+              "(stats/control messages, forwarded metas, remote "
+              "events). Off = no control channel is created "
+              "(reference enable-control-data-channel)")
+    forward_metas = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="Comma-separated buffer-meta names forwarded as JSON "
+              "over the control data channel; supported: timecode "
+              "(reference forward-metas)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -508,9 +528,12 @@ class WebRtcSink(Element):
                     tr.sctp.on_timeout()     # resend unacked DATA
                     tr._pump_sctp()
                 if tr._gstpu_control_channel is None \
-                        and tr.sctp.established:
+                        and tr.sctp.established \
+                        and self.enable_control_data_channel:
                     tr._gstpu_control_channel = \
                         tr.create_data_channel("control")
+                if getattr(tr, "_gstpu_input_channel", None) is None \
+                        and tr.sctp.established:
                     if self.enable_data_channel_navigation:
                         # reference: a dedicated high-priority
                         # 'input' channel per consumer
@@ -767,6 +790,22 @@ class WebRtcSink(Element):
                 lines.append(f"a=rtpmap:{fpt} ulpfec/{rate}")
                 lines.append(f"a=fmtp:{fpt} apt={pt}")
             lines.append("a=sendonly")
+            if self.do_clock_signalling:
+                refclk = self.clock.ts_refclk() \
+                    if self.clock is not None else None
+                if refclk is not None:
+                    # align this payloader's RTP timestamps with the
+                    # reference clock so direct=0 holds (the
+                    # reference sets the payloader ts-offset the same
+                    # way, webrtcsink/imp.rs:2191-2202)
+                    bt = self.base_time or self.clock.time()
+                    pay._ts_offset = (bt * rate // 1_000_000_000) \
+                        & 0xFFFFFFFF
+                    lines.append(f"a=ts-refclk:{refclk}")
+                    lines.append("a=mediaclk:direct=0")
+                else:
+                    lines.append("a=ts-refclk:local")
+                    lines.append("a=mediaclk:sender")
             lines.extend(transport_lines)
         return "\r\n".join(lines) + "\r\n"
 
@@ -820,6 +859,8 @@ class WebRtcSink(Element):
         return chain
 
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        if self.forward_metas:
+            self._send_metas(pad.name, buf)
         caps_name = pad.caps()[0].name
         if caps_name in ("video/x-raw", "audio/x-raw"):
             chain = self._encoder_for(pad)
@@ -828,6 +869,40 @@ class WebRtcSink(Element):
             return chain.push(buf)
         pay = self._payloader_for(pad)
         return pay._gstpu_feed.push(buf)
+
+    def _send_metas(self, mid: str, buf: Buffer) -> None:
+        """forward-metas: serialize named buffer metas as InfoMessage
+        JSON over every consumer's control channel (reference
+        utils::MetaSerializer + send_meta, webrtcsink/imp.rs:1733;
+        wire shape utils.rs:1416-1436). Repeats of the same timecode
+        within a frame pair are deduped like the reference."""
+        import json as _json
+        names = {n.strip() for n in self.forward_metas.split(",") if n}
+        if "timecode" not in names:
+            return
+        from gstpu.core.buffer import VideoTimeCodeMeta
+        for m in buf.metas:
+            if not isinstance(m, VideoTimeCodeMeta):
+                continue
+            ts = m.time_since_daily_jam()
+            if getattr(self, "_last_tc_ts", None) == ts:
+                continue
+            self._last_tc_ts = ts
+            msg = _json.dumps({"mid": mid, "info": {"meta": {
+                "type": "timeCode", "hours": m.hours,
+                "minutes": m.minutes, "seconds": m.seconds,
+                "frames": m.frames, "fieldCount": m.field_count,
+                "fps": list(m.fps),
+                "flags": "drop-frame" if m.drop_frame else "none",
+                "latestDailyJam": m.latest_daily_jam}}})
+            for sid, (tr, _sock) in list(self._transports.items()):
+                ch = getattr(tr, "_gstpu_control_channel", None)
+                if ch is None or not tr.connected:
+                    continue
+                state = tr.sctp.channels.get(ch)
+                if state is None or not state.open:
+                    continue        # DCEP not acked yet: best-effort
+                tr.send_data(ch, msg.encode(), binary=False)
 
     def _event(self, pad: Pad, ev: Event) -> bool:
         return True
