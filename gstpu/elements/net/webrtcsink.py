@@ -372,6 +372,50 @@ class WebRtcSink(Element):
         blurb="Spawn an in-process signalling server at READY and "
               "connect to it (reference run-signalling-server); the "
               "chosen uri is posted as signalling-server-started")
+    signalling_server_host = Property(
+        str, default="127.0.0.1", mutable=Mutability.READY,
+        blurb="Address the embedded signalling server listens on "
+              "(reference signalling-server-host)")
+    signalling_server_port = Property(
+        int, default=0, minimum=0, maximum=65535,
+        mutable=Mutability.READY,
+        blurb="Port for the embedded signalling server; 0 = "
+              "ephemeral (reference signalling-server-port, "
+              "default 8443)")
+    signalling_server_cert = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="PEM certificate path; with signalling-server-key set "
+              "the embedded signalling server speaks wss:// "
+              "(reference signalling-server-cert)")
+    signalling_server_key = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="PEM private-key path for signalling-server-cert "
+              "(reference exposes the same pair as a PKCS#12 file + "
+              "password; gstpu takes the PEM pair directly)")
+    run_web_server = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Serve web-server-directory over HTTP(S) at READY "
+              "(reference run-web-server); the chosen uri is posted "
+              "as web-server-started")
+    web_server_host_addr = Property(
+        str, default="http://127.0.0.1:8080", mutable=Mutability.READY,
+        blurb="Address URL the web server listens on (reference "
+              "web-server-host-addr); port 0 = ephemeral")
+    web_server_directory = Property(
+        str, default="gstwebrtc-api/dist", mutable=Mutability.READY,
+        blurb="Directory served by the web server (reference "
+              "web-server-directory)")
+    web_server_path = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="Single path segment the files are mounted under; "
+              "empty = served at / (reference web-server-path)")
+    web_server_cert = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="PEM certificate path; with web-server-key the web "
+              "server speaks HTTPS (reference web-server-cert)")
+    web_server_key = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="PEM private-key path for web-server-cert")
     enable_data_channel_navigation = Property(
         bool, default=False, mutable=Mutability.READY,
         blurb="Open a per-consumer 'input' data channel and turn its "
@@ -421,21 +465,57 @@ class WebRtcSink(Element):
         self._fec_pct_auto = 0                      # from apply_bitrate
         self._sig_client = None
         self._sig_server = None
+        self._web_server = None
 
     # -- live signalling (reference signaller::uri +
     #    run-signalling-server) ---------------------------------------
     def start(self) -> bool:
         uri = self.signaller_uri
+        ssl_ctx = None
         if self.run_signalling_server:
             from gstpu.net.webrtc.signalling import SignallingServer
-            self._sig_server = SignallingServer()
+            cert = self.signalling_server_cert or None
+            key = self.signalling_server_key or None
+            try:
+                self._sig_server = SignallingServer(
+                    host=self.signalling_server_host,
+                    port=self.signalling_server_port,
+                    cert=cert, key=key)
+            except OSError as e:
+                self.post_error(f"webrtcsink: signalling server: {e}")
+                return False
             self._sig_server.start()
-            uri = f"ws://127.0.0.1:{self._sig_server.port}"
+            uri = (f"{self._sig_server.scheme}://"
+                   f"{self.signalling_server_host}:"
+                   f"{self._sig_server.port}")
+            if cert:
+                # our own self-signed cert is the trust anchor for
+                # the loop-back client connection
+                import ssl as _ssl
+                ssl_ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+                ssl_ctx.load_verify_locations(cert)
+                ssl_ctx.check_hostname = False
             self.post_element_message("signalling-server-started",
                                       uri=uri)
+        if self.run_web_server:
+            from gstpu.net.webserver import StaticWebServer
+            try:
+                self._web_server = StaticWebServer(
+                    host_addr=self.web_server_host_addr,
+                    directory=self.web_server_directory,
+                    path=self.web_server_path or None,
+                    cert=self.web_server_cert or None,
+                    key=self.web_server_key or None)
+            except OSError as e:
+                self.post_error(f"webrtcsink: web server: {e}")
+                return False
+            self._web_server.start()
+            self.post_element_message("web-server-started",
+                                      uri=self._web_server.uri)
         if uri:
             from gstpu.net.webrtc.signalling import SignallingClient
-            self._sig_client = SignallingClient(uri, self)
+            self._sig_client = SignallingClient(uri, self,
+                                                ssl_ctx=ssl_ctx)
             self._sig_client.start()
         return True
 
@@ -446,6 +526,9 @@ class WebRtcSink(Element):
         if self._sig_server is not None:
             self._sig_server.stop()
             self._sig_server = None
+        if self._web_server is not None:
+            self._web_server.stop()
+            self._web_server = None
         return True
 
     # -- data transport (ICE+DTLS+SRTP over a real UDP socket) -----------

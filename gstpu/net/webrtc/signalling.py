@@ -244,7 +244,12 @@ class SignallingServer:
     """WebSocket signalling server (the reference's standalone
     signalling binary, net/webrtc/signalling)."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 cert: str | None = None, key: str | None = None):
+        """cert/key: PEM file paths; both set -> the websocket
+        listens over TLS (wss://), matching the reference signalling
+        binary's --cert/--cert-password TLS mode and webrtcsink's
+        signalling-server-cert/-key properties."""
         self.core = Server()
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -254,6 +259,12 @@ class SignallingServer:
         self._conns: dict[str, socket.socket] = {}
         self._lock = threading.Lock()
         self._running = False
+        self._ssl_ctx = None
+        if cert and key:
+            import ssl
+            self._ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._ssl_ctx.load_cert_chain(cert, key)
+        self.scheme = "wss" if self._ssl_ctx else "ws"
 
     def start(self) -> None:
         self._running = True
@@ -286,6 +297,13 @@ class SignallingServer:
                              daemon=True).start()
 
     def _client_loop(self, conn: socket.socket) -> None:
+        if self._ssl_ctx is not None:
+            try:
+                conn = self._ssl_ctx.wrap_socket(conn,
+                                                 server_side=True)
+            except OSError:
+                conn.close()
+                return
         if not ws_handshake(conn):
             conn.close()
             return
@@ -326,9 +344,10 @@ class SignallingClient:
     each returned message back; `send` lets the element originate
     messages (e.g. endSession)."""
 
-    def __init__(self, uri: str, element):
+    def __init__(self, uri: str, element, ssl_ctx=None):
         self.uri = uri
         self.element = element
+        self.ssl_ctx = ssl_ctx      # for wss:// with a pinned cert
         self.connected = threading.Event()
         self._ws = None
         self._stop = threading.Event()
@@ -337,7 +356,7 @@ class SignallingClient:
 
     def start(self) -> None:
         from gstpu.net.ws import WsClient
-        self._ws = WsClient(self.uri)
+        self._ws = WsClient(self.uri, ssl_ctx=self.ssl_ctx)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 

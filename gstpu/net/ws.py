@@ -1,9 +1,10 @@
 """WebSocket client (RFC 6455) over the frame codec in
 gstpu/net/webrtc/signalling.py — the client side the cloud-service
 elements (speechmatics, deepgram) speak. Client→server frames are
-masked as the RFC requires; ws:// only (wss:// needs the network the
-environment doesn't have — elements accept ws:// mocks and document
-the TLS gate)."""
+masked as the RFC requires; wss:// wraps the socket in TLS (system
+trust by default, or a caller-provided SSLContext for pinned /
+self-signed deployments like webrtcsink's embedded TLS signalling
+server)."""
 
 from __future__ import annotations
 
@@ -39,14 +40,24 @@ class WsClient:
 
     def __init__(self, url: str, *,
                  headers: dict[str, str] | None = None,
-                 timeout: float = 10.0):
+                 timeout: float = 10.0,
+                 ssl_ctx=None):
+        """ssl_ctx: an ssl.SSLContext for wss:// URLs (pass one with
+        the deployment's CA, or ssl.create_default_context() for
+        system trust); a wss URL with no context gets the default
+        system-trust context."""
         u = urllib.parse.urlsplit(url)
-        if u.scheme != "ws":
-            raise WsError(f"unsupported scheme '{u.scheme}' "
-                          "(wss needs network TLS; use ws://)")
-        port = u.port or 80
+        if u.scheme not in ("ws", "wss"):
+            raise WsError(f"unsupported scheme '{u.scheme}'")
+        port = u.port or (443 if u.scheme == "wss" else 80)
         self.conn = socket.create_connection((u.hostname, port),
                                              timeout=timeout)
+        if u.scheme == "wss":
+            import ssl as _ssl
+            if ssl_ctx is None:
+                ssl_ctx = _ssl.create_default_context()
+            self.conn = ssl_ctx.wrap_socket(
+                self.conn, server_hostname=u.hostname)
         key = base64.b64encode(os.urandom(16)).decode()
         path = (u.path or "/") + (f"?{u.query}" if u.query else "")
         req = [f"GET {path} HTTP/1.1", f"Host: {u.netloc}",
