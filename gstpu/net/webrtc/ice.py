@@ -122,6 +122,21 @@ def host_candidate(address: str, port: int,
                      port, "host")
 
 
+def relay_candidate(address: str, port: int,
+                    component: int = 1) -> Candidate:
+    """Relayed candidate (TURN allocation) — RFC 8445 type
+    preference 0: lowest priority, used only when direct and
+    reflexive paths fail."""
+    type_pref = 0
+    local_pref = 65535
+    prio = ((type_pref << 24) | (local_pref << 8)
+            | (256 - component))
+    foundation = hashlib.sha1(
+        f"relay/udp/{address}".encode()).hexdigest()[:8]
+    return Candidate(foundation, component, "udp", prio, address,
+                     port, "relay")
+
+
 @dataclass
 class CandidatePair:
     local: Candidate
