@@ -109,9 +109,13 @@ class HasProperties:
         return out
 
     def _find_property(self, name: str) -> Property:
-        # accept both python_name and gst-style-name
+        # accept both python_name and gst-style-name; a trailing
+        # underscore escapes Python keywords (attr `in_` answers for
+        # the reference property name "in", e.g. livesync's counters)
         pyname = name.replace("-", "_")
         props = type(self).list_properties()
+        if pyname not in props and pyname + "_" in props:
+            pyname += "_"
         if pyname not in props:
             raise KeyError(f"{type(self).__name__} has no property {name!r}")
         return props[pyname]

@@ -93,6 +93,29 @@ class FallbackSrc(Element):
                               blurb="Hold output until unblock() "
                                     "(reference manual-unblock + "
                                     "unblock signal)")
+    enable_video = Property(
+        bool, default=True, mutable=Mutability.READY,
+        blurb="Video is expected: enable-dummy synthesizes black "
+              "video while no real fallback exists (reference "
+              "enable-video; gstpu's fallbacksrc is single-stream, "
+              "so this selects what the dummy produces rather than "
+              "adding a second pad)")
+    enable_audio = Property(
+        bool, default=True, mutable=Mutability.READY,
+        blurb="Audio is expected: with enable-video off, "
+              "enable-dummy synthesizes silence instead of black "
+              "video (reference enable-audio; single-stream note as "
+              "on enable-video)")
+    buffer_duration = Property(
+        int, default=-1, minimum=-1, mutable=Mutability.READY,
+        blurb="Buffer duration (ns) handed to child sources that "
+              "expose a buffer-duration property; -1 = their "
+              "default (reference buffer-duration)")
+    min_latency = Property(
+        int, default=0, minimum=0, mutable=Mutability.READY,
+        blurb="Extra latency granted to the PRIMARY before a stall "
+              "fails it over — for main sources inherently slower "
+              "than the fallback (reference min-latency)")
 
     SIGNALS = ("status-changed", "unblock")
 
@@ -213,9 +236,12 @@ class FallbackSrc(Element):
         if self.fallback_source:
             return _make_from_desc(self.fallback_source)
         if self.enable_dummy:
-            # reference enable-dummy: synthesized signal
-            return _make_from_desc(
-                "videotestsrc pattern=black is-live=true")
+            # reference enable-dummy: synthesized signal — black
+            # video when video is enabled, else silence
+            if self.enable_video:
+                return _make_from_desc("videotestsrc pattern=black")
+            if self.enable_audio:
+                return _make_from_desc("audiotestsrc wave=silence")
         return None
 
     def start(self) -> bool:
@@ -225,6 +251,15 @@ class FallbackSrc(Element):
         self._blocked = bool(self.manual_unblock)
         self._primary = self._make_primary()
         self._fallback = self._make_fallback()
+        if self.buffer_duration >= 0:
+            for child in (self._primary, self._fallback):
+                if child is None:
+                    continue
+                try:        # children that buffer honor the budget
+                    child.set_property("buffer-duration",
+                                       self.buffer_duration)
+                except (KeyError, PermissionError):
+                    pass
         if self.immediate_fallback and self._fallback is not None:
             # reference immediate-fallback: output the fallback until
             # the primary actually produces
@@ -291,8 +326,11 @@ class FallbackSrc(Element):
         now = self._now()
         if self._active is self._primary \
                 and self._last_buffer_time is not None \
-                and now - self._last_buffer_time > self.timeout \
+                and now - self._last_buffer_time \
+                > self.timeout + self.min_latency \
                 and self._fallback is not None:
+            # min-latency grants an inherently-slower primary extra
+            # headroom before failover (reference min-latency)
             self._fail_primary("timeout")
             return TaskResult.CONTINUE
         if self._active is self._fallback \

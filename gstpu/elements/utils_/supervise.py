@@ -160,6 +160,36 @@ class LiveSync(Element):
     duration = Property(int, default=SECOND // 30, minimum=1,
                         mutable=Mutability.READY,
                         blurb="Output frame duration when repeating (ns)")
+    late_threshold = Property(
+        int, default=2 * SECOND, minimum=-1,
+        mutable=Mutability.PLAYING,
+        blurb="Max ns spent dropping/repeating before ONE late input "
+              "buffer is accepted to re-anchor the timeline; -1 = "
+              "never accept late buffers (reference late-threshold, "
+              "default 2 s)")
+    single_segment = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Eat follow-up segment events so downstream sees one "
+              "segment (reference single-segment; output timestamps "
+              "are kept monotone either way)")
+    sync = Property(
+        bool, default=True, mutable=Mutability.PLAYING,
+        blurb="true = a stalled input earns its repeat only after a "
+              "full extra frame duration on the clock (reference "
+              "sync=true clock pacing); false = the repeat fires as "
+              "soon as the frame deadline passes")
+    silent = Property(
+        bool, default=True, mutable=Mutability.PLAYING,
+        blurb="Suppress property notifications for the in/drop/out/"
+              "duplicate counters (reference silent)")
+    in_ = Property(int, default=0, writable=False,
+                   blurb="Input buffer count (reference 'in')")
+    drop = Property(int, default=0, writable=False,
+                    blurb="Dropped (late) buffer count")
+    out = Property(int, default=0, writable=False,
+                   blurb="Output buffer count")
+    duplicate = Property(int, default=0, writable=False,
+                         blurb="Repeated buffer count")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -170,18 +200,38 @@ class LiveSync(Element):
         self._last: Buffer | None = None
         self._next_pts: int | None = None
         self._eos = False
+        self._late_acc = 0          # ns spent late since last accept
+        self._segment_seen = False
         self.dropped = 0
         self.duplicated = 0
 
+    def _bump(self, name: str) -> None:
+        v = self._prop_values.get(name, 0) + 1
+        self._prop_values[name] = v
+        if not self.silent:
+            for h in self._notify_handlers.get(name, []):
+                h(self, v)
+
     def _chain(self, pad, buf: Buffer) -> FlowReturn:
+        self._bump("in_")
         dur = buf.duration if buf.duration is not None else self.duration
         if self._next_pts is not None and buf.pts is not None \
                 and buf.pts < self._next_pts:
-            self.dropped += 1
-            return FlowReturn.OK  # behind schedule: drop
+            lt = self.late_threshold
+            if lt < 0 or self._late_acc < lt:
+                self.dropped += 1
+                self._bump("drop")
+                self._late_acc += dur
+                return FlowReturn.OK  # behind schedule: drop
+            # accept ONE late buffer to re-anchor (reference
+            # late-threshold semantics)
+            self._late_acc = 0
+        else:
+            self._late_acc = 0
         self._last = buf
         self._next_pts = (buf.pts if buf.pts is not None
                           else (self._next_pts or 0)) + dur
+        self._bump("out")
         return self.srcpad.push(buf)
 
     def _event(self, pad, ev: Event) -> bool:
@@ -190,6 +240,11 @@ class LiveSync(Element):
         if isinstance(ev, GapEvent):
             self._fill_until(ev.pts + (ev.duration or 0))
             return True
+        from gstpu.core.event import SegmentEvent
+        if isinstance(ev, SegmentEvent) and self.single_segment:
+            if self._segment_seen:
+                return True          # eaten: one segment downstream
+            self._segment_seen = True
         return self.srcpad.push_event(ev)
 
     def _fill_until(self, target_pts: int) -> None:
@@ -203,6 +258,8 @@ class LiveSync(Element):
         rep.duration = self._last.duration or self.duration
         rep.set_flag(BufferFlags.GAP)
         self.duplicated += 1
+        self._bump("duplicate")
+        self._bump("out")
         self._next_pts += rep.duration
         self.srcpad.push(rep)
 
@@ -216,8 +273,11 @@ class LiveSync(Element):
                 or self._next_pts is None:
             return TaskResult.IDLE
         now = self.clock.time() - self.base_time
-        if now >= self._next_pts + (self._last.duration
-                                    or self.duration):
+        deadline = self._next_pts
+        if self.sync:
+            # clock pacing: allow a full extra frame before repeating
+            deadline += self._last.duration or self.duration
+        if now >= deadline:
             self._push_repeat()
             return TaskResult.CONTINUE
         return TaskResult.IDLE
@@ -234,6 +294,11 @@ class ToggleRecord(Element):
 
     record = Property(bool, default=False, mutable=Mutability.PLAYING)
     is_live = Property(bool, default=False, mutable=Mutability.READY)
+    recording = Property(bool, default=False, writable=False,
+                         blurb="Whether recording is currently "
+                               "taking place (reference read-only "
+                               "'recording': record=true engages "
+                               "only at the next keyframe)")
 
     SIGNALS = ("recording-changed",)
 
@@ -249,16 +314,23 @@ class ToggleRecord(Element):
         self._last_out_end: int = 0  # end ts of last recorded buffer
         self._segment_start: int | None = None
 
+    def _set_recording(self, on: bool) -> None:
+        """Flip the internal state, the read-only 'recording'
+        property (with notify) and the recording-changed signal."""
+        self._recording = on
+        self._prop_values["recording"] = on
+        for h in self._notify_handlers.get("recording", []):
+            h(self, on)
+        self.emit("recording-changed", on)
+
     def _chain(self, pad, buf: Buffer) -> FlowReturn:
         want = self.record
         if want and not self._recording:
             self._waiting_keyframe = True
-            self._recording = True
-            self.emit("recording-changed", True)
+            self._set_recording(True)
         elif not want and self._recording:
-            self._recording = False
             self._segment_start = None
-            self.emit("recording-changed", False)
+            self._set_recording(False)
 
         if not self._recording:
             return FlowReturn.OK

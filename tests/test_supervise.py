@@ -261,3 +261,104 @@ def test_chrome_tracer(tmp_path):
         assert any(e["name"].startswith("audiotestsrc") for e in evs)
     finally:
         t.uninstall()
+
+
+# -- round-5 reference-property parity ---------------------------------------
+
+def test_livesync_counters_and_late_threshold():
+    ls = make("livesync", duration=SECOND // 10,
+              late_threshold=2 * SECOND // 10)
+    out = _capture(ls.static_pad("src"))
+    feed = _feeder()
+    feed.link(ls.static_pad("sink"))
+    _start_stream(feed)
+    ls.set_state(State.PLAYING)
+
+    feed.push(Buffer(b"a", pts=0, duration=SECOND // 10))
+    # two late buffers accumulate lateness up to the threshold...
+    feed.push(Buffer(b"late1", pts=0, duration=SECOND // 10))
+    feed.push(Buffer(b"late2", pts=0, duration=SECOND // 10))
+    # ...so the THIRD late buffer is accepted and re-anchors
+    feed.push(Buffer(b"late3", pts=0, duration=SECOND // 10))
+    got = [b.to_bytes() for b in out]
+    assert got == [b"a", b"late3"]
+    assert ls.get_property("in") == 4
+    assert ls.get_property("drop") == 2
+    assert ls.get_property("out") == 2
+    # a gap fill bumps duplicate + out
+    feed.push_event(GapEvent(pts=SECOND // 10,
+                             duration=3 * SECOND // 10))
+    assert ls.get_property("duplicate") >= 1
+    assert ls.get_property("out") > 2
+
+
+def test_livesync_late_threshold_never():
+    ls = make("livesync", duration=SECOND // 10, late_threshold=-1)
+    out = _capture(ls.static_pad("src"))
+    feed = _feeder()
+    feed.link(ls.static_pad("sink"))
+    _start_stream(feed)
+    ls.set_state(State.PLAYING)
+    feed.push(Buffer(b"a", pts=0, duration=SECOND // 10))
+    for _ in range(50):
+        feed.push(Buffer(b"late", pts=0, duration=SECOND // 10))
+    assert [b.to_bytes() for b in out] == [b"a"]
+    assert ls.get_property("drop") == 50
+
+
+def test_livesync_single_segment_eats_followups():
+    ls = make("livesync", single_segment=True)
+    events = []
+    sink = Pad("cap", PadDirection.SINK,
+               PadTemplate("sink", PadDirection.SINK,
+                           PadPresence.ALWAYS, Caps.any()))
+    from gstpu import FlowReturn
+    sink.chain_function = lambda pad, b: FlowReturn.OK
+    sink.event_function = lambda pad, ev: (events.append(ev), True)[1]
+    ls.static_pad("src").link(sink)
+    feed = _feeder()
+    feed.link(ls.static_pad("sink"))
+    ls.set_state(State.PLAYING)
+    feed.push_event(StreamStartEvent("s"))
+    feed.push_event(SegmentEvent(Segment()))
+    feed.push_event(SegmentEvent(Segment()))
+    feed.push_event(SegmentEvent(Segment()))
+    segs = [e for e in events if isinstance(e, SegmentEvent)]
+    assert len(segs) == 1
+
+
+def test_togglerecord_recording_readonly_property():
+    tr = make("togglerecord")
+    out = _capture(tr.static_pad("src"))
+    feed = _feeder()
+    feed.link(tr.static_pad("sink"))
+    _start_stream(feed)
+    tr.set_state(State.PLAYING)
+    assert tr.get_property("recording") is False
+    with pytest.raises(PermissionError):
+        tr.set_property("recording", True)
+    notified = []
+    tr.connect_notify("recording", lambda el, v: notified.append(v))
+    tr.record = True
+    feed.push(Buffer(b"k", pts=0, duration=SECOND // 30))  # keyframe
+    assert tr.get_property("recording") is True
+    assert notified == [True]
+    tr.record = False
+    feed.push(Buffer(b"x", pts=SECOND // 30,
+                     duration=SECOND // 30))
+    assert tr.get_property("recording") is False
+    assert out and out[0].to_bytes() == b"k"
+
+
+def test_fallbacksrc_dummy_respects_enable_flags():
+    src = make("fallbacksrc", source="audiotestsrc wave=silence",
+               enable_dummy=True, enable_video=False)
+    fb = src._make_fallback()
+    assert fb is not None
+    assert "audiotestsrc" in type(fb).__name__.lower() \
+        or fb.list_properties().get("wave") is not None
+    src2 = make("fallbacksrc", source="audiotestsrc",
+                enable_dummy=True)
+    fb2 = src2._make_fallback()
+    assert fb2 is not None and fb2 is not fb
+    assert fb2.list_properties().get("pattern") is not None  # videotestsrc
