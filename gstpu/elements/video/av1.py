@@ -72,8 +72,40 @@ class Rav1Enc(BaseTransform):
                          mutable=Mutability.READY)
     tile_rows = Property(int, default=0, minimum=0, maximum=64,
                          mutable=Mutability.READY)
+    tiles = Property(int, default=0, minimum=0, maximum=4096,
+                     mutable=Mutability.READY,
+                     blurb="Total tile count hint (reference tiles; "
+                           "rav1e splits automatically — prefer "
+                           "tile-cols/tile-rows on svt/aom)")
     error_resilient = Property(bool, default=False,
                                mutable=Mutability.READY)
+    min_key_frame_interval = Property(
+        int, default=12, minimum=0, mutable=Mutability.READY,
+        blurb="Min key frame interval (reference default 12)")
+    switch_frame_interval = Property(
+        int, default=0, minimum=0, mutable=Mutability.READY,
+        blurb="S-frame interval; 0 = none (reference "
+              "switch-frame-interval; rav1e engine only)")
+    min_quantizer = Property(
+        int, default=0, minimum=0, maximum=255,
+        mutable=Mutability.READY,
+        blurb="Floor quantizer (reference min-quantizer; maps to "
+              "qmin/min-qp on aom/svt)")
+    rdo_lookahead_frames = Property(
+        int, default=-1, minimum=-1, mutable=Mutability.READY,
+        blurb="RDO lookahead; -1 = engine default (reference "
+              "rdo-lookahead-frames; low-latency caps it at 1)")
+    reservoir_frame_delay = Property(
+        int, default=-(2 ** 31), mutable=Mutability.READY,
+        blurb="Rate-control reservoir depth in frames; INT32_MIN = "
+              "engine default (reference reservoir-frame-delay; "
+              "rav1e engine only)")
+    threads = Property(
+        int, default=0, minimum=0, maximum=256,
+        mutable=Mutability.READY,
+        blurb="Worker threads; 0 = automatic (reference threads — "
+              "this container schedules one host core, so automatic "
+              "resolves low)")
     rc_mode = Property(str, default="engine", mutable=Mutability.READY,
                        enum_values=("engine", "device"),
                        blurb="'engine' = the engine's own rate "
@@ -248,7 +280,11 @@ class Rav1Enc(BaseTransform):
             # rav1e speed 0-10 -> svt preset 0-13
             opts = {"preset": min(13, round(speed * 1.3)),
                     "g": self.max_key_frame_interval}
-            params = ["lp=1"]       # one logical processor (1 core)
+            # one logical processor on this 1-core box unless the
+            # threads property asks for more
+            params = [f"lp={self.threads or 1}"]
+            if self.min_quantizer:
+                params.append(f"min-qp={min(63, self.min_quantizer // 4)}")
             if self._rc is not None:
                 # device rc observes output bits closed-loop; cut the
                 # engine's ~17-frame internal pipeline so observations
@@ -286,7 +322,10 @@ class Rav1Enc(BaseTransform):
                     "lag-in-frames": (0 if realtime or self.low_latency
                                       else 8),
                     "g": self.max_key_frame_interval,
-                    "threads": 1}
+                    "keyint_min": self.min_key_frame_interval,
+                    "threads": self.threads or 1}
+            if self.min_quantizer:
+                opts["qmin"] = min(63, self.min_quantizer // 4)
             if cpu > 8:
                 opts["aom-params"] = f"cpu-used={cpu}"
             if bitrate > 0:
@@ -305,15 +344,35 @@ class Rav1Enc(BaseTransform):
         if self.low_latency:
             # rav1e still queues its rdo lookahead even with
             # low_latency; cap it so packets stream out frame-by-frame
-            # (needed by the webrtcsink live path)
+            # (needed by the webrtcsink live path) — an explicit
+            # rdo-lookahead-frames property wins below
             params.append("low_latency=true")
-            params.append("rdo_lookahead_frames=1")
+            if self.rdo_lookahead_frames < 0:
+                params.append("rdo_lookahead_frames=1")
+        if self.rdo_lookahead_frames >= 0:
+            params.append(
+                f"rdo_lookahead_frames={self.rdo_lookahead_frames}")
         if self.error_resilient:
             params.append("error_resilient=true")
+        if self.min_key_frame_interval != 12:
+            params.append(
+                f"min_key_frame_interval={self.min_key_frame_interval}")
+        if self.switch_frame_interval:
+            params.append(
+                f"switch_frame_interval={self.switch_frame_interval}")
+        if self.min_quantizer:
+            params.append(f"min_quantizer={self.min_quantizer}")
+        if self.reservoir_frame_delay != -(2 ** 31):
+            params.append(
+                f"reservoir_frame_delay={self.reservoir_frame_delay}")
+        if self.tiles:
+            params.append(f"tiles={self.tiles}")
         opts = {
             "speed": speed,
             "g": self.max_key_frame_interval,
-            "threads": 8,
+            # 0 = automatic; 8 was the measured sweet spot for
+            # rav1e's internal pools on this box
+            "threads": self.threads or 8,
         }
         if params:
             opts["rav1e-params"] = ":".join(params)
@@ -488,6 +547,10 @@ class _AvDecoderBase(VideoDecoder):
     CODEC = ""
     NEEDS_DIMS = False
 
+    def decoder_options(self) -> dict:
+        """Per-element decoder AVOptions (subclass hook)."""
+        return {}
+
     def __init__(self, name=None):
         super().__init__(name)
         self._dec = None
@@ -502,7 +565,8 @@ class _AvDecoderBase(VideoDecoder):
             self.post_error(f"{self.CODEC}dec: caps need width/height")
             return False
         try:
-            self._dec = NativeDecoder(self.CODEC, width=w, height=h)
+            self._dec = NativeDecoder(self.CODEC, width=w, height=h,
+                                      options=self.decoder_options())
         except RuntimeError as e:
             self.post_error(f"{self.CODEC} decoder: {e}")
             return False
@@ -558,6 +622,29 @@ class Dav1dDec(_AvDecoderBase):
         PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
                     video_caps(formats=("I420",))),
     ]
+
+    apply_grain = Property(
+        bool, default=True, mutable=Mutability.READY,
+        blurb="Synthesize film grain when the bitstream carries it "
+              "(reference apply-grain; libdav1d 'filmgrain')")
+    max_frame_delay = Property(
+        int, default=-1, minimum=-1, mutable=Mutability.READY,
+        blurb="Frames dav1d may buffer internally; -1 = automatic "
+              "(reference max-frame-delay)")
+    n_threads = Property(
+        int, default=0, minimum=0, maximum=256,
+        mutable=Mutability.READY,
+        blurb="Decoder threads; 0 = automatic (reference n-threads). "
+              "inloop-filters is NOT exposed: the in-image libavcodec "
+              "libdav1d wrapper has no such option")
+
+    def decoder_options(self) -> dict:
+        opts = {"filmgrain": int(self.apply_grain)}
+        if self.max_frame_delay >= 0:
+            opts["max_frame_delay"] = self.max_frame_delay
+        if self.n_threads:
+            opts["threads"] = self.n_threads
+        return opts
 
 
 @register_element("ffv1enc", Rank.PRIMARY)

@@ -52,6 +52,13 @@ def load() -> ctypes.CDLL | None:
     L.gc_decoder_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                   ctypes.c_long, ctypes.c_int,
                                   ctypes.c_int]
+    try:
+        L.gc_decoder_open2.restype = ctypes.c_void_p
+        L.gc_decoder_open2.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p]
+    except AttributeError:
+        pass                    # older shim build without options
     L.gc_decoder_send.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                   ctypes.c_long, ctypes.c_int64]
     L.gc_decoder_finish.argtypes = [ctypes.c_void_p]
@@ -117,13 +124,25 @@ class NativeEncoder:
 
 class NativeDecoder:
     def __init__(self, codec: str, extradata: bytes = b"",
-                 width: int = 0, height: int = 0):
+                 width: int = 0, height: int = 0,
+                 options: dict | None = None):
+        """options: decoder AVOptions as {name: value} — e.g.
+        libdav1d's filmgrain/max_frame_delay/threads; unknown names
+        are ignored by the shim so callers can pass
+        version-dependent knobs safely."""
         L = load()
         if L is None:
             raise RuntimeError("native codec shim unavailable")
         self._L = L
-        self._h = L.gc_decoder_open(codec.encode(), extradata or None,
-                                    len(extradata), width, height)
+        if options and hasattr(L, "gc_decoder_open2"):
+            optstr = ",".join(f"{k}={v}" for k, v in options.items())
+            self._h = L.gc_decoder_open2(
+                codec.encode(), extradata or None, len(extradata),
+                width, height, optstr.encode())
+        else:
+            self._h = L.gc_decoder_open(
+                codec.encode(), extradata or None, len(extradata),
+                width, height)
         if not self._h:
             raise RuntimeError(f"decoder {codec!r} failed to open")
 

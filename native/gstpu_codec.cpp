@@ -206,8 +206,9 @@ void gc_encoder_close(void* h) {
 // decoder
 // ---------------------------------------------------------------------------
 
-void* gc_decoder_open(const char* codec_name, const uint8_t* extradata,
-                      long extradata_size, int w, int h) {
+void* gc_decoder_open2(const char* codec_name, const uint8_t* extradata,
+                       long extradata_size, int w, int h,
+                       const char* options) {
     const AVCodec* codec = avcodec_find_decoder_by_name(codec_name);
     if (!codec) return nullptr;
     auto* d = new Decoder();
@@ -220,12 +221,26 @@ void* gc_decoder_open(const char* codec_name, const uint8_t* extradata,
         memcpy(d->ctx->extradata, extradata, extradata_size);
         d->ctx->extradata_size = (int)extradata_size;
     }
-    if (avcodec_open2(d->ctx, codec, nullptr) < 0) {
+    // "k=v,k=v" decoder options (e.g. libdav1d filmgrain /
+    // max_frame_delay / threads); unknown keys are left in the dict
+    // and ignored, so option names can track libavcodec versions
+    AVDictionary* dict = nullptr;
+    if (options && *options)
+        av_dict_parse_string(&dict, options, "=", ",", 0);
+    int rc = avcodec_open2(d->ctx, codec, &dict);
+    av_dict_free(&dict);
+    if (rc < 0) {
         avcodec_free_context(&d->ctx);
         delete d;
         return nullptr;
     }
     return d;
+}
+
+void* gc_decoder_open(const char* codec_name, const uint8_t* extradata,
+                      long extradata_size, int w, int h) {
+    return gc_decoder_open2(codec_name, extradata, extradata_size,
+                            w, h, nullptr);
 }
 
 int gc_decoder_send(void* h, const uint8_t* data, long size,

@@ -136,3 +136,34 @@ def test_rav1enc_bitrate_mode():
     assert not pkts[0].has_flag(__import__("gstpu").core.buffer
                                 .BufferFlags.DELTA_UNIT)
     p.set_state(State.NULL)
+
+
+def test_rav1enc_dav1ddec_reference_knobs_roundtrip():
+    """Round-5 property parity: the rav1e-side knobs
+    (min-quantizer/min-key-frame-interval/rdo-lookahead-frames/
+    threads/tiles) and dav1ddec's apply-grain/max-frame-delay/
+    n-threads reach the engines and the stream still decodes."""
+    frames = _frames(6)
+    p = parse_launch(
+        f'appsrc name=src caps="video/x-raw, format=I420, width={W}, '
+        f'height={H}, framerate=30/1" ! rav1enc speed-preset=10 '
+        f'quantizer=180 min-quantizer=80 min-key-frame-interval=1 '
+        f'rdo-lookahead-frames=1 threads=2 tiles=1 '
+        f'max-key-frame-interval=3 ! '
+        f'dav1ddec name=dec ! appsink name=sink')
+    dec = p.get_by_name("dec")
+    dec.apply_grain = False
+    dec.max_frame_delay = 1
+    dec.n_threads = 1
+    src, sink = p.get_by_name("src"), p.get_by_name("sink")
+    p.set_state(State.PLAYING)
+    for i, f in enumerate(frames):
+        src.push_buffer(VI.make_buffer(f, pts=i * 33_333_333))
+    src.end_of_stream()
+    p.run()
+    out = sink.pull_all()
+    assert len(out) == len(frames)
+    assert dec.decoder_options() == {"filmgrain": 0,
+                                     "max_frame_delay": 1,
+                                     "threads": 1}
+    p.set_state(State.NULL)
