@@ -12,7 +12,8 @@ from gstpu.core.buffer import Buffer, BufferFlags, OriginalBufferMeta
 from gstpu.core.caps import Caps
 from gstpu.core.element import (Element, FlowError, FlowReturn, Pad,
                                 PadDirection, PadPresence, PadTemplate)
-from gstpu.core.event import (CapsEvent, EosEvent, Event, StreamStartEvent)
+from gstpu.core.event import (CapsEvent, CustomEvent, EosEvent, Event,
+                              GapEvent, StreamStartEvent, TagEvent)
 from gstpu.core.props import Mutability, Property
 from gstpu.core.registry import Rank, register_element
 from gstpu.runtime.scheduler import Task, TaskResult
@@ -95,6 +96,12 @@ class GopBuffer(Element):
     minimum_duration = Property(int, default=1 * SECOND, minimum=0,
                                 mutable=Mutability.READY,
                                 blurb="Minimum GOP window to retain (ns)")
+    max_size_time = Property(int, default=0, minimum=0,
+                             mutable=Mutability.READY,
+                             blurb="Maximum duration to store; older "
+                                   "GOPs are discarded once exceeded "
+                                   "(0 = disabled, reference "
+                                   "max-size-time)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -110,6 +117,11 @@ class GopBuffer(Element):
             self._gops.append(self._current)
             self._current = []
         self._current.append(buf)
+        # max-size-time: a bounded recorder discards its oldest
+        # complete GOPs instead of growing without limit
+        while self.max_size_time and len(self._gops) > 1 \
+                and self._window_duration() > self.max_size_time:
+            self._gops.popleft()
         return self._maybe_push()
 
     def _window_duration(self) -> int:
@@ -172,6 +184,7 @@ class _Producer:
         self.name = name
         self.caps: Caps | None = None
         self.consumers: list["InterSrc"] = []
+        self.sinks: list["InterSink"] = []
         self.lock = threading.Lock()
 
     def push(self, buf: Buffer, caps: Caps | None) -> None:
@@ -185,6 +198,22 @@ class _Producer:
             for c in list(self.consumers):
                 c._enqueue_eos()
 
+    def forward_event(self, ev) -> None:
+        with self.lock:
+            for c in list(self.consumers):
+                c._enqueue_event(ev)
+
+    def upstream_event(self, ev) -> bool:
+        """Consumer -> producer direction (intersrc event-types)."""
+        ok = False
+        with self.lock:
+            sinks = list(getattr(self, "sinks", []))
+        for s in sinks:
+            pad = getattr(s, "sinkpad", None)
+            if pad is not None:
+                ok = pad.push_event(ev) or ok
+        return ok
+
 
 @register_element("intersink", Rank.NONE)
 class InterSink(BaseSink):
@@ -195,13 +224,46 @@ class InterSink(BaseSink):
 
     producer_name = Property(str, default="default",
                              mutable=Mutability.READY)
+    event_types = Property(
+        str, default="eos", mutable=Mutability.PLAYING,
+        blurb="Comma-separated downstream event types forwarded to "
+              "the consumers (reference event-types array; names: "
+              "eos, tag, custom-downstream, gap)")
+
+    _EVENT_NAMES = {"eos": EosEvent, "tag": TagEvent,
+                    "custom-downstream": CustomEvent, "gap": GapEvent}
+
+    def start(self) -> bool:
+        pr = _ProducerRegistry.get(self.producer_name)
+        with pr.lock:
+            pr.sinks.append(self)
+        return True
+
+    def stop(self) -> bool:
+        pr = _ProducerRegistry.get(self.producer_name)
+        with pr.lock:
+            if self in pr.sinks:
+                pr.sinks.remove(self)
+        return True
 
     def render(self, buf: Buffer):
         _ProducerRegistry.get(self.producer_name).push(buf, self.caps)
         return FlowReturn.OK
 
+    def _event(self, pad, ev: Event) -> bool:
+        wanted = {n.strip() for n in self.event_types.split(",") if n}
+        for name, cls in self._EVENT_NAMES.items():
+            if name != "eos" and name in wanted \
+                    and isinstance(ev, cls):
+                _ProducerRegistry.get(
+                    self.producer_name).forward_event(ev)
+                break
+        return super()._event(pad, ev)
+
     def on_eos(self) -> None:
-        _ProducerRegistry.get(self.producer_name).eos()
+        wanted = {n.strip() for n in self.event_types.split(",") if n}
+        if "eos" in wanted:
+            _ProducerRegistry.get(self.producer_name).eos()
 
 
 @register_element("intersrc", Rank.NONE)
@@ -212,12 +274,41 @@ class InterSrc(PushSrc):
 
     producer_name = Property(str, default="default",
                              mutable=Mutability.READY)
+    max_buffers = Property(
+        int, default=0, minimum=0, mutable=Mutability.PLAYING,
+        blurb="Queue bound in buffers; oldest dropped when exceeded "
+              "(0 = unlimited, reference max-buffers)")
+    max_bytes = Property(
+        int, default=0, minimum=0, mutable=Mutability.PLAYING,
+        blurb="Queue bound in bytes (0 = unlimited)")
+    max_time = Property(
+        int, default=0, minimum=0, mutable=Mutability.PLAYING,
+        blurb="Queue bound in ns of buffer pts span (0 = unlimited)")
+    event_types = Property(
+        str, default="", mutable=Mutability.PLAYING,
+        blurb="Comma-separated UPSTREAM event types forwarded to the "
+              "producer's intersink pipeline (reference event-types; "
+              "names: custom-upstream, qos, navigation)")
 
     def __init__(self, name=None):
         super().__init__(name)
         self._q: deque = deque()
         self._caps: Caps | None = None
         self._eos = False
+        self._pending_events: deque = deque()
+        self.srcpad.event_function = self._upstream_event
+
+    def _upstream_event(self, pad, ev) -> bool:
+        from gstpu.core.event import (CustomEvent, NavigationEvent,
+                                      QosEvent)
+        names = {"custom-upstream": CustomEvent, "qos": QosEvent,
+                 "navigation": NavigationEvent}
+        wanted = {n.strip() for n in self.event_types.split(",") if n}
+        for name, cls in names.items():
+            if name in wanted and isinstance(ev, cls):
+                return _ProducerRegistry.get(
+                    self.producer_name).upstream_event(ev)
+        return False
 
     def start(self) -> bool:
         p = _ProducerRegistry.get(self.producer_name)
@@ -234,6 +325,28 @@ class InterSrc(PushSrc):
 
     def _enqueue(self, buf: Buffer, caps: Caps | None) -> None:
         self._q.append((buf, caps))
+        self._enforce_bounds()
+
+    def _enforce_bounds(self) -> None:
+        """Leaky live bridge: drop OLDEST queued buffers beyond the
+        configured bounds (reference StreamProducer consumer queue)."""
+        if self.max_buffers:
+            while len(self._q) > self.max_buffers:
+                self._q.popleft()
+        if self.max_bytes:
+            while len(self._q) > 1 and sum(
+                    b.size for b, _ in self._q) > self.max_bytes:
+                self._q.popleft()
+        if self.max_time:
+            while len(self._q) > 1:
+                first, last = self._q[0][0].pts, self._q[-1][0].pts
+                if first is None or last is None \
+                        or last - first <= self.max_time:
+                    break
+                self._q.popleft()
+
+    def _enqueue_event(self, ev) -> None:
+        self._pending_events.append(ev)
 
     def _enqueue_eos(self) -> None:
         self._eos = True
@@ -246,6 +359,8 @@ class InterSrc(PushSrc):
             if self._eos:
                 return None
             raise FlowError(FlowReturn.FLUSHING, "intersrc starved")
+        while self._pending_events:
+            self.srcpad.push_event(self._pending_events.popleft())
         buf, caps = self._q.popleft()
         if caps is not None and caps != self._caps:
             self._caps = caps

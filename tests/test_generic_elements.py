@@ -337,3 +337,71 @@ def test_brotli_elements_use_entropy_backend():
     # decodes independently (element-level roundtrip is covered by
     # test_brotli_elements_pipeline_roundtrip on the same backend)
     assert b"".join(brotli_ctypes.decompress(w) for w in wire) == payload
+
+
+SECOND = 1_000_000_000
+from gstpu import FlowReturn
+from gstpu.core.element import (Pad, PadDirection, PadPresence,
+                                PadTemplate)
+
+# -- round-5 reference-property parity ---------------------------------------
+
+def test_gopbuffer_max_size_time_discards_oldest():
+    from gstpu.core.buffer import BufferFlags
+    gb = make("gopbuffer", minimum_duration=10 * SECOND,
+              max_size_time=2 * SECOND)
+    out = []
+    sink = Pad("cap", PadDirection.SINK,
+               PadTemplate("sink", PadDirection.SINK,
+                           PadPresence.ALWAYS, Caps.any()))
+    sink.chain_function = lambda p, b: (out.append(b), FlowReturn.OK)[1]
+    sink.event_function = lambda p, e: True
+    gb.static_pad("src").link(sink)
+    feed = Pad("f", PadDirection.SRC,
+               PadTemplate("src", PadDirection.SRC,
+                           PadPresence.ALWAYS, Caps.any()))
+    feed.link(gb.static_pad("sink"))
+    gb.set_state(State.PLAYING)
+    # 6 one-second GOPs (keyframe + delta each); minimum-duration is
+    # huge so nothing flows until EOS — the 2 s max bound must evict
+    for i in range(6):
+        k = Buffer(bytes([i]), pts=i * SECOND)
+        feed.push(k)
+        d = Buffer(bytes([i, i]), pts=i * SECOND + SECOND // 2)
+        d.set_flag(BufferFlags.DELTA_UNIT)
+        feed.push(d)
+    from gstpu.core.event import EosEvent
+    feed.push_event(EosEvent())
+    # only the freshest ~2 s of GOPs survived the bound
+    starts = [b.pts // SECOND for b in out if not
+              b.has_flag(BufferFlags.DELTA_UNIT)]
+    assert starts and len(starts) <= 3 and starts[-1] == 5
+    assert 0 not in starts and 1 not in starts
+
+
+def test_intersrc_queue_bounds_drop_oldest():
+    sink = make("intersink", producer_name="bnd")
+    src = make("intersrc", producer_name="bnd", max_buffers=3)
+    src.set_state(State.PLAYING)
+    sink.set_state(State.PLAYING)
+    for i in range(10):
+        sink.render(Buffer(bytes([i]), pts=i * SECOND))
+    assert len(src._q) == 3
+    assert [b.to_bytes() for b, _ in src._q] == [b"\x07", b"\x08",
+                                                 b"\x09"]
+    src.set_state(State.NULL)
+    sink.set_state(State.NULL)
+
+
+def test_intersink_event_types_forwarding():
+    from gstpu.core.event import CustomEvent
+    sink = make("intersink", producer_name="evt",
+                event_types="eos,custom-downstream")
+    src = make("intersrc", producer_name="evt")
+    src.set_state(State.PLAYING)
+    sink.set_state(State.PLAYING)
+    ev = CustomEvent({"name": "marker", "x": 1})
+    sink._event(sink.sinkpad, ev)
+    assert list(src._pending_events) == [ev]
+    src.set_state(State.NULL)
+    sink.set_state(State.NULL)
