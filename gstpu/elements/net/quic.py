@@ -110,6 +110,22 @@ def _make_endpoint(*, client: bool, address: str, port: int,
     return ep
 
 
+def _load_cert_files(cert_file: str | None,
+                     key_file: str | None):
+    """PEM certificate-file/private-key-file -> the (key, cert) pair
+    the TLS 1.3 layer takes (reference quinn certificate-file /
+    private-key-file; None = per-connection self-signed)."""
+    if not (cert_file and key_file):
+        return None
+    from cryptography import x509
+    from cryptography.hazmat.primitives import serialization
+    key = serialization.load_pem_private_key(
+        open(key_file, "rb").read(), password=None)
+    cert = x509.load_pem_x509_certificate(
+        open(cert_file, "rb").read())
+    return key, cert
+
+
 @register_element("quinnquicsink", Rank.NONE)
 class QuinnQuicSink(BaseSink):
     PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK,
@@ -126,6 +142,20 @@ class QuinnQuicSink(BaseSink):
     certificate_fingerprint = Property(
         str, default=None, mutable=Mutability.READY,
         blurb="pin the peer certificate (sha-256 hex)")
+    certificate_file = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="PEM certificate presented to the peer (reference "
+              "certificate-file); empty = per-connection self-signed")
+    private_key_file = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="PEM private key for certificate-file")
+    secure_connection = Property(
+        bool, default=True, mutable=Mutability.READY,
+        blurb="Verify the peer certificate (reference "
+              "secure-connection). Trust here is sha-256 pinning via "
+              "certificate-fingerprint (no webpki root store in this "
+              "environment — disclosed boundary); false = accept any "
+              "peer even when a pin is configured")
     alpn = Property(str, default="gstpu-quic",
                     mutable=Mutability.READY)
     timeout = Property(float, default=5.0, minimum=0.0)
@@ -141,7 +171,10 @@ class QuinnQuicSink(BaseSink):
         self._ep = _make_endpoint(
             client=self.role == "client", address=self.address,
             port=self.port,
-            remote_fingerprint=self.certificate_fingerprint,
+            remote_fingerprint=(self.certificate_fingerprint
+                                if self.secure_connection else None),
+            certificate=_load_cert_files(self.certificate_file,
+                                         self.private_key_file),
             alpn=self.alpn)
         return True
 
@@ -217,6 +250,18 @@ class QuinnQuicSrc(PushSrc):
     caps = Property(Caps, default=None, mutable=Mutability.READY)
     certificate_fingerprint = Property(str, default=None,
                                        mutable=Mutability.READY)
+    certificate_file = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="PEM certificate presented to the peer (reference "
+              "certificate-file); empty = per-connection self-signed")
+    private_key_file = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="PEM private key for certificate-file")
+    secure_connection = Property(
+        bool, default=True, mutable=Mutability.READY,
+        blurb="Verify the peer via certificate-fingerprint pinning "
+              "(reference secure-connection; boundary as on "
+              "quinnquicsink); false = accept any peer")
     alpn = Property(str, default="gstpu-quic",
                     mutable=Mutability.READY)
 
@@ -233,7 +278,10 @@ class QuinnQuicSrc(PushSrc):
         self._ep = _make_endpoint(
             client=self.role == "client", address=self.address,
             port=self.port,
-            remote_fingerprint=self.certificate_fingerprint,
+            remote_fingerprint=(self.certificate_fingerprint
+                                if self.secure_connection else None),
+            certificate=_load_cert_files(self.certificate_file,
+                                         self.private_key_file),
             alpn=self.alpn)
         return True
 

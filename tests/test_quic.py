@@ -777,3 +777,79 @@ def test_quic_rangeset_bounded_on_permanent_holes():
     assert rs.largest == 9998
     # newest pns are retained for honest ACKs
     assert 9998 in rs and 9996 in rs
+
+
+def test_quinnquic_certificate_file_identity(tmp_path):
+    """Reference certificate-file/private-key-file: the server
+    presents a PEM-loaded identity and the client's pin of THAT
+    file's fingerprint connects (a random self-signed cert would
+    fail the pin)."""
+    from cryptography.hazmat.primitives import serialization
+    from gstpu.net.webrtc.dtls import fingerprint as fp_of
+    from gstpu.net.webrtc.dtls import generate_certificate
+    key, cert = generate_certificate("quinn-file-test")
+    cp, kp = tmp_path / "c.pem", tmp_path / "k.pem"
+    cp.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    kp.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()))
+    pin = fp_of(cert).split(" ", 1)[1].replace(":", "").lower()
+
+    src = make("quinnquicsrc", certificate_file=str(cp),
+               private_key_file=str(kp))
+    src.port = 0
+    src.set_state(State.READY)
+    assert src.local_fingerprint.replace(":", "").lower() \
+        .endswith(pin[-16:])
+    port = src.bound_port
+
+    sink = make("quinnquicsink")
+    sink.address = "127.0.0.1"
+    sink.port = port
+    sink.certificate_fingerprint = src.local_fingerprint
+    h = Harness(sink)
+    h.set_caps("application/x-test")
+    recv = parse_launch("appsink name=out")
+    src.pads["src"].link(recv.get_by_name("out").pads["sink"])
+    src.set_state(State.PLAYING)
+    recv.get_by_name("out").set_state(State.PLAYING)
+    deadline = time.monotonic() + 5
+    while not sink._ep.conn.connected \
+            and time.monotonic() < deadline:
+        sink._ep.pump()
+        for task in src.iterate_tasks():
+            task.iterate()
+        time.sleep(0.002)
+    assert sink._ep.conn.connected
+    h.teardown()
+    src.set_state(State.NULL)
+
+
+def test_quinnquic_secure_connection_false_skips_pin():
+    """secure-connection=false accepts a peer even when the pin is
+    WRONG (reference: disable certificate checks)."""
+    src = make("quinnquicsrc")
+    src.port = 0
+    src.set_state(State.READY)
+    port = src.bound_port
+    sink = make("quinnquicsink", secure_connection=False)
+    sink.address = "127.0.0.1"
+    sink.port = port
+    sink.certificate_fingerprint = "00" * 32     # wrong, but ignored
+    h = Harness(sink)
+    h.set_caps("application/x-test")
+    recv = parse_launch("appsink name=out")
+    src.pads["src"].link(recv.get_by_name("out").pads["sink"])
+    src.set_state(State.PLAYING)
+    recv.get_by_name("out").set_state(State.PLAYING)
+    deadline = time.monotonic() + 5
+    while not sink._ep.conn.connected \
+            and time.monotonic() < deadline:
+        sink._ep.pump()
+        for task in src.iterate_tasks():
+            task.iterate()
+        time.sleep(0.002)
+    assert sink._ep.conn.connected
+    h.teardown()
+    src.set_state(State.NULL)
