@@ -226,6 +226,26 @@ class RtspSrc(PushSrc):
                          enum_values=("tcp", "udp"),
                          blurb="Transport: tcp (interleaved) or udp "
                                "(RTP/AVP with client_port)")
+    latency = Property(int, default=200, minimum=0,
+                       mutable=Mutability.READY,
+                       blurb="Jitterbuffer depth in ms announced to "
+                             "latency queries (reference latency, "
+                             "default 200)")
+    timeout = Property(int, default=0, minimum=0,
+                       mutable=Mutability.READY,
+                       blurb="Network-activity timeout in ns "
+                             "(reference timeout, default 5 s "
+                             "there); 0 = use timeout-s")
+    receive_mtu = Property(int, default=1508, minimum=576,
+                           mutable=Mutability.READY,
+                           blurb="Receive buffer size for UDP RTP "
+                                 "reads (reference receive-mtu, "
+                                 "default 1508)")
+    port_start = Property(int, default=0, minimum=0, maximum=65535,
+                          mutable=Mutability.READY,
+                          blurb="First client port to try for the "
+                                "RTP/RTCP UDP pair; 0 = kernel-"
+                                "chosen (reference port-start)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -241,6 +261,11 @@ class RtspSrc(PushSrc):
 
     # -- RTCP (reference net/rtsp: interleaved RTCP channels, SR sync,
     # RR receiver reports) ------------------------------------------------
+    def add_latency(self, q) -> None:
+        # the configured jitterbuffer depth rides latency queries
+        # (reference rtspsrc2 latency property, default 200 ms)
+        q.add(self.latency * 1_000_000, self.latency * 1_000_000)
+
     def _now(self) -> int:
         import time as _t
         return _t.monotonic_ns()
@@ -335,7 +360,9 @@ class RtspSrc(PushSrc):
             self.post_error("rtspsrc2: no location")
             return False
         try:
-            c = RtspConnection(self.location, self.timeout_s)
+            tmo = (self.timeout / 1e9) if self.timeout \
+                else self.timeout_s
+            c = RtspConnection(self.location, tmo)
             status, _, _ = c.request("OPTIONS")
             if status != 200:
                 raise ConnectionError(f"OPTIONS -> {status}")
@@ -352,13 +379,36 @@ class RtspSrc(PushSrc):
                 control = self.location.rstrip("/") + "/" + control
             if self.protocols == "udp":
                 import socket as _socket
-                self._rtp_sock = _socket.socket(_socket.AF_INET,
-                                                _socket.SOCK_DGRAM)
-                self._rtp_sock.bind(("127.0.0.1", 0))
+
+                def _bind_pair():
+                    """RTP on an even port, RTCP adjacent — scanning
+                    up from port-start when set (reference
+                    port-start; 0 = kernel-chosen pair)."""
+                    if not self.port_start:
+                        a = _socket.socket(_socket.AF_INET,
+                                           _socket.SOCK_DGRAM)
+                        a.bind(("127.0.0.1", 0))
+                        b = _socket.socket(_socket.AF_INET,
+                                           _socket.SOCK_DGRAM)
+                        b.bind(("127.0.0.1", 0))
+                        return a, b
+                    start = self.port_start + (self.port_start & 1)
+                    for base in range(start, 65534, 2):
+                        a = _socket.socket(_socket.AF_INET,
+                                           _socket.SOCK_DGRAM)
+                        b = _socket.socket(_socket.AF_INET,
+                                           _socket.SOCK_DGRAM)
+                        try:
+                            a.bind(("127.0.0.1", base))
+                            b.bind(("127.0.0.1", base + 1))
+                            return a, b
+                        except OSError:
+                            a.close()
+                            b.close()
+                    raise ConnectionError("no free RTP/RTCP port "
+                                          "pair above port-start")
+                self._rtp_sock, self._rtcp_sock = _bind_pair()
                 self._rtp_sock.setblocking(False)
-                self._rtcp_sock = _socket.socket(_socket.AF_INET,
-                                                 _socket.SOCK_DGRAM)
-                self._rtcp_sock.bind(("127.0.0.1", 0))
                 self._rtcp_sock.setblocking(False)
                 rtp_port = self._rtp_sock.getsockname()[1]
                 rtcp_port = self._rtcp_sock.getsockname()[1]
@@ -440,12 +490,14 @@ class RtspSrc(PushSrc):
         if self._rtp_sock is not None:
             if self._rtcp_sock is not None:
                 try:
-                    rtcp, _ = self._rtcp_sock.recvfrom(65536)
+                    rtcp, _ = self._rtcp_sock.recvfrom(
+                        max(self.receive_mtu, 1508))
                     self._handle_rtcp(rtcp)
                 except BlockingIOError:
                     pass
             try:
-                payload, _addr = self._rtp_sock.recvfrom(65536)
+                payload, _addr = self._rtp_sock.recvfrom(
+                    self.receive_mtu)
             except BlockingIOError:
                 raise FlowError(FlowReturn.FLUSHING, "no datagram yet")
             self._track_rtp(payload)

@@ -492,3 +492,42 @@ def test_control_response_does_not_eat_interleaved_media():
     got = c.read_data_frame(blocking=False)
     assert got == (0, b"MEDIA")
     srv.close()
+
+
+def test_rtspsrc2_port_start_and_latency_query():
+    """Round-5 knobs: port-start picks an even RTP port at/above the
+    requested base, and the latency property rides latency queries."""
+    from gstpu.core.query import LatencyQuery
+    from gstpu.core.registry import make
+    src = make("rtspsrc2", protocols="udp", port_start=40000,
+               latency=350, receive_mtu=2048)
+    # port scan helper is exercised through a fake SETUP path: bind
+    # directly like start() does
+    import socket as _socket
+    # simulate: property drives _bind via the start() closure; here we
+    # check the property surface + latency accumulation contract
+    q = LatencyQuery()
+    src.add_latency(q)
+    assert q.min_latency == 350 * 1_000_000
+    assert src.port_start == 40000 and src.receive_mtu == 2048
+
+
+def test_rtspsrc2_udp_port_start_respected():
+    srv = MiniRtspUdpServer(n_packets=3)
+    p = parse_launch(f"rtspsrc2 location=rtsp://127.0.0.1:{srv.port}/s"
+                     f" protocols=udp port-start=41000 name=r ! "
+                     f"appsink name=sink")
+    sink = p.get_by_name("sink")
+    r = p.get_by_name("r")
+    p.set_state(State.PLAYING)
+    deadline = time.monotonic() + 10
+    while len(sink.samples) < 3 and time.monotonic() < deadline:
+        p.iterate()
+        time.sleep(0.005)
+    rtp_port = r._rtp_sock.getsockname()[1]
+    rtcp_port = r._rtcp_sock.getsockname()[1]
+    p.set_state(State.NULL)
+    srv.stop()
+    assert len(sink.samples) >= 3
+    assert rtp_port >= 41000 and rtp_port % 2 == 0
+    assert rtcp_port == rtp_port + 1
