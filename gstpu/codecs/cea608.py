@@ -77,11 +77,12 @@ class Cea608Encoder:
     """Pop-on caption encoder: text in, byte pairs out (2 bytes per
     output slot, one slot per video field)."""
 
-    def encode_popon(self, text: str, row: int = 14) -> list[bytes]:
+    def encode_popon(self, text: str, row: int = 14,
+                     column: int = 0) -> list[bytes]:
         pairs: list[tuple[int, int]] = [control(RCL), control(ENM)]
         for li, line in enumerate(text.splitlines() or [""]):
             pairs.append(pac(min(row - (len(text.splitlines() or [""]))
-                                 + 1 + li, 14)))
+                                 + 1 + li, 14), column))
             buf: list[int] = []
             for ch in line:
                 b = char_to_608(ch)
@@ -101,7 +102,8 @@ class Cea608Encoder:
         return [bytes([odd_parity(0x14), odd_parity(EDM)])]
 
     def encode_rollup(self, text: str, rows: int = 2,
-                      base_row: int = 14) -> list[bytes]:
+                      base_row: int = 14,
+                      column: int = 0) -> list[bytes]:
         """Roll-up caption encoding (reference tttocea608 roll-up
         modes): RUx + CR scrolls, then a PAC at the base row and the
         new line's text."""
@@ -110,7 +112,7 @@ class Cea608Encoder:
         for line in text.splitlines() or [""]:
             pairs.append(control(ru))
             pairs.append(control(CR_))
-            pairs.append(pac(base_row))
+            pairs.append(pac(base_row, column))
             buf: list[int] = []
             for ch in line:
                 b = char_to_608(ch)

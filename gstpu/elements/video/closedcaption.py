@@ -41,10 +41,26 @@ class TtToCea608(BaseTransform):
                     enum_values=("pop-on", "roll-up2", "roll-up3",
                                  "roll-up4"),
                     blurb="Caption mode (reference tttocea608 mode)")
+    origin_row = Property(int, default=-1, minimum=-1, maximum=14,
+                          mutable=Mutability.PLAYING,
+                          blurb="Base caption row; -1 = automatic "
+                                "(bottom) — reference origin-row")
+    origin_column = Property(int, default=0, minimum=0, maximum=31,
+                             mutable=Mutability.PLAYING,
+                             blurb="Caption indent column (PAC "
+                                   "indent steps of 4) — reference "
+                                   "origin-column")
+    roll_up_timeout = Property(
+        int, default=0, minimum=0, mutable=Mutability.PLAYING,
+        blurb="Erase display memory after this much ns without new "
+              "text in roll-up mode; 0 = never (reference "
+              "roll-up-timeout, erased via the gap/next-buffer "
+              "path in this cooperative runtime)")
 
     def __init__(self, name=None):
         super().__init__(name)
         self._enc = Cea608Encoder()
+        self._last_text_pts: int | None = None
 
     def transform_caps(self, direction, caps, filter):
         out = (CC_CAPS if direction is PadDirection.SINK
@@ -55,11 +71,24 @@ class TtToCea608(BaseTransform):
 
     def transform(self, buf: Buffer) -> list[Buffer]:
         text = buf.to_bytes().decode("utf-8")
+        row = self.origin_row if self.origin_row >= 0 else 14
+        col = self.origin_column
+        pairs = []
         if self.mode.startswith("roll-up"):
-            pairs = self._enc.encode_rollup(text,
-                                            rows=int(self.mode[-1]))
+            if self.roll_up_timeout and buf.pts is not None \
+                    and self._last_text_pts is not None \
+                    and buf.pts - self._last_text_pts \
+                    > self.roll_up_timeout:
+                # reference roll-up-timeout: stale display memory is
+                # erased before the new text
+                pairs.extend(self._enc.encode_clear())
+            pairs.extend(self._enc.encode_rollup(
+                text, rows=int(self.mode[-1]), base_row=row,
+                column=col))
         else:
-            pairs = self._enc.encode_popon(text)
+            pairs.extend(self._enc.encode_popon(text, row=row,
+                                                column=col))
+        self._last_text_pts = buf.pts
         field_dur = SECOND // (self.framerate_num or 30)
         base = buf.pts if buf.pts is not None else 0
         out = []

@@ -300,6 +300,7 @@ def test_translationbin_splices_translator():
     # reuse the mock transcriber registered by the earlier test
     import tests.test_cccombiner as _self  # noqa
     from gstpu.core.registry import make as _make
+    from gstpu.core.registry import _registry
     if "mocktranscriber" not in _registry:
         test_transcriberbin_with_mock_transcriber()
 
@@ -360,6 +361,9 @@ def _run_tb(tb, n_audio=1, n_video=1):
 
 
 def test_transcriberbin_cea708_translation_services():
+    from gstpu.core.registry import _registry
+    if "mocktranscriber" not in _registry:
+        test_transcriberbin_with_mock_transcriber()
     """mux-method=cea708 with translation-languages: the transcript
     fans out to per-language DTVCC services muxed into one cc_data
     stream (reference transcriberbin translation path)."""
@@ -423,6 +427,9 @@ def test_transcriberbin_live_passthrough_toggle():
 
 
 def test_transcriberbin_caption_source_inband():
+    from gstpu.core.registry import _registry
+    if "mocktranscriber" not in _registry:
+        test_transcriberbin_with_mock_transcriber()
     """caption-source=inband keeps upstream caption metas and adds
     no transcription; =transcription strips inband metas."""
     from gstpu.core.element import State
@@ -544,6 +551,7 @@ def test_transcriberbin_live_transcriber_swap():
     from gstpu.core.registry import Rank, _registry, register_element
     import numpy as np
 
+    from gstpu.core.registry import _registry
     if "mocktranscriber" not in _registry:
         test_transcriberbin_with_mock_transcriber()
     if "mockworld" not in _registry:
@@ -598,6 +606,7 @@ def test_transcriberbin_latency_query():
     from gstpu.core.query import LatencyQuery
     from gstpu.core.registry import _registry
 
+    from gstpu.core.registry import _registry
     if "mocktranscriber" not in _registry:
         test_transcriberbin_with_mock_transcriber()
     tb = make("transcriberbin", transcriber="mocktranscriber",

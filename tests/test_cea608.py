@@ -69,3 +69,29 @@ def test_ccdetect_posts_presence():
     msgs = [m for m in h.bus.drain() if m.type is MessageType.ELEMENT]
     assert msgs and msgs[0].fields["cc608"] is True
     h.teardown()
+
+
+def test_tttocea608_origin_and_rollup_timeout():
+    """Round-5 knobs: origin-row/column land in the PAC, and
+    roll-up-timeout erases stale display memory before new text."""
+    from gstpu.codecs.cea608 import pac, odd_parity, EDM
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+
+    el = make("tttocea608", mode="roll-up2", origin_row=8,
+              origin_column=8, roll_up_timeout=500_000_000)
+    h = Harness(el)
+    h.set_caps("text/x-raw, format=utf8")
+    from gstpu import Buffer
+    h.push(Buffer(b"hello", pts=0))
+    out1 = h.pull_all()
+    want_pac = bytes(odd_parity(x) for x in pac(8, 8))
+    assert any(b.to_bytes() == want_pac for b in out1), \
+        "PAC with origin row 8 / indent 8 not emitted"
+    edm = bytes([odd_parity(0x14), odd_parity(EDM)])
+    assert not any(b.to_bytes() == edm for b in out1)
+    # 2 s later (past the 0.5 s timeout): display erased first
+    h.push(Buffer(b"again", pts=2_000_000_000))
+    out2 = h.pull_all()
+    assert out2[0].to_bytes() == edm, "stale roll-up not erased"
+    h.teardown()
