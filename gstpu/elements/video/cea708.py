@@ -220,10 +220,43 @@ class TtToCea708(BaseTransform):
 
     service = Property(int, default=1, minimum=1, maximum=63,
                        mutable=Mutability.READY)
+    service_number = Property(
+        int, default=0, minimum=0, maximum=63,
+        mutable=Mutability.READY,
+        blurb="DTVCC service number (reference service-number); "
+              "0 = use the older 'service' property")
+    cea608_channel = Property(
+        int, default=0, minimum=0, maximum=4,
+        mutable=Mutability.READY,
+        blurb="Also write CEA-608 compatibility bytes on this "
+              "channel; 0 = disabled (reference cea608-channel — "
+              "like the reference, only channels 1 and 3 are "
+              "supported)")
+    origin_row = Property(int, default=-1, minimum=-1, maximum=74,
+                          mutable=Mutability.PLAYING,
+                          blurb="DefineWindow anchor row; -1 = "
+                                "automatic (reference origin-row)")
+    origin_column = Property(int, default=0, minimum=0, maximum=209,
+                             mutable=Mutability.PLAYING,
+                             blurb="DefineWindow anchor column "
+                                   "(reference origin-column)")
+    roll_up_rows = Property(int, default=0, minimum=0, maximum=15,
+                            mutable=Mutability.PLAYING,
+                            blurb="Window row count in roll-up mode; "
+                                  "0 = single-row default "
+                                  "(reference roll-up-rows)")
+    roll_up_timeout = Property(
+        int, default=0, minimum=0, mutable=Mutability.PLAYING,
+        blurb="Delete the caption windows after this much ns "
+              "without new text; 0 = never (reference "
+              "roll-up-timeout; applied on the next buffer, as on "
+              "tttocea608)")
 
     def __init__(self, name=None):
         super().__init__(name)
         self._seq = 0
+        self._last_text_pts = None
+        self._608 = None
 
     def transform_caps(self, direction, caps, filter):
         out = (Caps.new("closedcaption/x-cea-708", format="cc_data")
@@ -233,18 +266,54 @@ class TtToCea708(BaseTransform):
             out = filter.intersect(out)
         return out
 
+    def _define_window(self) -> bytes:
+        """DefineWindow0 with the configured anchor/rows (CEA-708
+        §8.4.4): visible, priority 3, absolute anchor at
+        origin-row/column, roll-up-rows rows, 31 columns."""
+        av = self.origin_row if self.origin_row >= 0 else 74
+        rows = max(0, (self.roll_up_rows or 1) - 1)
+        return bytes([
+            0x98,
+            0x20 | 0x03,                 # visible, priority 3
+            av & 0x7F,                   # absolute, anchor vertical
+            self.origin_column & 0xFF,   # anchor horizontal
+            (6 << 4) | rows,             # anchor point 6 (bottom
+                                         # left), row count
+            31,                          # column count
+            0x00])                       # default window/pen style
+
     def transform(self, buf: Buffer) -> list[Buffer] | None:
-        from gstpu.codecs.cea708 import build_dtvcc, dtvcc_to_ccdata
+        from gstpu.codecs.cea708 import (build_dtvcc, cc_triplet,
+                                         dtvcc_to_ccdata)
         text = buf.to_bytes().decode("utf-8", "replace")
-        payload = (b"\x98" + bytes(6)           # DF0 window
+        svc = self.service_number or self.service
+        stale = (self.roll_up_timeout and buf.pts is not None
+                 and self._last_text_pts is not None
+                 and buf.pts - self._last_text_pts
+                 > self.roll_up_timeout)
+        self._last_text_pts = buf.pts
+        payload = (self._define_window()
                    + text.encode("ascii", "replace")
                    .replace(b"\n", b"\x0d") + b"\x03")
+        if stale:
+            payload = b"\x8c\xff" + payload   # DeleteWindows(all)
         out = []
         # service blocks carry at most 31 bytes: split long text
         for i in range(0, len(payload), 31):
-            pkt = build_dtvcc(self._seq, [(self.service,
-                                           payload[i:i + 31])])
+            pkt = build_dtvcc(self._seq, [(svc, payload[i:i + 31])])
             self._seq = (self._seq + 1) & 0x3
-            out.append(Buffer(dtvcc_to_ccdata(pkt), pts=buf.pts,
+            cc = dtvcc_to_ccdata(pkt)
+            if i == 0 and self.cea608_channel in (1, 3):
+                # 608 compatibility bytes lead the cc_data (field 1;
+                # channels 2/4 are unsupported like the reference)
+                if self._608 is None:
+                    from gstpu.codecs.cea608 import Cea608Encoder
+                    self._608 = Cea608Encoder()
+                pairs = self._608.encode_rollup(text, rows=2)
+                if stale:
+                    pairs = self._608.encode_clear() + pairs
+                cc = b"".join(cc_triplet(pr[0], pr[1], 0)
+                              for pr in pairs) + cc
+            out.append(Buffer(cc, pts=buf.pts,
                               duration=buf.duration))
         return out or None

@@ -209,3 +209,35 @@ def test_tttocea708_roundtrips_via_overlay_extractor():
             texts.append(service_block_text(data))
     assert "".join(texts) == "HELLO 708"
     p.set_state(State.NULL)
+
+
+def test_tttocea708_knobs_and_608_compat():
+    """Round-5 knobs: DefineWindow carries origin/rows, service-number
+    overrides service, and cea608-channel muxes field-1 pairs ahead
+    of the DTVCC triplets."""
+    from gstpu.codecs.cea708 import parse_dtvcc
+    from gstpu.core.harness import Harness
+    from gstpu.core.registry import make
+    from gstpu import Buffer
+
+    el = make("tttocea708", service_number=3, cea608_channel=1,
+              origin_row=10, origin_column=20, roll_up_rows=4)
+    h = Harness(el)
+    h.set_caps("text/x-raw, format=utf8")
+    h.push(Buffer(b"hi", pts=0))
+    out = h.pull_all()
+    assert out
+    cc = out[0].to_bytes()
+    trips = [cc[i:i + 3] for i in range(0, len(cc), 3)]
+    kinds = [t[0] & 0x03 for t in trips]
+    assert 0 in kinds, "no 608 field-1 compatibility triplets"
+    assert 3 in kinds, "no DTVCC start triplet"
+    # rebuild the dtvcc packet from the 708 triplets
+    dtv = b"".join(t[1:] for t in trips if t[0] & 0x03 in (2, 3))
+    seq, blocks = parse_dtvcc(dtv)
+    assert blocks and blocks[0][0] == 3          # service-number won
+    win = blocks[0][1]
+    assert win[0] == 0x98                        # DefineWindow0
+    assert win[2] == 10 and win[3] == 20         # anchor row/col
+    assert (win[4] & 0x0F) == 3                  # 4 rows -> count 3
+    h.teardown()
