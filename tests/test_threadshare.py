@@ -196,3 +196,35 @@ def test_blocking_adapter_decouples_blocking_sink():
     from gstpu.core.event import EosEvent
     h.push_event(EosEvent())
     h.teardown()
+
+
+def test_udpsrc_multicast_loopback_and_knobs():
+    """Round-5 knobs: auto-multicast joins the group (loopback on
+    127/lo), skip-first-bytes strips a prefix, uri configures
+    address+port."""
+    import socket as _socket
+    import time as _time
+
+    from gstpu.core.registry import make
+    group = "239.255.42.42"
+    src = make("udpsrc", uri=f"udp://{group}:0", skip_first_bytes=4)
+    # port 0 via uri -> ephemeral; bind + join happen at start
+    assert src.set_state(State.READY)
+    port = src.bound_port
+    assert port > 0 and src.address == group
+    src.set_state(State.PLAYING)
+
+    tx = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    tx.setsockopt(_socket.IPPROTO_IP, _socket.IP_MULTICAST_TTL, 1)
+    tx.setsockopt(_socket.IPPROTO_IP, _socket.IP_MULTICAST_LOOP, 1)
+    got = []
+    deadline = _time.monotonic() + 5
+    while not got and _time.monotonic() < deadline:
+        tx.sendto(b"HDR!payload", (group, port))
+        try:
+            got.append(src.create())
+        except Exception:
+            _time.sleep(0.01)
+    tx.close()
+    src.set_state(State.NULL)
+    assert got and got[0].to_bytes() == b"payload"
