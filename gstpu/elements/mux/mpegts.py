@@ -146,6 +146,16 @@ class HlsSink3(BaseSink):
                                mutable=Mutability.READY)
     max_files = Property(int, default=10, minimum=0,
                          mutable=Mutability.READY)
+    i_frames_only = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Every buffer starts a segment of exactly one "
+              "keyframe and the playlist is tagged "
+              "EXT-X-I-FRAMES-ONLY (reference i-frames-only)")
+    send_keyframe_requests = Property(
+        bool, default=True, mutable=Mutability.READY,
+        blurb="Send an upstream GstForceKeyUnit event when a "
+              "segment boundary is due (reference "
+              "send-keyframe-requests)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -189,11 +199,25 @@ class HlsSink3(BaseSink):
     def render(self, buf: Buffer):
         pts = buf.pts
         key = not buf.has_flag(BufferFlags.DELTA_UNIT)
-        if (key and self._acc and pts is not None
+        if self.i_frames_only:
+            if not key:
+                return FlowReturn.OK        # i-frames-only drops deltas
+            if self._acc:
+                self._close_segment()
+        elif (key and self._acc and pts is not None
                 and self._seg_start_pts is not None
                 and pts - self._seg_start_pts
                 >= self.target_duration * SECOND):
             self._close_segment()
+        elif (self.send_keyframe_requests and not key
+                and pts is not None
+                and self._seg_start_pts is not None
+                and pts - self._seg_start_pts
+                >= self.target_duration * SECOND):
+            # boundary due but no keyframe yet: ask upstream
+            from gstpu.core.event import CustomEvent
+            self.sinkpad.push_event(CustomEvent(
+                {"name": "GstForceKeyUnit", "all-headers": True}))
         if self._seg_start_pts is None and pts is not None:
             self._seg_start_pts = pts
         if pts is not None:
@@ -203,6 +227,8 @@ class HlsSink3(BaseSink):
 
     def _write_playlist(self, ended: bool) -> None:
         lines = ["#EXTM3U", "#EXT-X-VERSION:3",
+                 *(["#EXT-X-I-FRAMES-ONLY"]
+                   if self.i_frames_only else []),
                  f"#EXT-X-TARGETDURATION:{self.target_duration}",
                  f"#EXT-X-MEDIA-SEQUENCE:{self._media_sequence}"]
         for name, dur in self._segments:

@@ -43,6 +43,15 @@ class HlsCmafSink(BaseSink):
     playlist_length = Property(int, default=0, minimum=0,
                                mutable=Mutability.READY,
                                blurb="Sliding window size (0 = all)")
+    i_frames_only = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Each segment is a single keyframe: tag the playlist "
+              "EXT-X-I-FRAMES-ONLY (reference i-frames-only)")
+    send_keyframe_requests = Property(
+        bool, default=True, mutable=Mutability.READY,
+        blurb="Send upstream force-keyframe events at segment "
+              "boundaries so the encoder aligns (reference "
+              "send-keyframe-requests)")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -85,12 +94,20 @@ class HlsCmafSink(BaseSink):
             self._media_sequence += 1
             self._delete(old)
         self._write_playlist(ended=False)
+        if self.send_keyframe_requests:
+            # ask the encoder for a keyframe at the next boundary
+            # (the reference forwards GstForceKeyUnit upstream)
+            from gstpu.core.event import CustomEvent
+            self.sinkpad.push_event(CustomEvent(
+                {"name": "GstForceKeyUnit", "all-headers": True}))
         return FlowReturn.OK
 
     def _write_playlist(self, ended: bool) -> None:
         lines = ["#EXTM3U", "#EXT-X-VERSION:7",
                  f"#EXT-X-TARGETDURATION:{self.target_duration}",
                  f"#EXT-X-MEDIA-SEQUENCE:{self._media_sequence}",
+                 *(["#EXT-X-I-FRAMES-ONLY"]
+                   if self.i_frames_only else []),
                  f'#EXT-X-MAP:URI="{os.path.basename(self.init_location)}"']
         for name, dur in self._segments:
             lines.append(f"#EXTINF:{dur:.3f},")

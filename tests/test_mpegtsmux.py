@@ -79,3 +79,54 @@ def test_hlssink3_segments(tmp_path, monkeypatch):
         assert (tmp_path / s).stat().st_size % 188 == 0
     assert "#EXTINF:1.000," in pl
     h.teardown()
+
+
+def test_hlssink3_i_frames_only(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    sink = make("hlssink3", target_duration=1,
+                playlist_location="p.m3u8", i_frames_only=True)
+    from gstpu.core.harness import Harness
+    h = Harness(sink)
+    h.set_caps("video/mpegts, systemstream=true, packetsize=188")
+    for i in range(6):
+        b = Buffer(bytes(188), pts=i * SECOND // 2,
+                   duration=SECOND // 2)
+        if i % 2:
+            b.set_flag(BufferFlags.DELTA_UNIT)
+        h.push(b)
+    h.push_eos()
+    pl = (tmp_path / "p.m3u8").read_text()
+    assert "#EXT-X-I-FRAMES-ONLY" in pl
+    segs = [ln for ln in pl.splitlines() if ln.endswith(".ts")]
+    # one segment per KEYFRAME (deltas dropped): 3 keys -> 3 segments
+    assert len(segs) == 3
+    for s in segs:
+        assert (tmp_path / s).stat().st_size == 188
+    h.teardown()
+
+
+def test_dashsink2_round5_knobs(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    sink = make("dashsink2", dynamic=True, latency=1500,
+                min_buffer_time=2000, minimum_update_period=6000,
+                utc_timing_url="http://time.example/xsdate",
+                mpd_root_path=str(tmp_path / "out"),
+                mpd_filename="live.mpd")
+    from gstpu.core.harness import Harness
+    h = Harness(sink)
+    h.set_caps("video/quicktime")
+    hdr = Buffer(b"init", pts=0)
+    hdr.set_flag(BufferFlags.HEADER)
+    h.push(hdr)
+    h.push(Buffer(b"seg", pts=0, duration=6 * SECOND))
+    mpd = (tmp_path / "out" / "live.mpd").read_text()
+    assert 'type="dynamic"' in mpd
+    assert 'minBufferTime="PT2.000S"' in mpd
+    assert 'minimumUpdatePeriod="PT6.000S"' in mpd
+    assert 'suggestedPresentationDelay="PT1.500S"' in mpd
+    assert 'http-xsdate' in mpd and "time.example" in mpd
+    h.push_eos()
+    static = (tmp_path / "out" / "live.mpd").read_text()
+    assert 'type="static"' in static
+    assert "UTCTiming" not in static
+    h.teardown()
