@@ -127,6 +127,41 @@ class SpeechmaticsTranscriber(_CloudSttBase):
     max_delay = Property(float, default=0.0, minimum=0.0,
                          blurb="transcription_config.max_delay (s); "
                                "0 = service default")
+    language_code = Property(str, default="",
+                             mutable=Mutability.READY,
+                             blurb="Overrides 'language' when set "
+                                   "(reference language-code)")
+    additional_vocabulary = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="Comma-separated words sent as "
+              "transcription_config.additional_vocab (reference "
+              "additional-vocabulary)")
+    diarization = Property(str, default="none",
+                           enum_values=("none", "speaker"),
+                           mutable=Mutability.READY,
+                           blurb="transcription_config.diarization")
+    max_speakers = Property(int, default=50, minimum=2, maximum=100,
+                            mutable=Mutability.READY,
+                            blurb="speaker_diarization_config."
+                                  "max_speakers (with "
+                                  "diarization=speaker)")
+    labeled_speakers = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="JSON array for speaker_diarization_config.speakers "
+              "(reference labeled-speakers)")
+    remove_disfluencies = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="transcript_filtering_config.remove_disfluencies")
+    mask_profanities = Property(
+        bool, default=False, mutable=Mutability.READY,
+        blurb="Replace alternatives tagged profanity with asterisks "
+              "(reference mask-profanities — applied to results, "
+              "not a wire option)")
+    audio_event_types = Property(
+        str, default="", mutable=Mutability.READY,
+        blurb="Comma-separated audio_events_config.types (reference "
+              "audio-event-types); events surface as "
+              "speechmatics-audio-event messages")
 
     def __init__(self, name=None):
         super().__init__(name)
@@ -139,17 +174,36 @@ class SpeechmaticsTranscriber(_CloudSttBase):
             headers["Authorization"] = f"Bearer {self.api_key}"
         self._ws = WsClient(self.url, headers=headers)
         self._seq = 0
-        cfg = {"language": self.language,
+        cfg = {"language": self.language_code or self.language,
                "enable_partials": self.enable_partials}
         if self.max_delay:
             cfg["max_delay"] = self.max_delay
-        self._ws.send_text(json.dumps({
+        if self.additional_vocabulary:
+            cfg["additional_vocab"] = [
+                {"content": w.strip()}
+                for w in self.additional_vocabulary.split(",")
+                if w.strip()]
+        cfg["diarization"] = self.diarization
+        if self.diarization == "speaker":
+            sd = {"max_speakers": self.max_speakers, "speakers": []}
+            if self.labeled_speakers:
+                sd["speakers"] = json.loads(self.labeled_speakers)
+            cfg["speaker_diarization_config"] = sd
+        cfg["transcript_filtering_config"] = {
+            "remove_disfluencies": self.remove_disfluencies}
+        start = {
             "message": "StartRecognition",
             "audio_format": {"type": "raw",
                              "encoding": "pcm_s16le",
                              "sample_rate": 16000},
             "transcription_config": cfg,
-        }))
+        }
+        if self.audio_event_types:
+            start["audio_events_config"] = {
+                "types": [t.strip() for t in
+                          self.audio_event_types.split(",")
+                          if t.strip()]}
+        self._ws.send_text(json.dumps(start))
         # wait for RecognitionStarted
         deadline_msgs = 50
         while deadline_msgs:
@@ -173,8 +227,21 @@ class SpeechmaticsTranscriber(_CloudSttBase):
     def _handle(self, msg: dict, out: list[Buffer]) -> bool:
         """-> True when EndOfTranscript arrives."""
         m = msg.get("message")
+        if m in ("AudioEventStarted", "AudioEventEnded"):
+            ev = msg.get("event", {})
+            self.post_element_message(
+                "speechmatics-audio-event", phase=m,
+                type=ev.get("type", ""),
+                time=ev.get("start_time", ev.get("end_time", 0.0)))
+            return False
         if m == "AddTranscript" or (m == "AddPartialTranscript"
                                     and self.enable_partials):
+            if self.mask_profanities:
+                for r in msg.get("results", []):
+                    for alt in r.get("alternatives", []):
+                        if "profanity" in alt.get("tags", []):
+                            alt["content"] = "*" * len(
+                                alt.get("content", ""))
             meta = msg.get("metadata", {})
             text = meta.get("transcript", "")
             if not text and msg.get("results"):

@@ -174,3 +174,68 @@ def test_cloudstt_connect_failure_is_clean():
     el = make("speechmaticstranscriber")
     el.url = "ws://127.0.0.1:1/nope"
     assert el.set_state(State.READY).name == "FAILURE"
+
+
+class MockSpeechmaticsConfig(MockSpeechmatics):
+    """Captures StartRecognition and tags one word as profanity."""
+
+    start_msg = None
+
+    def on_message(self, conn, msg):
+        try:
+            obj = json.loads(msg)
+        except (UnicodeDecodeError, json.JSONDecodeError):
+            self.audio_bytes += len(msg)
+            if self.audio_bytes % 16000 == 0:
+                ws_send(conn, json.dumps({
+                    "message": "AddTranscript",
+                    "metadata": {"transcript": "",
+                                 "start_time": 0.0, "end_time": 0.5},
+                    "results": [
+                        {"type": "word", "alternatives":
+                         [{"content": "hello", "tags": []}]},
+                        {"type": "word", "alternatives":
+                         [{"content": "dang", "tags":
+                           ["profanity"]}]}],
+                }).encode())
+            return
+        if obj.get("message") == "StartRecognition":
+            type(self).start_msg = obj
+            ws_send(conn, json.dumps(
+                {"message": "RecognitionStarted"}).encode())
+            ws_send(conn, json.dumps(
+                {"message": "AudioEventStarted",
+                 "event": {"type": "music",
+                           "start_time": 0.1}}).encode())
+        elif obj.get("message") == "EndOfStream":
+            ws_send(conn, json.dumps(
+                {"message": "EndOfTranscript"}).encode())
+
+
+def test_speechmatics_round5_config_and_masking():
+    mock = MockSpeechmaticsConfig()
+    el = make("speechmaticstranscriber",
+              additional_vocabulary="gstpu, tpu",
+              diarization="speaker", max_speakers=4,
+              remove_disfluencies=True, mask_profanities=True,
+              language_code="de",
+              audio_event_types="music,applause")
+    el.url = f"ws://127.0.0.1:{mock.port}/v2"
+    h = _push_audio(el, 1)
+    start = MockSpeechmaticsConfig.start_msg
+    cfg = start["transcription_config"]
+    assert cfg["language"] == "de"
+    assert cfg["additional_vocab"] == [{"content": "gstpu"},
+                                       {"content": "tpu"}]
+    assert cfg["diarization"] == "speaker"
+    assert cfg["speaker_diarization_config"]["max_speakers"] == 4
+    assert cfg["transcript_filtering_config"][
+        "remove_disfluencies"] is True
+    assert start["audio_events_config"]["types"] == ["music",
+                                                     "applause"]
+    texts = [b.to_bytes().decode() for b in h.buffers]
+    assert any("hello ****" in t for t in texts), texts
+    msgs = [m for m in el.bus.drain()
+            if getattr(m, "name", "") == "speechmatics-audio-event"]
+    assert msgs and msgs[0].fields["type"] == "music"
+    h.teardown()
