@@ -47,10 +47,25 @@ class _CloudSttBase(BaseTransform):
     api_key = Property(str, default=None, mutable=Mutability.READY)
     latency = Property(int, default=8 * SECOND, minimum=0,
                        blurb="transcript latency budget (ns)")
+    lateness = Property(int, default=0, minimum=0,
+                        mutable=Mutability.READY,
+                        blurb="Milliseconds added to every output "
+                              "timestamp (reference lateness)")
+    max_observed_delay = Property(
+        int, default=0, writable=False,
+        blurb="Max ns observed between sending audio and receiving "
+              "its transcript item (reference read-only "
+              "max-observed-delay)")
 
     def __init__(self, name=None):
         super().__init__(name)
         self._ws = None
+        self._audio_sent_ns = 0
+
+    def _observe_delay(self, item_end_s: float) -> None:
+        delay = self._audio_sent_ns - int(item_end_s * SECOND)
+        if delay > self._prop_values.get("max_observed_delay", 0):
+            self._prop_values["max_observed_delay"] = delay
 
     def transform_caps(self, direction, caps, filter):
         out = SRC_CAPS.copy() if direction is PadDirection.SINK \
@@ -92,7 +107,11 @@ class _CloudSttBase(BaseTransform):
 
     def transform(self, buf: Buffer) -> list[Buffer] | None:
         try:
-            self._send_audio(buf.to_bytes())
+            data = buf.to_bytes()
+            self._send_audio(data)
+            # 16 kHz s16 mono: track how much audio time was sent
+            # (feeds the max-observed-delay read-only property)
+            self._audio_sent_ns += len(data) * SECOND // 32000
             out = self._poll_messages(0.0)
         except Exception as e:
             self.post_error(f"{self.ELEMENT_NAME}: {e}")
@@ -114,6 +133,15 @@ class _CloudSttBase(BaseTransform):
         b = Buffer(text.encode())
         b.pts = int(start_s * SECOND)
         b.duration = max(int((end_s - start_s) * SECOND), 0)
+        return b
+
+    def _emit_text(self, text: str, start_s: float,
+                   end_s: float) -> Buffer:
+        """_text_buffer + lateness shift + delay accounting."""
+        self._observe_delay(end_s)
+        b = self._text_buffer(text, start_s, end_s)
+        if self.lateness:
+            b.pts += self.lateness * 1_000_000
         return b
 
 
@@ -283,17 +311,34 @@ class DeepgramTranscriber(_CloudSttBase):
     """Deepgram streaming listen API transcriber."""
 
     language = Property(str, default="en", mutable=Mutability.READY)
+    language_code = Property(str, default="",
+                             mutable=Mutability.READY,
+                             blurb="Overrides 'language' when set "
+                                   "(reference language-code)")
     model = Property(str, default="nova-2", mutable=Mutability.READY)
     interim_results = Property(bool, default=False,
                                mutable=Mutability.READY)
+    diarization = Property(bool, default=False,
+                           mutable=Mutability.READY,
+                           blurb="Request speaker diarization "
+                                 "(reference diarization -> the "
+                                 "listen API's diarize flag)")
+    interim_timing_threshold = Property(
+        int, default=0, minimum=0, mutable=Mutability.READY,
+        blurb="Suppress interim results until their end time "
+              "advances by this many ns over the last emitted one "
+              "(reference interim-timing-threshold)")
 
     def _connect(self) -> None:
         from gstpu.net.ws import WsClient
         import urllib.parse
+        self._last_interim_end = -1
         q = urllib.parse.urlencode({
             "encoding": "linear16", "sample_rate": 16000,
-            "channels": 1, "language": self.language,
+            "channels": 1,
+            "language": self.language_code or self.language,
             "model": self.model,
+            **({"diarize": "true"} if self.diarization else {}),
             "interim_results":
                 "true" if self.interim_results else "false"})
         sep = "&" if "?" in self.url else "?"
@@ -309,12 +354,18 @@ class DeepgramTranscriber(_CloudSttBase):
         if msg.get("type") == "Results":
             alts = msg.get("channel", {}).get("alternatives", [])
             text = alts[0].get("transcript", "") if alts else ""
-            if text.strip() and (msg.get("is_final", True)
-                                 or self.interim_results):
+            final = msg.get("is_final", True)
+            if text.strip() and (final or self.interim_results):
                 start = msg.get("start", 0.0)
-                out.append(self._text_buffer(
-                    text.strip(), start,
-                    start + msg.get("duration", 0.0)))
+                end = start + msg.get("duration", 0.0)
+                if not final and self.interim_timing_threshold:
+                    # rate-limit interim churn (reference
+                    # interim-timing-threshold)
+                    if int(end * SECOND) - self._last_interim_end \
+                            < self.interim_timing_threshold:
+                        return False
+                    self._last_interim_end = int(end * SECOND)
+                out.append(self._emit_text(text.strip(), start, end))
         return msg.get("type") == "Metadata" \
             and msg.get("transaction_key") == "closed"
 

@@ -239,3 +239,27 @@ def test_speechmatics_round5_config_and_masking():
             if getattr(m, "name", "") == "speechmatics-audio-event"]
     assert msgs and msgs[0].fields["type"] == "music"
     h.teardown()
+
+
+def test_deepgram_round5_knobs():
+    """diarize + language-code ride the query string; lateness
+    shifts output pts; max-observed-delay is a live read-only."""
+    mock = MockDeepgram()
+    el = make("deepgramtranscriber", diarization=True,
+              language_code="nl", lateness=250)
+    el.url = f"ws://127.0.0.1:{mock.port}/v1/listen"
+    h = _push_audio(el, 4)
+    # query params reached the wire (the ws handshake request line)
+    req = mock.request_headers.decode(errors="replace")
+    assert "diarize=true" in req and "language=nl" in req
+    texts = [b.to_bytes().decode() for b in h.buffers]
+    assert "dg1" in texts
+    # lateness: dg1 covers [0,1s) -> pts shifted by 250ms
+    assert h.buffers[0].pts == 250_000_000
+    # the mock answers at exact second marks; depending on which
+    # push's poll picks the message up the observed delay is 0-1 s
+    assert 0 <= el.get_property("max-observed-delay") <= 1_000_000_000
+    import pytest as _pytest
+    with _pytest.raises(PermissionError):
+        el.set_property("max-observed-delay", 5)
+    h.teardown()
